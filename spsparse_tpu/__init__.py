@@ -1,0 +1,41 @@
+"""spsparse-tpu: a TPU-native sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+spsparse C++ template library (rank-N COO arrays, duplicate-consolidating
+sort, sorted-merge joins, the diag-scaled sparse multiply chain, SpMV/SpMM,
+NetCDF I/O) plus the capabilities the TPU target demands: static-shape
+padded arrays that travel through ``jit``/``vmap``/``shard_map``, CSR/ELL
+kernel views, Pallas kernels for the hot paths, and multi-chip row-partitioned
+execution over ``jax.sharding.Mesh``.
+"""
+
+from .core import (
+    DuplicatePolicy,
+    SpSparseError,
+    set_error_handler,
+    isnone,
+    ROW_MAJOR,
+    COL_MAJOR,
+    SparseCOO,
+    CooBuilder,
+    coo_matrix,
+    coo_vector,
+    consolidate,
+    sorted_permutation,
+    filter_compact,
+    Consolidated,
+    dim_beginnings,
+    DimBeginnings,
+    SparseCSR,
+    SparseELL,
+    to_csr,
+    to_ell,
+    join2,
+    join3,
+    scatter_to_dense,
+    scalar_sum,
+    permute_output,
+    project_output,
+)
+
+__version__ = "0.1.0"

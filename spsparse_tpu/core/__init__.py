@@ -1,0 +1,41 @@
+"""Core layer: COO arrays, consolidation, structure views, joins, accumulators."""
+
+from .errors import (
+    DuplicatePolicy,
+    SpSparseError,
+    set_error_handler,
+    spsparse_error,
+    isnone,
+    ROW_MAJOR,
+    COL_MAJOR,
+)
+from .coo import SparseCOO, CooBuilder, coo_matrix, coo_vector
+from .consolidate import (
+    consolidate,
+    sorted_permutation,
+    merge_sorted_entries,
+    filter_compact,
+    Consolidated,
+)
+from .structure import (
+    dim_beginnings,
+    DimBeginnings,
+    SparseCSR,
+    SparseELL,
+    to_csr,
+    to_ell,
+)
+from .join import JoinResult, join2, join3, intersect_mask
+from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
+
+__all__ = [
+    "DuplicatePolicy", "SpSparseError", "set_error_handler", "spsparse_error",
+    "isnone", "ROW_MAJOR", "COL_MAJOR",
+    "SparseCOO", "CooBuilder", "coo_matrix", "coo_vector",
+    "consolidate", "sorted_permutation", "merge_sorted_entries",
+    "filter_compact", "Consolidated",
+    "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
+    "to_csr", "to_ell",
+    "JoinResult", "join2", "join3", "intersect_mask",
+    "scatter_to_dense", "scalar_sum", "permute_output", "project_output",
+]

@@ -1,0 +1,269 @@
+"""Core-layer tests pinned to the reference's golden values.
+
+Mirrors /root/reference/tests/test_array.cpp (container, permutation
+stability, transpose involution, consolidate goldens, dim_beginnings,
+dense round trips) and the reference's documented duplicate-policy
+semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spsparse_tpu import (
+    CooBuilder,
+    DuplicatePolicy,
+    SparseCOO,
+    SpSparseError,
+    consolidate,
+    dim_beginnings,
+    scalar_sum,
+    sorted_permutation,
+    to_csr,
+    to_ell,
+)
+
+
+def build(shape, entries, dtype=np.float64):
+    b = CooBuilder(shape, dtype=dtype)
+    for idx, v in entries:
+        b.add(idx, v)
+    return b.build()
+
+
+class TestContainer:
+    # Reference test_array.cpp:39-64 (VectorCooArray)
+    def test_add_and_access(self):
+        b = CooBuilder((4,))
+        b.add((1,), 2.0)
+        b.add((3,), 6.0)
+        arr = b.build()
+        assert len(arr) == 2
+        assert int(arr.index(0, 0)) == 1
+        assert int(arr.index(0, 1)) == 3
+        assert float(arr.val(0)) == 2.0
+
+    def test_bounds_check_raises(self):
+        b = CooBuilder((4,))
+        with pytest.raises(SpSparseError):
+            b.add((17,), 4.0)
+        with pytest.raises(SpSparseError):
+            b.add((-1,), 4.0)
+
+    def test_from_arrays_bounds_check(self):
+        with pytest.raises(SpSparseError):
+            SparseCOO.from_arrays([[0, 5]], [1.0], (2, 4))
+
+    def test_capacity_and_padding(self):
+        arr = build((2, 4), [((1, 3), 5.0), ((0, 1), 2.0)])
+        grown = arr.with_capacity(10)
+        assert grown.cap == 10
+        assert int(grown.nnz) == 2
+        # Padding has sentinel indices and zero vals
+        np.testing.assert_array_equal(np.asarray(grown.indices)[2:],
+                                      np.tile([2, 4], (8, 1)))
+        np.testing.assert_array_equal(np.asarray(grown.vals)[2:], 0.0)
+        np.testing.assert_allclose(np.asarray(grown.to_dense()),
+                                   np.asarray(arr.to_dense()))
+
+
+class TestPermutation:
+    # Reference test_array.cpp:67-79 — stability-sensitive goldens.
+    def test_sorted_permutation_goldens(self):
+        arr = build((2, 4), [((1, 3), 5.0), ((1, 2), 3.0), ((0, 3), 17.0)])
+        perm0 = np.asarray(sorted_permutation(arr, (0, 1)))[: len(arr)]
+        np.testing.assert_array_equal(perm0, [2, 1, 0])
+        perm1 = np.asarray(sorted_permutation(arr, (1, 0)))[: len(arr)]
+        np.testing.assert_array_equal(perm1, [1, 2, 0])
+
+    def test_stability_with_duplicates(self):
+        # {1,2} inserted twice: stable sort must keep insertion order
+        arr = build((2, 4), [((1, 3), 5.0), ((1, 2), 3.0), ((0, 3), 17.0),
+                             ((1, 2), 15.0)])
+        perm = np.asarray(sorted_permutation(arr, (1, 0)))[: len(arr)]
+        np.testing.assert_array_equal(perm, [1, 3, 2, 0])
+
+
+class TestTranspose:
+    # Reference test_array.cpp:108-132 — in-place transpose involution.
+    ENTRIES = [((1, 3), 5.0), ((1, 2), 3.0), ((0, 3), 17.0),
+               ((0, 1), 14.0), ((1, 2), 15.0)]
+
+    def test_indices_only_involution(self):
+        arr = build((2, 4), self.ENTRIES)
+        a1 = arr.transpose_indices_only((0, 1))
+        np.testing.assert_array_equal(a1.index(0), [1, 1, 0, 0, 1])
+        np.testing.assert_array_equal(a1.index(1), [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a1.vals, [5., 3., 17., 14., 15.])
+
+        a2 = a1.transpose_indices_only((1, 0))
+        np.testing.assert_array_equal(a2.index(0), [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a2.index(1), [1, 1, 0, 0, 1])
+
+        a3 = a2.transpose_indices_only((1, 0))
+        np.testing.assert_array_equal(a3.index(0), [1, 1, 0, 0, 1])
+        np.testing.assert_array_equal(a3.index(1), [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a3.vals, [5., 3., 17., 14., 15.])
+
+    def test_transposed_permutes_shape(self):
+        arr = build((2, 4), self.ENTRIES)
+        t = arr.transposed((1, 0))
+        assert t.shape == (4, 2)
+        np.testing.assert_allclose(np.asarray(t.to_dense()),
+                                   np.asarray(arr.to_dense()).T)
+
+
+class TestConsolidate:
+    ENTRIES = [((1, 3), 5.0), ((1, 2), 3.0), ((0, 3), 17.0),
+               ((0, 1), 14.0), ((1, 2), 15.0)]
+
+    # Reference test_array.cpp:135-168 — exact golden vectors.
+    def test_row_major_golden(self):
+        arr = build((2, 4), self.ENTRIES)
+        c = consolidate(arr, (0, 1))
+        assert int(c.nnz) == 4
+        n = int(c.nnz)
+        np.testing.assert_array_equal(np.asarray(c.index(0))[:n], [0, 0, 1, 1])
+        np.testing.assert_array_equal(np.asarray(c.index(1))[:n], [1, 3, 2, 3])
+        np.testing.assert_allclose(np.asarray(c.vals)[:n], [14., 17., 18., 5.])
+        assert dim_beginnings(c).to_list() == [0, 2, 4]
+
+    def test_col_major_golden(self):
+        arr = build((2, 4), self.ENTRIES)
+        c = consolidate(arr, (1, 0))
+        n = int(c.nnz)
+        np.testing.assert_array_equal(np.asarray(c.index(0))[:n], [0, 1, 0, 1])
+        np.testing.assert_array_equal(np.asarray(c.index(1))[:n], [1, 2, 3, 3])
+        np.testing.assert_allclose(np.asarray(c.vals)[:n], [14., 18., 17., 5.])
+        assert dim_beginnings(c).to_list() == [0, 1, 2, 4]
+
+    def test_policies(self):
+        arr = build((2, 4), self.ENTRIES)
+        first = consolidate(arr, (0, 1), DuplicatePolicy.LEAVE_ALONE)
+        np.testing.assert_allclose(
+            np.asarray(first.vals)[:4], [14., 17., 3., 5.])
+        last = consolidate(arr, (0, 1), DuplicatePolicy.REPLACE)
+        np.testing.assert_allclose(
+            np.asarray(last.vals)[:4], [14., 17., 15., 5.])
+
+    def test_zero_dropping(self):
+        # Input zeros dropped before merging (so REPLACE of [5, 0] keeps 5);
+        # merged sums that equal zero are kept (algorithm.hpp:287 emits
+        # unconditionally).
+        arr = build((4,), [((1,), 5.0), ((1,), 0.0), ((2,), 3.0),
+                           ((2,), -3.0), ((3,), 0.0)])
+        rep = consolidate(arr, (0,), DuplicatePolicy.REPLACE)
+        idx, vals = rep.to_lists()
+        assert idx == [(1,), (2,)]
+        np.testing.assert_allclose(vals, [5.0, -3.0])
+        add = consolidate(arr, (0,))
+        idx, vals = add.to_lists()
+        assert idx == [(1,), (2,)]
+        np.testing.assert_allclose(vals, [5.0, 0.0])  # zero SUM is kept
+
+    def test_zero_nan(self):
+        arr = build((4,), [((0,), np.nan), ((1,), 5.0), ((1,), np.nan),
+                           ((2,), np.nan)])
+        keep = consolidate(arr, (0,))
+        idx, vals = keep.to_lists()
+        assert idx == [(0,), (1,), (2,)]
+        assert np.isnan(vals[0]) and np.isnan(vals[1]) and np.isnan(vals[2])
+        drop = consolidate(arr, (0,), zero_nan=True)
+        idx, vals = drop.to_lists()
+        assert idx == [(1,)]
+        np.testing.assert_allclose(vals, [5.0])
+
+    def test_noop_when_sorted(self):
+        arr = build((2, 4), self.ENTRIES)
+        c = arr.consolidate((0, 1))
+        assert c.consolidate((0, 1)) is c
+
+    def test_empty(self):
+        arr = SparseCOO.empty((3, 3), cap=8)
+        c = consolidate(arr, (0, 1))
+        assert int(c.nnz) == 0
+        assert c.sort_order == (0, 1)
+
+
+class TestDimBeginnings:
+    # Reference test_array.cpp:170-218.
+    def test_present_rows_walk(self):
+        arr = build((20, 10), [((1, 0), 15.0), ((1, 3), 17.0),
+                               ((2, 4), 17.0), ((6, 4), 10.0)])
+        c = consolidate(arr, (0, 1))
+        db = dim_beginnings(c)
+        assert db.rows_to_list() == [1, 2, 6]
+        assert db.to_list() == [0, 2, 3, 4]
+        # Row contents via the slices
+        idx, vals = c.to_lists()
+        b = db.to_list()
+        row0 = [(idx[p][1], vals[p]) for p in range(b[0], b[1])]
+        assert row0 == [(0, 15.0), (3, 17.0)]
+        row1 = [(idx[p][1], vals[p]) for p in range(b[1], b[2])]
+        assert row1 == [(4, 17.0)]
+        row2 = [(idx[p][1], vals[p]) for p in range(b[2], b[3])]
+        assert row2 == [(4, 10.0)]
+
+    def test_unsorted_raises(self):
+        arr = build((4, 4), [((1, 0), 1.0)])
+        with pytest.raises(SpSparseError):
+            dim_beginnings(arr)
+
+
+class TestDense:
+    # Reference test_array.cpp:221-267.
+    def test_to_dense(self):
+        arr = build((20, 10), [((1, 0), 15.0), ((1, 3), 17.0),
+                               ((2, 4), 17.0), ((6, 4), 10.0)])
+        dense = np.asarray(arr.to_dense())
+        assert dense.sum() == 59.0
+        idx, vals = arr.to_lists()
+        for i, v in zip(idx, vals):
+            assert dense[i] == v
+
+    def test_dense_round_trip(self):
+        dense1 = np.zeros((4, 5))
+        dense1[2, 3] = 5.0
+        dense1[2, 4] = 6.0
+        dense1[0, 1] = 7.0
+        sp = SparseCOO.from_dense(dense1)
+        assert int(sp.nnz) == 3
+        np.testing.assert_allclose(np.asarray(sp.to_dense()), dense1)
+        # jit-compatible variant with explicit cap
+        sp2 = SparseCOO.from_dense(jnp.asarray(dense1), cap=8)
+        assert int(sp2.nnz) == 3
+        np.testing.assert_allclose(np.asarray(sp2.to_dense()), dense1)
+
+    def test_scalar_sum(self):
+        arr = build((20, 10), [((1, 0), 15.0), ((1, 3), 17.0),
+                               ((2, 4), 17.0), ((6, 4), 10.0)])
+        assert float(scalar_sum(arr)) == 59.0
+
+
+class TestViews:
+    def test_csr(self):
+        arr = build((5, 6), [((1, 0), 1.0), ((1, 3), 2.0), ((3, 4), 3.0),
+                             ((3, 4), 4.0), ((0, 5), 5.0)])
+        csr = to_csr(arr)
+        np.testing.assert_array_equal(csr.row_ptr, [0, 1, 3, 3, 4, 4])
+        dense = np.asarray(arr.to_dense())
+        np.testing.assert_allclose(np.asarray(csr.to_dense()), dense)
+        # row_ids round trip
+        rid = np.asarray(csr.row_ids())[: int(csr.nnz)]
+        np.testing.assert_array_equal(rid, [0, 1, 1, 3])
+
+    def test_csr_transpose(self):
+        arr = build((5, 6), [((1, 0), 1.0), ((1, 3), 2.0), ((3, 4), 3.0)])
+        csrt = to_csr(arr, transpose=True)
+        assert csrt.shape == (6, 5)
+        np.testing.assert_allclose(np.asarray(csrt.to_dense()),
+                                   np.asarray(arr.to_dense()).T)
+
+    def test_ell(self):
+        arr = build((5, 6), [((1, 0), 1.0), ((1, 3), 2.0), ((3, 4), 3.0),
+                             ((0, 5), 5.0)])
+        ell = to_ell(arr)
+        assert ell.max_row_nnz == 2
+        np.testing.assert_allclose(np.asarray(ell.to_dense()),
+                                   np.asarray(arr.to_dense()))
