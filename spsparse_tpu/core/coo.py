@@ -45,6 +45,19 @@ def _canonical_index_dtype() -> jnp.dtype:
     return jnp.dtype(jnp.int32)
 
 
+def round_up_pow2(n: int) -> int:
+    """Round a capacity up to the next power of two.
+
+    Auto-computed capacities are quantized this way so that repeated eager
+    calls with similar-but-different nnz reuse the same compiled XLA
+    program instead of recompiling per distinct shape.
+    """
+    n = int(n)
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseCOO:
@@ -108,6 +121,7 @@ class SparseCOO:
               index_dtype=None) -> "SparseCOO":
         """An all-padding array with ``nnz == 0`` and the given capacity."""
         shape = tuple(int(s) for s in shape)
+        cap = max(int(cap), 1)
         index_dtype = index_dtype or _canonical_index_dtype()
         sent = cls.sentinel_index(shape, index_dtype)
         indices = jnp.broadcast_to(jnp.asarray(sent), (cap, len(shape)))
@@ -177,7 +191,13 @@ class SparseCOO:
                 )
 
         if cap is None:
-            cap = n
+            cap = round_up_pow2(n)
+        # Invariant: capacity >= 1 so size-0 buffers never reach XLA ops
+        # (gather/searchsorted on zero-length axes is an error).
+        cap = max(int(cap), 1)
+        if n == 0:
+            return cls.empty(shape, cap, dtype=vals.dtype,
+                             index_dtype=indices.dtype)
         out = cls(indices=indices, vals=vals, nnz=nnz, shape=shape,
                   sort_order=tuple(sort_order) if sort_order is not None else None)
         out = out.with_capacity(cap)
@@ -221,6 +241,7 @@ class SparseCOO:
         Shrinking below a concrete ``nnz`` raises; under tracing the caller
         is responsible for ``cap >= nnz``.
         """
+        cap = max(int(cap), 1)
         cur = self.cap
         if cap == cur:
             return self

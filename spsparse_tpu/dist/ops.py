@@ -1,0 +1,238 @@
+"""Distributed sparse ops over a device mesh: SpMV, SpMM, SpGEMM.
+
+New capability relative to the reference (which is strictly single-process,
+SURVEY §2): row-partitioned operands with JAX collectives over ICI.
+
+* :func:`dist_spmv` — row-partitioned ``y = A @ x``. Two strategies:
+  ``"all_gather"`` (gather the full x, one local SpMV) and ``"ring"``
+  (P-step ``ppermute`` pipeline: at each step every device multiplies
+  against the x-block it currently holds while the next block is in
+  flight — communication overlapped with compute, and peak memory stays
+  O(local) instead of O(global)).
+* :func:`dist_spmm` — same row distribution for a dense block right operand.
+* :func:`dist_spgemm` — row-partitioned ``C = A @ B`` with B's row blocks
+  brought to each device (all_gather over the inner dimension; each device
+  runs the local ESC expansion against the gathered block-padded B layout).
+
+All entry points build the ``shard_map`` internally from a ``Mesh`` + axis
+name and also work *inside* an enclosing ``shard_map`` via the ``local_*``
+variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.coo import SparseCOO
+from ..ops.multiply import expand_products_raw, sort_and_merge_products
+from .partition import RowPartitionedCSR
+
+__all__ = ["dist_spmv", "dist_spmm", "dist_spgemm", "RowPartitionedCOO"]
+
+Array = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowPartitionedCOO:
+    """Stacked per-partition COO blocks (local row ids, global columns)."""
+
+    indices: Array = dataclasses.field(metadata=dict(static=False))  # (P, cap, 2)
+    vals: Array = dataclasses.field(metadata=dict(static=False))     # (P, cap)
+    nnz: Array = dataclasses.field(metadata=dict(static=False))      # (P,)
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    rows_local: int = dataclasses.field(metadata=dict(static=True))
+
+    def to_coo(self) -> SparseCOO:
+        """Host-side: concatenate blocks into one global COO (eager)."""
+        parts = []
+        for p in range(self.indices.shape[0]):
+            n = int(self.nnz[p])
+            idx = np.asarray(self.indices[p][:n]).copy()
+            idx[:, 0] += p * self.rows_local
+            parts.append((idx, np.asarray(self.vals[p][:n])))
+        if parts:
+            idx = np.concatenate([i for i, _ in parts], axis=0)
+            vals = np.concatenate([v for _, v in parts], axis=0)
+        else:  # pragma: no cover
+            idx = np.zeros((0, 2), np.int32)
+            vals = np.zeros((0,))
+        return SparseCOO.from_arrays(idx, vals, self.shape, check=False,
+                                     sort_order=(0, 1))
+
+
+# ----------------------------------------------------------------------
+# Local (per-device) kernels used inside shard_map
+# ----------------------------------------------------------------------
+def _local_csr_spmv(row_ptr, cols, vals, nnz, x):
+    """One device's SpMV: local CSR block (global col ids) times dense x."""
+    cap = cols.shape[0]
+    nrows = row_ptr.shape[0] - 1
+    live = jnp.arange(cap, dtype=jnp.int32) < nnz
+    prod = vals * jnp.take(x, cols, mode="fill", fill_value=0)
+    prod = jnp.where(live, prod, 0)
+    rows = jnp.searchsorted(
+        row_ptr, jnp.arange(cap, dtype=row_ptr.dtype), side="right"
+    ).astype(jnp.int32) - 1
+    rows = jnp.where(live, rows, nrows)
+    return jnp.zeros((nrows,), prod.dtype).at[rows].add(prod, mode="drop")
+
+
+def _local_block_contrib(cols, vals, rows, live, x_blk, blk_id, blk_len,
+                         nrows):
+    """Contribution of columns inside block ``blk_id`` given that block's
+    x values (ring step kernel)."""
+    rel = cols - blk_id * blk_len
+    in_blk = live & (rel >= 0) & (rel < blk_len)
+    xg = jnp.take(x_blk, jnp.clip(rel, 0, blk_len - 1))
+    prod = jnp.where(in_blk, vals * xg, 0)
+    tgt = jnp.where(in_blk, rows, nrows)
+    return jnp.zeros((nrows,), prod.dtype).at[tgt].add(prod, mode="drop")
+
+
+# ----------------------------------------------------------------------
+# SpMV
+# ----------------------------------------------------------------------
+def dist_spmv(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x",
+              method: str = "ring"):
+    """Row-partitioned SpMV: ``y_parts = A @ x`` with ``x`` sharded by the
+    same block-row distribution. Returns ``(P, rows_local)`` sharded output.
+
+    ``method='ring'`` runs the P-step ppermute pipeline (overlapped
+    comm/compute, O(local) memory); ``method='all_gather'`` gathers x first.
+    """
+    nparts = mesh.shape[axis]
+    blk_len = x_parts.shape[1]
+
+    def local_fn(rp, cols, vals, nnz, xl):
+        rp, cols, vals, nnz, xl = rp[0], cols[0], vals[0], nnz[0], xl[0]
+        nrows = rp.shape[0] - 1
+        if method == "all_gather":
+            xg = jax.lax.all_gather(xl, axis, tiled=True)
+            y = _local_csr_spmv(rp, cols, vals, nnz, xg)
+        elif method == "ring":
+            me = jax.lax.axis_index(axis)
+            cap = cols.shape[0]
+            live = jnp.arange(cap, dtype=jnp.int32) < nnz
+            rows = jnp.searchsorted(
+                rp, jnp.arange(cap, dtype=rp.dtype), side="right"
+            ).astype(jnp.int32) - 1
+            rows = jnp.where(live, rows, nrows)
+            perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+            y = jnp.zeros((nrows,), vals.dtype)
+            x_cur = xl
+            for s in range(nparts):
+                blk = (me + s) % nparts
+                y = y + _local_block_contrib(
+                    cols, vals, rows, live, x_cur, blk, blk_len, nrows)
+                if s + 1 < nparts:
+                    x_cur = jax.lax.ppermute(x_cur, axis, perm)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        return y[None]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return fn(part.row_ptr, part.cols, part.vals, part.nnz, x_parts)
+
+
+def dist_spmm(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x"):
+    """Row-partitioned SpMM: dense block ``X`` sharded by rows of the inner
+    dimension; gathered per device, local gather+segment-sum SpMM."""
+    def local_fn(rp, cols, vals, nnz, xl):
+        rp, cols, vals, nnz = rp[0], cols[0], vals[0], nnz[0]
+        xg = jax.lax.all_gather(xl[0], axis, tiled=True)   # (K_pad, N)
+        cap = cols.shape[0]
+        nrows = rp.shape[0] - 1
+        live = jnp.arange(cap, dtype=jnp.int32) < nnz
+        gathered = jnp.take(xg, cols, axis=0, mode="fill", fill_value=0)
+        prod = jnp.where(live[:, None], vals[:, None] * gathered, 0)
+        rows = jnp.searchsorted(
+            rp, jnp.arange(cap, dtype=rp.dtype), side="right"
+        ).astype(jnp.int32) - 1
+        rows = jnp.where(live, rows, nrows)
+        y = jnp.zeros((nrows, xg.shape[1]), prod.dtype).at[rows].add(
+            prod, mode="drop")
+        return y[None]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return fn(part.row_ptr, part.cols, part.vals, part.nnz, x_parts)
+
+
+# ----------------------------------------------------------------------
+# SpGEMM
+# ----------------------------------------------------------------------
+def dist_spgemm(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
+                mesh: Mesh, axis: str = "x", *, expand_cap: int,
+                out_cap: int) -> RowPartitionedCOO:
+    """Row-partitioned SpGEMM ``C = A @ B``.
+
+    ``A`` is partitioned by output rows; ``B`` by inner-dimension rows. Each
+    device all-gathers B's (block-padded) buffers, addresses them through a
+    gathered row map (global row k lives at ``blk * cap_local + local_ptr``),
+    and runs the ESC expansion + merge locally. Static ``expand_cap`` /
+    ``out_cap`` bound the per-device product count and output nnz.
+    """
+    nparts = mesh.shape[axis]
+    b_rows_local = b_part.rows_local
+    b_cap_local = b_part.cap_local
+    K, J = b_part.shape
+    rows_local_a = a_part.rows_local
+
+    def local_fn(arp, acols, avals, annz, brp, bcols, bvals, bnnz):
+        arp, acols, avals, annz = arp[0], acols[0], avals[0], annz[0]
+        # Gather all of B's blocks (padded layout preserved).
+        brp_g = jax.lax.all_gather(brp[0], axis)     # (Pb, R+1)
+        bcols_g = jax.lax.all_gather(bcols[0], axis)  # (Pb, capB)
+        bvals_g = jax.lax.all_gather(bvals[0], axis)
+        nblocks = brp_g.shape[0]
+
+        # Global row map over padded buffers: start/len for rows 0..K_pad-1.
+        starts = (brp_g[:, :-1]
+                  + (jnp.arange(nblocks, dtype=jnp.int32)[:, None]
+                     * b_cap_local)).reshape(-1)
+        lens = (brp_g[:, 1:] - brp_g[:, :-1]).reshape(-1)
+        flat_cols = bcols_g.reshape(-1)
+        flat_vals = bvals_g.reshape(-1)
+        k_rows = nblocks * b_rows_local
+
+        # Local A entries: local row ids + global k columns.
+        cap_a = acols.shape[0]
+        live = jnp.arange(cap_a, dtype=jnp.int32) < annz
+        a_rows = jnp.searchsorted(
+            arp, jnp.arange(cap_a, dtype=arp.dtype), side="right"
+        ).astype(jnp.int32) - 1
+        a_rows = jnp.where(live, a_rows, rows_local_a)
+
+        i_t, j_t, v_t, valid_t = expand_products_raw(
+            a_rows, acols, avals, live,
+            starts, lens, flat_cols, flat_vals, J, k_rows,
+            None, None, expand_cap)
+        merged = sort_and_merge_products(
+            i_t, j_t, v_t, valid_t, (rows_local_a, J), merge_cap=out_cap)
+        keep = merged.valid_mask() & (merged.vals != 0)
+        from ..core.consolidate import filter_compact
+        out = filter_compact(merged, keep, cap=out_cap)
+        return out.indices[None], out.vals[None], out.nnz[None]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 8,
+        out_specs=(P(axis), P(axis), P(axis)))
+    idx, vals, nnz = fn(a_part.row_ptr, a_part.cols, a_part.vals, a_part.nnz,
+                        b_part.row_ptr, b_part.cols, b_part.vals, b_part.nnz)
+    return RowPartitionedCOO(indices=idx, vals=vals, nnz=nnz,
+                             shape=(a_part.shape[0], J),
+                             rows_local=rows_local_a)

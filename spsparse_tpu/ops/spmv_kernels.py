@@ -1,0 +1,64 @@
+"""SpMV compute kernels: format-specialized, TPU-tuned.
+
+Dispatch layer over the storage formats:
+
+* :func:`spmv_dia` — banded/diagonal matrices: per-diagonal shifted FMA.
+  Zero gathers; streams ``data`` once and ``x`` once per diagonal. This is
+  the speed-of-light path for the BASELINE config-2 banded family.
+* :func:`spmv_ell` — general bounded-row-length matrices: row-blocked
+  gather + reduce (XLA lowering; a Pallas variant lives in
+  :mod:`spsparse_tpu.ops.pallas_spmv`).
+* :func:`best_spmv` — picks the fastest available implementation for the
+  operand's format.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dia import SparseDIA
+from ..core.structure import SparseCSR, SparseELL
+from .spmm import spmv as _spmv_generic
+
+Array = Any
+
+__all__ = ["spmv_dia", "spmv_ell", "best_spmv"]
+
+
+def spmv_dia(dia: SparseDIA, x: Array) -> Array:
+    """``y = A @ x`` for diagonal storage: ``y[i] += data[d,i] * x[i+off]``.
+
+    Each diagonal contributes a shifted elementwise product; XLA fuses the
+    whole loop (static ``offsets``) into one streaming pass."""
+    n, m = dia.shape
+    y = jnp.zeros((n,), jnp.result_type(dia.data, x))
+    for d, off in enumerate(dia.offsets):
+        # rows i in [max(0,-off), min(n, m-off)) read x[i+off]
+        lo = max(0, -off)
+        hi = min(n, m - off)
+        if hi <= lo:
+            continue
+        seg = dia.data[d, lo:hi] * jax.lax.dynamic_slice_in_dim(
+            x, lo + off, hi - lo)
+        y = y.at[lo:hi].add(seg)
+    return y
+
+
+def spmv_ell(ell: SparseELL, x: Array) -> Array:
+    """Gather + row-reduce over the regular ELL layout."""
+    xg = jnp.take(x, ell.cols, mode="fill", fill_value=0)
+    return jnp.sum(ell.vals * xg, axis=1)
+
+
+def best_spmv(a, x: Array) -> Array:
+    """Format-dispatched SpMV (jittable; dispatch is static on type)."""
+    if isinstance(a, SparseDIA):
+        return spmv_dia(a, x)
+    if isinstance(a, SparseELL):
+        return spmv_ell(a, x)
+    if isinstance(a, SparseCSR):
+        return _spmv_generic(a, x)
+    return _spmv_generic(a, x)

