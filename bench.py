@@ -80,9 +80,9 @@ def bench_spmv(n: int, band: int) -> dict:
     fn = jax.jit(best_spmv)
     t = timeit(fn, ell, x)
     kind, bw = device_bandwidth()
-    # Bytes per nnz: cols(4) + vals(4) + x gather(4); plus one output write
-    # per row.
-    bytes_moved = nnz * 12 + ell.nrows * 4
+    # Bytes model: cols(4)+vals(4) streamed once per nnz; x (4B/row) loaded
+    # once (it fits in VMEM and XLA keeps it resident); y written once.
+    bytes_moved = nnz * 8 + ell.nrows * 8
     sol_nnz_s = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {
