@@ -60,25 +60,17 @@ def build_banded_ell(n: int, band: int, dtype=np.float32):
                      shape=(n, n)), int(valid.sum())
 
 
-def timeit(fn, *args, warmup=2, reps=5) -> float:
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def bench_spmv(n: int, band: int) -> dict:
     from spsparse_tpu.ops.spmv_kernels import best_spmv
+    from spsparse_tpu.utils.benchtime import bench_chained
 
     ell, nnz = build_banded_ell(n, band)
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, n)
                     .astype(np.float32))
     fn = jax.jit(best_spmv)
-    t = timeit(fn, ell, x)
+    # y has the same shape as x, so iterations chain through a real data
+    # dependency (see utils.benchtime for why that is required here).
+    t = bench_chained(lambda v: fn(ell, v), x, iters=20)
     kind, bw = device_bandwidth()
     # Bytes model: cols(4)+vals(4) streamed once per nnz; x (4B/row) loaded
     # once (it fits in VMEM and XLA keeps it resident); y written once.

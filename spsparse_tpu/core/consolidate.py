@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from .coo import SparseCOO
 from .errors import DuplicatePolicy, isnone
+from ..utils.trace import traced
 
 __all__ = [
     "consolidate",
@@ -208,6 +209,7 @@ def merge_sorted_entries(
     return out.repad()
 
 
+@traced("spsparse.consolidate")
 def consolidate(
     a: SparseCOO,
     sort_order: Sequence[int] | None = None,

@@ -57,6 +57,7 @@ from ..core.consolidate import (
 from ..core.coo import SparseCOO, round_up_pow2
 from ..core.errors import DuplicatePolicy, spsparse_error
 from ..core.structure import SparseCSR, to_csr
+from ..utils.trace import traced
 
 __all__ = ["multiply", "multiply_mv", "multiply_chain", "expansion_size"]
 
@@ -168,6 +169,7 @@ def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
         cap=merge_cap, sort_order=(0, 1), index_dtype=jnp.int32)
 
 
+@traced("spsparse.multiply_mm")
 def multiply(
     C,
     A: SparseCOO,
@@ -253,6 +255,7 @@ def multiply(
     return filter_compact(result, keep, cap=cap)
 
 
+@traced("spsparse.multiply_mv")
 def multiply_mv(
     C,
     A: SparseCOO,

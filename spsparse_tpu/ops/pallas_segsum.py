@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: segmented merge-and-accumulate (CSR row reduction).
+
+The hot inner step of CSR SpMV/SpMM and of consolidate's merge phase is a
+*segmented sum*: given per-entry products in row-pointer order, produce
+per-row totals. XLA lowers this as scatter-add, which serializes on
+duplicate indices; this kernel instead processes a block of R rows per
+grid step and computes all R row sums as one ``(R, E) @ (E,)`` masked
+matmul — boundary masks built from the row pointers — so the reduction
+runs on the MXU at full tile utilization with zero atomics. This is the
+"segmented merge-and-accumulate" kernel called for by the project north
+star (BASELINE.json).
+
+Blocking contract: each grid step covers rows ``[b*R, (b+1)*R)`` and DMAs
+the entry window ``[row_ptr[b*R], row_ptr[b*R] + E)`` from HBM, where the
+static ``E`` must be >= the max entries under any R consecutive rows
+(``entries_per_block``, computed by the wrapper host-side or passed in).
+The data buffer must be padded by at least ``E`` slots past ``nnz`` so the
+trailing window's DMA stays in bounds — ``pad_products`` handles it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.structure import SparseCSR
+
+Array = Any
+
+__all__ = ["segmented_row_sums", "spmv_csr_pallas"]
+
+
+def _segsum_kernel(row_ptr_ref, prod_hbm, y_ref, scratch, sem,
+                   *, rows_per_block: int, entries_per_block: int):
+    b = pl.program_id(0)
+    R, E = rows_per_block, entries_per_block
+    rp = row_ptr_ref[pl.ds(b * R, R + 1)]            # (R+1,) int32 in VMEM
+    start = rp[0]
+
+    dma = pltpu.make_async_copy(
+        prod_hbm.at[pl.ds(start, E)], scratch, sem)
+    dma.start()
+
+    # Row-boundary mask while the DMA is in flight: entry e (global id
+    # start+e) belongs to row r iff rp[r] <= start+e < rp[r+1].
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + start
+    lo = jax.lax.broadcast_in_dim(rp[:R], (R, E), (0,))
+    hi = jax.lax.broadcast_in_dim(
+        jax.lax.dynamic_slice_in_dim(rp, 1, R), (R, E), (0,))
+    mask = ((e_ids >= lo) & (e_ids < hi)).astype(jnp.float32)
+
+    dma.wait()
+    y_ref[...] = jax.lax.dot_general(
+        mask, scratch[...].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def pad_products(prod: Array, entries_per_block: int) -> Array:
+    """Zero-pad the product vector so every block window stays in bounds."""
+    return jnp.pad(prod, (0, entries_per_block))
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_block",
+                                             "entries_per_block", "nrows",
+                                             "interpret"))
+def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
+                       rows_per_block: int, entries_per_block: int,
+                       interpret: bool = False) -> Array:
+    """Per-row sums of ``prod`` (row-pointer order) via the Pallas kernel.
+
+    ``prod`` must already be padded (``pad_products``); ``row_ptr`` is the
+    int32 CSR pointer array of length >= nrows+1, padded so that
+    ``row_ptr[ceil(nrows/R)*R]`` is readable (pad with nnz).
+    """
+    R, E = rows_per_block, entries_per_block
+    nblocks = pl.cdiv(nrows, R)
+    rp_needed = nblocks * R + 1
+    if row_ptr.shape[0] < rp_needed:
+        row_ptr = jnp.concatenate([
+            row_ptr,
+            jnp.broadcast_to(row_ptr[-1], (rp_needed - row_ptr.shape[0],))])
+    row_ptr = row_ptr.astype(jnp.int32)
+
+    y = pl.pallas_call(
+        functools.partial(_segsum_kernel, rows_per_block=R,
+                          entries_per_block=E),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY
+                         if not interpret else pltpu.ANY),  # row_ptr: VMEM ok
+            pl.BlockSpec(memory_space=pltpu.ANY),           # prod stays HBM
+        ],
+        out_specs=pl.BlockSpec((R,), lambda b: (b,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * R,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((E,), prod.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(row_ptr, prod)
+    return y[:nrows]
+
+
+def max_entries_per_rowblock(row_ptr, rows_per_block: int) -> int:
+    """Host-side: max entry count under any aligned block of R rows."""
+    rp = np.asarray(row_ptr)
+    nrows = rp.shape[0] - 1
+    R = rows_per_block
+    nblocks = -(-nrows // R)
+    pad = nblocks * R + 1 - rp.shape[0]
+    if pad > 0:
+        rp = np.concatenate([rp, np.full(pad, rp[-1], rp.dtype)])
+    starts = rp[0:nblocks * R:R]
+    ends = rp[R:nblocks * R + 1:R]
+    return int((ends - starts).max(initial=0))
+
+
+def spmv_csr_pallas(csr: SparseCSR, x: Array, *, rows_per_block: int = 256,
+                    entries_per_block: int | None = None,
+                    interpret: bool = False) -> Array:
+    """CSR SpMV with XLA gather for ``x[cols]`` and the Pallas segmented-sum
+    kernel for the row reduction (replacing XLA's scatter-add)."""
+    if entries_per_block is None:
+        entries_per_block = max(
+            max_entries_per_rowblock(csr.row_ptr, rows_per_block), 8)
+        # round to a lane-friendly multiple
+        entries_per_block = -(-entries_per_block // 128) * 128
+    prod = csr.vals * jnp.take(x, csr.cols, mode="fill", fill_value=0)
+    prod = jnp.where(csr.valid_mask(), prod, 0).astype(jnp.float32)
+    prod = pad_products(prod, entries_per_block)
+    return segmented_row_sums(
+        prod, csr.row_ptr, nrows=csr.nrows, rows_per_block=rows_per_block,
+        entries_per_block=entries_per_block, interpret=interpret)

@@ -21,11 +21,13 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from ..core.coo import SparseCOO
 from ..core.errors import spsparse_error
 from ..core.structure import SparseCSR, SparseELL, to_csr
+from ..utils.trace import traced
 
 __all__ = ["spmv", "spmm"]
 
@@ -38,6 +40,39 @@ def _clean(x, filter_nan: bool):
     return x
 
 
+# Bound on the materialized (rows_block, K, N) gather intermediate. The
+# full-matrix form would materialize nrows*K*N elements — for config-3-scale
+# problems (5M x 50 x 128) that is tens of GB, far beyond HBM. Blocking rows
+# keeps the intermediate ~this many bytes while staying fully vectorized.
+_SPMM_BLOCK_BYTES = 128 * 1024 * 1024
+
+
+def _spmm_ell_blocked(A: "SparseELL", Xc, acc):
+    """Row-blocked ELL SpMM: lax.map over row chunks, bounded intermediates."""
+    nrows, K = A.cols.shape
+    N = Xc.shape[1]
+    item = jnp.dtype(acc).itemsize
+    block = max(8, _SPMM_BLOCK_BYTES // max(K * N * item, 1))
+    if block >= nrows:
+        xg = jnp.take(Xc, A.cols.reshape(-1), axis=0, mode="fill",
+                      fill_value=0).reshape(nrows, K, N)
+        return jnp.einsum("rk,rkn->rn", A.vals.astype(acc), xg.astype(acc))
+    nblk = -(-nrows // block)
+    pad = nblk * block - nrows
+    cols = jnp.pad(A.cols, ((0, pad), (0, 0)),
+                   constant_values=A.ncols).reshape(nblk, block, K)
+    vals = jnp.pad(A.vals, ((0, pad), (0, 0))).reshape(nblk, block, K)
+
+    def body(blk):
+        c, v = blk
+        g = jnp.take(Xc, c.reshape(-1), axis=0, mode="fill",
+                     fill_value=0).reshape(block, K, N)
+        return jnp.einsum("rk,rkn->rn", v.astype(acc), g.astype(acc))
+
+    y = jax.lax.map(body, (cols, vals))
+    return y.reshape(nblk * block, N)[:nrows]
+
+
 def _as_csr(A, transpose: bool) -> SparseCSR:
     if isinstance(A, SparseCSR):
         if not transpose:
@@ -48,6 +83,7 @@ def _as_csr(A, transpose: bool) -> SparseCSR:
     raise TypeError(f"unsupported sparse operand type {type(A)}")
 
 
+@traced("spsparse.spmv")
 def spmv(A, x, *, transpose: bool = False, filter_nan: bool = False) -> Array:
     """``y = A^(T?) @ x`` for dense ``x``; returns a dense vector.
 
@@ -77,6 +113,7 @@ def spmv(A, x, *, transpose: bool = False, filter_nan: bool = False) -> Array:
     return jnp.zeros((csr.nrows,), out_dtype).at[rows].add(prod, mode="drop")
 
 
+@traced("spsparse.spmm")
 def spmm(A, X, *, transpose: bool = False, filter_nan: bool = False,
          accum_dtype=None) -> Array:
     """``Y = A^(T?) @ X`` for a dense block ``X (K, N)``; returns ``(I, N)``.
@@ -95,10 +132,13 @@ def spmm(A, X, *, transpose: bool = False, filter_nan: bool = False,
                            A.ncols, X.shape[0])
         Xc = _clean(X, filter_nan)
         acc = accum_dtype or jnp.result_type(A.vals, Xc)
-        # (nrows, K) gather of X rows -> (nrows, K, N), weighted row-sum.
-        xg = jnp.take(Xc, A.cols.reshape(-1), axis=0, mode="fill",
-                      fill_value=0).reshape(*A.cols.shape, X.shape[1])
-        return jnp.sum(A.vals[..., None].astype(acc) * xg.astype(acc), axis=1)
+        return _spmm_ell_blocked(A, Xc, acc)
+
+    from ..core.bsr import SparseBSR
+    if isinstance(A, SparseBSR):
+        if transpose:
+            raise NotImplementedError("transpose SpMM on BSR: convert first")
+        return spmm_bsr(A, _clean(X, filter_nan), accum_dtype=accum_dtype)
 
     csr = _as_csr(A, transpose)
     if X.shape[0] != csr.ncols:
@@ -113,3 +153,31 @@ def spmm(A, X, *, transpose: bool = False, filter_nan: bool = False,
                      jnp.asarray(csr.nrows, jnp.int32))
     out = jnp.zeros((csr.nrows, X.shape[1]), acc)
     return out.at[rows].add(prod, mode="drop")
+
+
+def spmm_bsr(bsr, X, *, accum_dtype=None) -> Array:
+    """BSR x dense block: one MXU matmul per stored tile.
+
+    Gathers ``bw``-row slices of ``X`` per block (full-lane contiguous
+    chunks), runs a batched ``(bh, bw) @ (bw, N)`` matmul, and segment-adds
+    the results into block rows of ``Y``.
+    """
+    X = jnp.asarray(X)
+    bh, bw = bsr.block_shape
+    if X.shape[0] != bsr.shape[1]:
+        spsparse_error(-1, "Inner dimensions for A (%d) and X (%d) must match!",
+                       bsr.shape[1], X.shape[0])
+    acc = accum_dtype or jnp.result_type(bsr.blocks, X)
+    N = X.shape[1]
+    kpad = bsr.nbcols * bw - X.shape[0]
+    Xp = jnp.pad(X, ((0, kpad), (0, 0))).reshape(bsr.nbcols, bw, N)
+    live = bsr.valid_mask()
+    bc = jnp.where(live, bsr.bcols, bsr.nbcols)
+    gathered = jnp.take(Xp, bc, axis=0, mode="fill",
+                        fill_value=0)                     # (cap, bw, N)
+    tiles = jnp.einsum("chw,cwn->chn", bsr.blocks, gathered,
+                       preferred_element_type=acc)        # (cap, bh, N)
+    br = jnp.where(live, bsr.block_rows(), bsr.nbrows)
+    Y = jnp.zeros((bsr.nbrows, bh, N), acc).at[br].add(
+        jnp.where(live[:, None, None], tiles, 0), mode="drop")
+    return Y.reshape(bsr.nbrows * bh, N)[: bsr.shape[0]]

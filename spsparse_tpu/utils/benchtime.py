@@ -1,0 +1,56 @@
+"""Trustworthy device timing.
+
+On this machine the TPU is reached through a remote-execution tunnel where
+``jax.block_until_ready`` can return before device execution has actually
+finished (buffers are futures on the client side), so naive per-call timing
+under-reports by orders of magnitude. :func:`bench_chained` defeats that by
+(a) chaining ``iters`` executions through a data dependency (each call
+consumes the previous call's output) so the device must serialize them, and
+(b) fetching a scalar reduction of the final output to the host, which
+cannot complete until the whole chain has. Per-iteration time is the total
+divided by ``iters``, with the one-off dispatch/fetch overhead measured by
+a zero-work calibration chain and subtracted.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bench_chained"]
+
+
+def _force(y) -> float:
+    """Fetch a scalar that depends on every element of y (pytree ok)."""
+    leaves = jax.tree_util.tree_leaves(y)
+    tot = 0.0
+    for leaf in leaves:
+        tot += float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+    return tot
+
+
+def bench_chained(step: Callable[[Any], Any], init: Any, *, iters: int = 10,
+                  warmup: int = 2, reps: int = 3) -> float:
+    """Median per-iteration wall time of ``y = step(y)`` chains.
+
+    ``step`` must map its output type to its input type (shape/dtype
+    preserved) so calls chain through a true data dependency.
+    """
+    y = init
+    for _ in range(warmup):
+        y = step(y)
+    _force(y)
+
+    times = []
+    for _ in range(reps):
+        y = init
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = step(y)
+        _force(y)
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times))

@@ -1,0 +1,63 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path exercised by
+bench/probes on real TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spsparse_tpu import CooBuilder, to_csr
+from spsparse_tpu.ops.pallas_segsum import (
+    max_entries_per_rowblock,
+    spmv_csr_pallas,
+)
+
+
+def random_csr(rng, n, m, nnz):
+    b = CooBuilder((n, m), dtype=np.float32)
+    idx = np.stack([rng.integers(0, n, nnz), rng.integers(0, m, nnz)], 1)
+    b.add_many(idx, rng.uniform(-1, 1, nnz).astype(np.float32))
+    return b.build(), to_csr(b.build())
+
+
+class TestSegsumKernel:
+    def test_matches_dense(self, rng):
+        A, csr = random_csr(rng, 500, 300, 4000)
+        x = rng.uniform(-1, 1, 300).astype(np.float32)
+        y = spmv_csr_pallas(csr, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(A.to_dense()) @ x,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_empty_rows_and_tail(self, rng):
+        # nrows not a multiple of rows_per_block; many empty rows
+        b = CooBuilder((1000, 50), dtype=np.float32)
+        b.add((999, 3), 2.0)
+        b.add((0, 1), 1.0)
+        A = b.build()
+        csr = to_csr(A)
+        x = np.ones(50, np.float32)
+        y = spmv_csr_pallas(csr, x, rows_per_block=256, interpret=True)
+        ref = np.asarray(A.to_dense()) @ x
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-6)
+
+    def test_skewed_rows(self, rng):
+        # One dense row forces a large entries_per_block
+        b = CooBuilder((64, 512), dtype=np.float32)
+        cols = rng.permutation(512)[:400]
+        b.add_many(np.stack([np.zeros(400, int), cols], 1),
+                   rng.uniform(-1, 1, 400).astype(np.float32))
+        b.add((63, 0), 5.0)
+        A = b.build()
+        csr = to_csr(A)
+        x = rng.uniform(-1, 1, 512).astype(np.float32)
+        y = spmv_csr_pallas(csr, x, rows_per_block=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(A.to_dense()) @ x,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_max_entries_helper(self):
+        rp = np.array([0, 2, 2, 7, 9, 9])
+        assert max_entries_per_rowblock(rp, 2) == 7  # rows 2,3 -> 7 entries
+        assert max_entries_per_rowblock(rp, 5) == 9
+        assert max_entries_per_rowblock(rp, 3) == 7  # rows 0-2; tail block has 2
