@@ -137,3 +137,48 @@ class TestDistSpgemm:
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
             np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+
+
+class TestDistSpgemmA2A:
+    def test_matches_dense(self, rng):
+        from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
+        n = 32
+        A = banded_coo(n, 2, rng)
+        B = banded_coo(n, 1, rng)
+        mesh = make_mesh()
+        ap = partition_rows(A, 8)
+        bp = partition_rows(B, 8)
+        C, overflow = dist_spgemm_a2a(ap, bp, mesh, req_cap=16, reply_cap=64,
+                                      expand_cap=512, out_cap=256)
+        assert int(np.asarray(overflow).sum()) == 0
+        np.testing.assert_allclose(
+            np.asarray(C.to_coo().to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+
+    def test_rectangular_and_agreement_with_allgather(self, rng):
+        from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
+        A = banded_coo(24, 2, rng, shape_cols=16)
+        B = banded_coo(16, 1, rng, shape_cols=40)
+        mesh = make_mesh()
+        ap = partition_rows(A, 8)
+        bp = partition_rows(B, 8)
+        C1, overflow = dist_spgemm_a2a(ap, bp, mesh, req_cap=16, reply_cap=64,
+                                       expand_cap=512, out_cap=256)
+        assert int(np.asarray(overflow).sum()) == 0
+        C2 = dist_spgemm(ap, bp, mesh, expand_cap=512, out_cap=256)
+        np.testing.assert_allclose(np.asarray(C1.to_coo().to_dense()),
+                                   np.asarray(C2.to_coo().to_dense()),
+                                   rtol=1e-12)
+
+    def test_overflow_reported(self, rng):
+        from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
+        n = 32
+        A = banded_coo(n, 3, rng)
+        B = banded_coo(n, 3, rng)
+        mesh = make_mesh()
+        ap = partition_rows(A, 8)
+        bp = partition_rows(B, 8)
+        # req_cap=1 cannot hold the distinct k's per owner -> must report
+        _, overflow = dist_spgemm_a2a(ap, bp, mesh, req_cap=1, reply_cap=4,
+                                      expand_cap=512, out_cap=256)
+        assert int(np.asarray(overflow).sum()) > 0

@@ -120,3 +120,46 @@ class TestSpSparseSchema:
         save_netcdf(path, {"A": A, "V": V})
         assert load_netcdf(path, "A").to_lists() == A.to_lists()
         assert load_netcdf(path, "V").to_lists() == V.to_lists()
+
+
+class TestShardedCheckpoints:
+    def _banded(self, n, band, rng):
+        b = CooBuilder((n, n), dtype=np.float64)
+        rows, cols, vals = [], [], []
+        for off in range(-band, band + 1):
+            r = np.arange(max(0, -off), min(n, n - off))
+            rows.append(r)
+            cols.append(r + off)
+            vals.append(rng.uniform(-1, 1, r.shape[0]))
+        b.add_many(np.stack([np.concatenate(rows), np.concatenate(cols)], 1),
+                   np.concatenate(vals))
+        return b.build()
+
+    def test_round_trip(self, tmp_path, rng):
+        from spsparse_tpu.dist import partition_rows
+        from spsparse_tpu.io.sharded import (load_netcdf_sharded,
+                                             save_netcdf_sharded)
+        A = self._banded(37, 2, rng)
+        part = partition_rows(A, 4)
+        prefix = str(tmp_path / "ckpt")
+        save_netcdf_sharded(prefix, part, "A")
+        back = load_netcdf_sharded(prefix)
+        np.testing.assert_allclose(back.to_dense(), part.to_dense(),
+                                   rtol=1e-12)
+        # each shard is independently readable with the plain loader
+        blk = load_netcdf(prefix + ".part00001.nc", "A", rank=2)
+        assert blk.shape == (10, 37)
+
+    def test_partial_host_write(self, tmp_path, rng):
+        from spsparse_tpu.dist import partition_rows
+        from spsparse_tpu.io.sharded import (load_netcdf_sharded,
+                                             save_netcdf_sharded)
+        A = self._banded(16, 1, rng)
+        part = partition_rows(A, 4)
+        prefix = str(tmp_path / "ck2")
+        # two "hosts" each write their partitions
+        save_netcdf_sharded(prefix, part, "A", parts=[0, 1])
+        save_netcdf_sharded(prefix, part, "A", parts=[2, 3])
+        back = load_netcdf_sharded(prefix)
+        np.testing.assert_allclose(back.to_dense(), part.to_dense(),
+                                   rtol=1e-12)
