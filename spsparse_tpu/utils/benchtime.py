@@ -21,7 +21,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bench_chained"]
+__all__ = ["bench_chained", "bench_fori"]
+
+
+def bench_fori(step: Callable[[Any], Any], init: Any, *, iters: int = 20,
+               reps: int = 3) -> float:
+    """Per-iteration time with the whole chain inside ONE jitted program.
+
+    ``lax.fori_loop`` chains ``iters`` applications of ``step`` on device,
+    so per-dispatch overhead (significant through a remote-execution
+    tunnel) is paid once per measurement instead of once per iteration.
+    ``step`` must be shape/dtype-preserving. The loop prevents any
+    cross-iteration fusion less aggressively than real workloads would,
+    but XLA cannot elide iterations because of the loop-carried dependency.
+    """
+    import jax.lax as lax
+
+    @jax.jit
+    def chain(y0):
+        return lax.fori_loop(0, iters, lambda _, y: step(y), y0)
+
+    y = chain(init)       # compile + warm
+    _force(y)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = chain(init)
+        _force(y)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / iters
 
 
 def _force(y) -> float:
