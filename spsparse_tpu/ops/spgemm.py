@@ -1,0 +1,64 @@
+"""SpGEMM conveniences: plain products, Gram products, capacity planning.
+
+The full-generality engine is :func:`spsparse_tpu.ops.multiply.multiply`
+(the diag-scaled chain); this module adds the common entry points and the
+*capacity planning* helpers that make the ESC pipeline usable under ``jit``
+(where the expansion/output sizes must be static).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..core.coo import SparseCOO, round_up_pow2
+from ..core.errors import DuplicatePolicy
+from ..core.structure import to_csr
+from .multiply import multiply
+
+__all__ = ["spgemm", "spgemm_aat", "plan_spgemm_caps"]
+
+Array = Any
+
+
+def spgemm(A: SparseCOO, B: SparseCOO, *, transpose_a: bool = False,
+           transpose_b: bool = False, cap: int | None = None,
+           expand_cap: int | None = None,
+           duplicate_policy: DuplicatePolicy = DuplicatePolicy.ADD,
+           zero_nan: bool = False) -> SparseCOO:
+    """``C = A^(T?) @ B^(T?)`` — the chain multiply without scales."""
+    return multiply(1.0, A, B, transpose_a=transpose_a,
+                    transpose_b=transpose_b, cap=cap, expand_cap=expand_cap,
+                    duplicate_policy=duplicate_policy, zero_nan=zero_nan)
+
+
+def spgemm_aat(A: SparseCOO, *, cap: int | None = None,
+               expand_cap: int | None = None) -> SparseCOO:
+    """Gram product ``A @ A^T`` (the regridding/conservative-interpolation
+    pattern — BASELINE config 4)."""
+    return spgemm(A, A, transpose_b=True, cap=cap, expand_cap=expand_cap)
+
+
+def plan_spgemm_caps(A: SparseCOO, B: SparseCOO, *,
+                     transpose_a: bool = False, transpose_b: bool = False,
+                     safety: float = 1.0) -> tuple[int, int]:
+    """Host-side (eager) exact capacity plan for a jitted SpGEMM.
+
+    Returns ``(expand_cap, out_cap)`` where ``expand_cap`` is the exact
+    number of elementary products (sum over A entries of the matching B row
+    length — the Gustavson flop count) and ``out_cap`` bounds the output
+    nnz by ``min(expand_cap, rows*cols)``. Both are scaled by ``safety``
+    and rounded to powers of two, so one plan can be reused for a family of
+    structurally-similar operands under a single compiled program.
+    """
+    Aw = A.transposed((1, 0)) if transpose_a else A
+    Bw = B.transposed((1, 0)) if transpose_b else B
+    acon = Aw.consolidate((0, 1))
+    bcsr = to_csr(Bw.consolidate((0, 1)))
+    k = np.asarray(acon.indices[:, 1])[: int(acon.nnz)]
+    row_len = np.asarray(bcsr.row_ptr[1:] - bcsr.row_ptr[:-1])
+    expand = int(row_len[np.minimum(k, bcsr.nrows - 1)].sum())
+    expand = max(int(expand * safety), 1)
+    out = min(expand, Aw.shape[0] * Bw.shape[1])
+    return round_up_pow2(expand), round_up_pow2(max(out, 1))

@@ -285,3 +285,36 @@ class TestJitted:
             np.asarray(C.to_dense()),
             np.asarray(A.to_dense()) @ np.asarray(V.to_dense()),
             rtol=1e-12)
+
+
+class TestSpgemmHelpers:
+    def test_spgemm_and_aat(self):
+        rng = np.random.default_rng(21)
+        A = random_coo(rng, (10, 8), 30)
+        C = multiply(1.0, A, A, transpose_b=True)
+        from spsparse_tpu.ops.spgemm import spgemm_aat, spgemm
+        C2 = spgemm_aat(A)
+        np.testing.assert_allclose(np.asarray(C2.to_dense()),
+                                   np.asarray(C.to_dense()), rtol=1e-12)
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(C2.to_dense()), Ad @ Ad.T,
+                                   rtol=1e-12)
+        C3 = spgemm(A, A, transpose_a=True)
+        np.testing.assert_allclose(np.asarray(C3.to_dense()), Ad.T @ Ad,
+                                   rtol=1e-12)
+
+    def test_plan_caps_under_jit(self):
+        rng = np.random.default_rng(22)
+        A = random_coo(rng, (12, 12), 40)
+        B = random_coo(rng, (12, 12), 40)
+        from spsparse_tpu.ops.spgemm import plan_spgemm_caps, spgemm
+        expand_cap, out_cap = plan_spgemm_caps(A, B)
+
+        @jax.jit
+        def f(a, b):
+            return spgemm(a, b, expand_cap=expand_cap, cap=out_cap)
+
+        C = f(A, B)
+        np.testing.assert_allclose(
+            np.asarray(C.to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
