@@ -2,12 +2,16 @@
 
 Headline: SpMV throughput (nnz/s) on the BASELINE.md config-2 matrix — a
 synthetic banded matrix, ~10 nnz/row, 1M rows on TPU (scaled down on CPU) —
-against the speed-of-light HBM roofline. ``vs_baseline`` is achieved
-throughput relative to the BASELINE.json target of 70% of roofline
-(>= 1.0 means the target is met).
+via the Pallas DIA kernel (gather-free banded SpMV), timed with the
+in-graph chained harness (``spsparse_tpu.utils.benchtime.bench_fori``; see
+CLAUDE.md for why naive timing is invalid on this machine's remote TPU
+tunnel). ``vs_baseline`` is achieved throughput relative to the
+BASELINE.json target of 70% of the HBM speed-of-light roofline (>= 1.0
+means the target is met). The roofline model charges ``4*nnz`` bytes for
+the diagonal data plus ``8*nrows`` for x and y.
 
-Run: ``python bench.py``  (add ``--all`` for the full per-config table on
-stderr; the last stdout line is always the single headline JSON).
+Run: ``python bench.py``  (``--all`` adds per-config detail on stderr;
+the last stdout line is always the single headline JSON).
 """
 
 from __future__ import annotations
@@ -15,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -23,58 +26,38 @@ import jax
 import jax.numpy as jnp
 
 
-# Speed-of-light HBM bandwidth per chip, bytes/s.
-HBM_BW = {
-    "TPU v4": 1.2e12,
-    "TPU v5 lite": 8.19e11,
-    "TPU v5": 8.19e11,
-    "TPU v5p": 2.77e12,
-    "TPU v6 lite": 1.64e12,
-    "TPU v6e": 1.64e12,
-    "cpu": 5.0e10,
-}
+def build_banded_dia(n: int, band: int, dtype=np.float32):
+    from spsparse_tpu.core.dia import SparseDIA
 
-
-def device_bandwidth() -> tuple[str, float]:
-    d = jax.devices()[0]
-    kind = getattr(d, "device_kind", "cpu")
-    for k, bw in HBM_BW.items():
-        if kind.startswith(k):
-            return kind, bw
-    return kind, HBM_BW["cpu"]
-
-
-def build_banded_ell(n: int, band: int, dtype=np.float32):
-    """Direct ELL construction of a banded matrix (rows x (2*band+1))."""
-    from spsparse_tpu.core.structure import SparseELL
-
-    k = 2 * band + 1
     rng = np.random.default_rng(0)
     offs = np.arange(-band, band + 1)
     cols = np.arange(n)[:, None] + offs[None, :]
     valid = (cols >= 0) & (cols < n)
-    vals = rng.uniform(-1, 1, (n, k)).astype(dtype)
-    cols = np.where(valid, cols, n).astype(np.int32)
-    vals = np.where(valid, vals, 0)
-    return SparseELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-                     shape=(n, n)), int(valid.sum())
+    vals = np.where(valid, rng.uniform(-1, 1, (n, 2 * band + 1)), 0).astype(dtype)
+    dia = SparseDIA(data=jnp.asarray(vals.T.copy()),
+                    offsets=tuple(int(o) for o in offs), shape=(n, n))
+    return dia, int(valid.sum())
 
 
-def bench_spmv(n: int, band: int) -> dict:
-    from spsparse_tpu.ops.spmv_kernels import best_spmv
-    from spsparse_tpu.utils.benchtime import bench_chained
+def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
+    from spsparse_tpu.ops.spmv_kernels import spmv_dia
+    from spsparse_tpu.ops.pallas_dia import spmv_dia_pallas
+    from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
-    ell, nnz = build_banded_ell(n, band)
+    dia, nnz = build_banded_dia(n, band)
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, n)
                     .astype(np.float32))
-    fn = jax.jit(best_spmv)
-    # y has the same shape as x, so iterations chain through a real data
-    # dependency (see utils.benchtime for why that is required here).
-    t = bench_chained(lambda v: fn(ell, v), x, iters=20)
-    kind, bw = device_bandwidth()
-    # Bytes model: cols(4)+vals(4) streamed once per nnz; x (4B/row) loaded
-    # once (it fits in VMEM and XLA keeps it resident); y written once.
-    bytes_moved = nnz * 8 + ell.nrows * 8
+    if use_pallas:
+        step = lambda v: spmv_dia_pallas(dia, v)
+        impl = "pallas_dia"
+    else:
+        step = lambda v: spmv_dia(dia, v)
+        impl = "xla_dia"
+    t = bench_fori(step, x, iters=20, reps=3)
+
+    kind, bw = device_hbm_bandwidth()
+    bytes_moved = nnz * 4 + n * 8
     sol_nnz_s = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {
@@ -83,26 +66,79 @@ def bench_spmv(n: int, band: int) -> dict:
         "unit": "nnz/s",
         "vs_baseline": achieved / (0.7 * sol_nnz_s),
         "detail": {
-            "n": n, "nnz": nnz, "time_s": t, "device": kind,
+            "impl": impl, "n": n, "nnz": nnz, "time_s": t, "device": kind,
             "bytes_moved": bytes_moved,
             "pct_of_roofline": 100.0 * achieved / sol_nnz_s,
+            "effective_gb_s": bytes_moved / t / 1e9,
         },
     }
 
 
+def extra_configs(on_cpu: bool) -> list[dict]:
+    """Smaller side benchmarks for --all (configs 1/3/4 scaled)."""
+    import time
+
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.core.structure import SparseELL
+    from spsparse_tpu.ops.spmm import spmm
+    from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
+    from spsparse_tpu.ops.multiply import multiply
+    from spsparse_tpu.utils.benchtime import bench_fori
+
+    rng = np.random.default_rng(0)
+    out = []
+
+    # Config 3 (scaled): ELL (rows x 50) x dense 128 block.
+    m = 1 << 13 if on_cpu else 1 << 17
+    K, N = 50, 128
+    ell = SparseELL(
+        cols=jnp.asarray(rng.integers(0, m, (m, K)).astype(np.int32)),
+        vals=jnp.asarray(rng.uniform(-1, 1, (m, K)).astype(np.float32)),
+        shape=(m, m))
+    X = jnp.asarray(rng.uniform(-1, 1, (m, N)).astype(np.float32))
+    t = bench_fori(lambda Y: spmm(ell, Y), X, iters=3, reps=2)
+    out.append({"config": "spmm_ell_50nnz_128block", "rows": m,
+                "nnz": m * K, "time_s": t, "nnz_per_s": m * K / t})
+
+    # Config 4 (scaled): SpGEMM A A^T on a regridding-style matrix.
+    n_dst = 1 << 12 if on_cpu else 1 << 15
+    per = 4
+    r = np.repeat(np.arange(n_dst), per)
+    c = np.minimum(r * 2 + rng.integers(0, 3, r.size), n_dst * 2 - 1)
+    b = CooBuilder((n_dst, n_dst * 2), dtype=np.float32)
+    b.add_many(np.stack([r, c], 1), rng.uniform(0, 1, r.size))
+    A = b.build()
+    expand_cap, out_cap = plan_spgemm_caps(A, A, transpose_b=True)
+    import functools
+    f = jax.jit(functools.partial(spgemm_aat, cap=out_cap,
+                                  expand_cap=expand_cap))
+    jax.block_until_ready(f(A).vals)
+    t0 = time.perf_counter()
+    res = f(A)
+    total = float(jnp.sum(res.vals))  # force
+    t = time.perf_counter() - t0
+    out.append({"config": "spgemm_aat_regrid", "nnz_a": r.size,
+                "products": expand_cap, "time_s": t,
+                "products_per_s": expand_cap / t, "checksum": total})
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--all", action="store_true",
-                    help="print extra per-config results to stderr")
+    ap.add_argument("--all", action="store_true")
     ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
     on_cpu = jax.devices()[0].platform == "cpu"
     n = args.n or (1 << 16 if on_cpu else 1 << 20)
-    res = bench_spmv(n, band=5)
+    use_pallas = not args.no_pallas and not on_cpu
+    res = bench_spmv(n, band=5, use_pallas=use_pallas)
 
     if args.all:
-        print(json.dumps(res, indent=2), file=sys.stderr)
+        print(json.dumps(res, indent=1), file=sys.stderr)
+        for cfg in extra_configs(on_cpu):
+            print(json.dumps(cfg, indent=1), file=sys.stderr)
 
     headline = {
         "metric": res["metric"],
