@@ -9,6 +9,9 @@ kernel views, Pallas kernels for the hot paths, and multi-chip row-partitioned
 execution over ``jax.sharding.Mesh``.
 """
 
+from .core.dia import SparseDIA, to_dia
+from .core.bsr import SparseBSR, to_bsr
+from .core.tiled import SparseTiledCOO, to_tiled
 from .core import (
     DuplicatePolicy,
     SpSparseError,

@@ -1,5 +1,15 @@
-"""Sparse operator layer: multiply chains, SpMV/SpMM, SpGEMM."""
+"""Sparse operator layer: multiply chains, SpMV/SpMM, SpGEMM, kernels."""
 
 from .multiply import multiply, multiply_mv, multiply_chain, expansion_size
+from .spgemm import spgemm, spgemm_aat, plan_spgemm_caps
+from .spmm import spmv, spmm, spmm_bsr
+from .spmv_kernels import spmv_dia, spmv_ell, best_spmv
+from .tiled_ops import spmv_tiled, spmm_tiled
 
-__all__ = ["multiply", "multiply_mv", "multiply_chain", "expansion_size"]
+__all__ = [
+    "multiply", "multiply_mv", "multiply_chain", "expansion_size",
+    "spgemm", "spgemm_aat", "plan_spgemm_caps",
+    "spmv", "spmm", "spmm_bsr",
+    "spmv_dia", "spmv_ell", "best_spmv",
+    "spmv_tiled", "spmm_tiled",
+]

@@ -2,22 +2,28 @@
 
 The XLA lowering of :func:`spsparse_tpu.ops.spmv_kernels.spmv_dia` performs
 one slice-multiply-add per diagonal, each materializing a fresh copy of the
-accumulator — ~3x the minimal HBM traffic. This kernel streams the diagonal
-data exactly once, keeps the (padded) x vector VMEM-resident, and writes y
-once: traffic = ``nnz*4 + n*8`` bytes, the speed-of-light model for banded
-SpMV.
+accumulator — ~3x the minimal HBM traffic. Worse, on this runtime each
+Pallas *grid step* carries ~13 us of fixed overhead (measured: kernel time
+was independent of the data volume in a grid-per-block design), so this
+kernel uses a single grid step with an explicit double-buffered DMA
+pipeline over row blocks: the next block's diagonal data streams from HBM
+while the current block computes, x stays VMEM-resident, and y is written
+straight into the VMEM output. Traffic = ``nnz*4 + n*8`` bytes — the
+speed-of-light model for banded SpMV.
 
 Layout contract: ``data (K, n)`` row-oriented DIA (``data[k, i] =
 A[i, i+off_k]``, zero where out of range); ``x_pad (1, n + 2*pad)`` with
-``pad = max(|offsets|)`` zeros on both sides so every shifted window read
-is in bounds. Offsets are *static* (part of the format), so the per-
-diagonal loop unrolls at trace time into pure VPU shifted-FMA.
+``pad`` a multiple of 128 ≥ max |offset| so every aligned superset-window
+load is in bounds. Offsets are *static* (part of the format), so the
+per-diagonal loop unrolls into shifted FMAs, with the sub-lane shifts done
+in-register via ``pltpu.roll``.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -28,74 +34,121 @@ from ..core.dia import SparseDIA
 
 Array = Any
 
-__all__ = ["spmv_dia_pallas"]
+__all__ = ["spmv_dia_pallas", "prepare_dia", "PreparedDIA"]
 
 
-def _dia_kernel(x_ref, data_ref, y_ref, *, offsets: tuple, pad: int,
-                block: int, interpret: bool):
-    # Mosaic only vectorizes lane-aligned loads, so we load one aligned
-    # superset window w = x_pad[r0 : r0 + block + 2*pad] (pad is a multiple
-    # of 128) and realize each diagonal's small static shift in-register
-    # with a roll — no unaligned memory access anywhere.
-    b = pl.program_id(0)
-    r0 = pl.multiple_of(b * block, 128)
-    w = x_ref[0:1, pl.ds(r0, block + 2 * pad)]
-    roll = jnp.roll if interpret else pltpu.roll
+def _dia_stream_kernel(x_ref, data_hbm, y_ref, scratch, sems, *,
+                       offsets: tuple, pad: int, block: int, nblocks: int,
+                       interpret: bool):
+    # data_hbm is pre-blocked (nblocks, K, block): the DMA slices the
+    # leading (major) dimension — dynamic minor-dim slicing of tiled HBM
+    # memrefs is not supported by Mosaic.
+    K = len(offsets)
     L = block + 2 * pad
-    acc = jnp.zeros((1, block), jnp.float32)
-    for k, off in enumerate(offsets):
-        s = off + pad  # static, in [0, 2*pad]
-        # want shifted[i] = w[i + s]; roll-left by s == roll-right by L - s
-        # (pltpu.roll only accepts non-negative shifts)
-        shifted = roll(w, (L - s) % L, axis=1)[:, :block]
-        acc = acc + data_ref[k, :][None, :].astype(jnp.float32) * \
-            shifted.astype(jnp.float32)
-    y_ref[...] = acc
+    roll = jnp.roll if interpret else pltpu.roll
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            data_hbm.at[i], scratch.at[slot], sems.at[slot])
+
+    get_dma(0, 0).start()
+
+    def body(i, _):
+        cur = i % 2
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(cur, i).wait()
+        r0 = pl.multiple_of(i * block, 128)
+        w = x_ref[0:1, pl.ds(r0, L)]
+        acc = jnp.zeros((1, block), jnp.float32)
+        for k, off in enumerate(offsets):
+            s = off + pad  # static, in [0, 2*pad]
+            shifted = roll(w, (L - s) % L, axis=1)[:, :block]
+            acc = acc + scratch[cur, k, :][None, :] * shifted
+        y_ref[0:1, pl.ds(r0, block)] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "n", "block", "interpret"))
-def _spmv_dia_pallas(data, x_pad, *, offsets: tuple, n: int, block: int,
+def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                      interpret: bool = False) -> Array:
-    pad = (x_pad.shape[1] - data.shape[1]) // 2
-    nblocks = pl.cdiv(n, block)
+    nblocks, K, _ = data3.shape
+    pad = (x_pad.shape[1] - nblocks * block) // 2
     y = pl.pallas_call(
-        functools.partial(_dia_kernel, offsets=offsets, pad=pad,
-                          block=block, interpret=interpret),
-        grid=(nblocks,),
+        functools.partial(_dia_stream_kernel, offsets=offsets, pad=pad,
+                          block=block, nblocks=nblocks, interpret=interpret),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((len(offsets), block), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # data stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, block), lambda b: (0, b),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, nblocks * block), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(x_pad, data)
+    )(x_pad, data3)
     return y[0, :n]
 
 
-def spmv_dia_pallas(dia: SparseDIA, x: Array, *, block: int = 8192,
-                    interpret: bool = False) -> Array:
-    """``y = A @ x`` for diagonal storage via the streaming Pallas kernel.
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedDIA:
+    """Kernel-ready DIA operand: diagonal data re-blocked to
+    ``(nblocks, K, block)`` so each row-block is one leading-dim DMA.
+    Build once (``prepare_dia``), reuse across many SpMV calls."""
 
-    Requires ``n == ncols`` padding handled here: x is zero-padded by the
-    max |offset| on both sides, and ``data`` is zero-padded along rows to a
-    multiple of ``block``.
-    """
-    n, m = dia.shape
-    offsets = tuple(int(o) for o in dia.offsets)
-    maxoff = max((abs(o) for o in offsets), default=0)
-    # pad must be a multiple of 128 so the aligned superset-window load
-    # starts at a lane boundary (see _dia_kernel).
-    pad = -(-max(maxoff, 1) // 128) * 128
+    data3: Array = dataclasses.field(metadata=dict(static=False))
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+
+def prepare_dia(dia: SparseDIA, *, block: int = 8192) -> PreparedDIA:
+    n, _ = dia.shape
     nblocks = -(-n // block)
     npad = nblocks * block
     data = dia.data.astype(jnp.float32)
     if npad != n:
         data = jnp.pad(data, ((0, 0), (0, npad - n)))
+    # Mosaic DMAs require the sublane (second-to-minor) extent to be a
+    # multiple of 8: pad the diagonal count with zero rows.
+    K = data.shape[0]
+    K_pad = -(-K // 8) * 8
+    if K_pad != K:
+        data = jnp.pad(data, ((0, K_pad - K), (0, 0)))
+    data3 = jnp.swapaxes(data.reshape(K_pad, nblocks, block), 0, 1)
+    return PreparedDIA(data3=data3,
+                       offsets=tuple(int(o) for o in dia.offsets),
+                       shape=dia.shape, block=block)
+
+
+def spmv_dia_pallas(dia, x: Array, *, block: int = 8192,
+                    interpret: bool = False) -> Array:
+    """``y = A @ x`` for diagonal storage via the streaming Pallas kernel.
+
+    Accepts a :class:`SparseDIA` (re-blocked on the fly — fine for one-off
+    calls) or a :class:`PreparedDIA` (preferred inside iteration loops so
+    the re-blocking transpose is paid once).
+    """
+    if isinstance(dia, SparseDIA):
+        dia = prepare_dia(dia, block=block)
+    n, m = dia.shape
+    offsets = dia.offsets
+    block = dia.block
+    maxoff = max((abs(o) for o in offsets), default=0)
+    pad = -(-max(maxoff, 1) // 128) * 128
+    npad = dia.data3.shape[0] * block
     x_pad = jnp.zeros((1, npad + 2 * pad), jnp.float32)
     x_pad = x_pad.at[0, pad:pad + m].set(x.astype(jnp.float32))
-    return _spmv_dia_pallas(data, x_pad, offsets=offsets, n=n, block=block,
-                            interpret=interpret)
+    return _spmv_dia_pallas(dia.data3, x_pad, offsets=offsets, n=n,
+                            block=block, interpret=interpret)
