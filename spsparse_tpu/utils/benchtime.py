@@ -21,7 +21,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bench_chained", "bench_fori"]
+__all__ = ["bench_chained", "bench_fori", "bench_slope"]
+
+
+def bench_slope(step: Callable[[Any], Any], init: Any, *, u_lo: int = 2,
+                u_hi: int = 8, iters: int = 10, reps: int = 3) -> float:
+    """Per-op time via the unroll-slope method — immune to fixed overhead.
+
+    This runtime charges a large fixed cost per loop iteration (~0.7 ms
+    measured) that swamps sub-millisecond kernels. Chaining ``u`` copies of
+    ``step`` inside each loop body gives total time ``iters * (fixed +
+    u * t_op)``; the difference between two unroll factors cancels the
+    fixed term: ``t_op = (T(u_hi) - T(u_lo)) / (iters * (u_hi - u_lo))``.
+    """
+    import jax.lax as lax
+
+    def chain(u):
+        def body(_, y):
+            for _ in range(u):
+                y = step(y)
+            return y
+
+        @jax.jit
+        def run(y0):
+            return lax.fori_loop(0, iters, body, y0)
+        return run
+
+    run_lo, run_hi = chain(u_lo), chain(u_hi)
+    _force(run_lo(init))
+    _force(run_hi(init))
+
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(run_lo(init))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(run_hi(init))
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (iters * (u_hi - u_lo)))
+    return max(float(np.median(slopes)), 1e-9)
 
 
 def bench_fori(step: Callable[[Any], Any], init: Any, *, iters: int = 20,
