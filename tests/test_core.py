@@ -268,3 +268,62 @@ class TestViews:
         assert ell.max_row_nnz == 2
         np.testing.assert_allclose(np.asarray(ell.to_dense()),
                                    np.asarray(arr.to_dense()))
+
+
+class TestRankN:
+    def test_rank3_consolidate(self):
+        b = CooBuilder((3, 4, 5), dtype=np.float64)
+        b.add((2, 1, 0), 1.0)
+        b.add((0, 3, 4), 2.0)
+        b.add((2, 1, 0), 3.0)
+        b.add((1, 0, 0), 4.0)
+        arr = b.build()
+        c = consolidate(arr, (0, 1, 2))
+        idx, vals = c.to_lists()
+        assert idx == [(0, 3, 4), (1, 0, 0), (2, 1, 0)]
+        np.testing.assert_allclose(vals, [2.0, 4.0, 4.0])
+        # alternate sort order
+        c2 = consolidate(arr, (2, 1, 0))
+        assert c2.sort_order == (2, 1, 0)
+        idx2, _ = c2.to_lists()
+        assert idx2 == [(1, 0, 0), (2, 1, 0), (0, 3, 4)]
+
+    def test_rank3_transpose_and_dense(self):
+        b = CooBuilder((2, 3, 4), dtype=np.float64)
+        b.add((1, 2, 3), 5.0)
+        b.add((0, 1, 2), 7.0)
+        arr = b.build()
+        t = arr.transposed((2, 0, 1))
+        assert t.shape == (4, 2, 3)
+        np.testing.assert_allclose(np.asarray(t.to_dense()),
+                                   np.transpose(np.asarray(arr.to_dense()),
+                                                (2, 0, 1)))
+
+    def test_rank3_dim_beginnings(self):
+        b = CooBuilder((3, 2, 2), dtype=np.float64)
+        b.add((0, 1, 1), 1.0)
+        b.add((2, 0, 0), 2.0)
+        b.add((2, 1, 0), 3.0)
+        c = consolidate(b.build(), (0, 1, 2))
+        db = dim_beginnings(c)
+        assert db.rows_to_list() == [0, 2]
+        assert db.to_list() == [0, 1, 3]
+
+
+class TestCheckify:
+    def test_validate_coo_under_jit(self):
+        import jax
+        from jax.experimental import checkify
+        from spsparse_tpu.core.validate import validate_coo
+
+        good = build((4, 4), [((1, 2), 3.0)])
+        f = jax.jit(checkify.checkify(validate_coo))
+        err, _ = f(good)
+        err.throw()  # no error
+
+        import dataclasses
+        bad = dataclasses.replace(
+            good, indices=good.indices.at[0, 1].set(9))
+        err, _ = f(bad)
+        with pytest.raises(Exception):
+            err.throw()
