@@ -32,9 +32,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.coo import SparseCOO
 from ..ops.multiply import expand_products_raw, sort_and_merge_products
-from .partition import RowPartitionedCSR
+from .partition import RowPartitionedCSR, RowPartitionedBucketed
 
-__all__ = ["dist_spmv", "dist_spmm", "dist_spgemm", "RowPartitionedCOO"]
+__all__ = ["dist_spmv", "dist_spmv_bucketed", "dist_spmm", "dist_spgemm",
+           "RowPartitionedCOO"]
 
 Array = Any
 
@@ -143,6 +144,52 @@ def dist_spmv(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x",
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis))
     return fn(part.row_ptr, part.cols, part.vals, part.nnz, x_parts)
+
+
+def dist_spmv_bucketed(part: RowPartitionedBucketed, x_parts, mesh: Mesh,
+                       axis: str = "x"):
+    """Ring SpMV over the column-bucketed layout: at step ``s`` each device
+    multiplies only the bucket owned by the x-block it currently holds, so
+    the whole ring does one pass over the local entries (the naive ring
+    rescans everything every step). Communication pattern identical to
+    ``dist_spmv(..., method='ring')``."""
+    nparts = mesh.shape[axis]
+    blk_len = x_parts.shape[1]
+    if part.n_buckets != nparts or part.blk_len != blk_len:
+        raise ValueError(
+            "bucketed layout must match the mesh/x distribution: "
+            f"n_buckets={part.n_buckets} vs P={nparts}, "
+            f"blk_len={part.blk_len} vs {blk_len}")
+    rows_local = part.rows_local
+
+    def local_fn(rows, cols, vals, nnz, xl):
+        rows, cols, vals, nnz, xl = (rows[0], cols[0], vals[0], nnz[0],
+                                     xl[0])
+        me = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+        y = jnp.zeros((rows_local,), vals.dtype)
+        x_cur = xl
+        cap = rows.shape[1]
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        for s in range(nparts):
+            b = (me + s) % nparts
+            r_b = jnp.take(rows, b, axis=0)
+            c_b = jnp.take(cols, b, axis=0)
+            v_b = jnp.take(vals, b, axis=0)
+            live = slot < jnp.take(nnz, b)
+            rel = jnp.clip(c_b - b * blk_len, 0, blk_len - 1)
+            prod = jnp.where(live, v_b * jnp.take(x_cur, rel), 0)
+            tgt = jnp.where(live, r_b, rows_local)
+            y = y.at[tgt].add(prod, mode="drop")
+            if s + 1 < nparts:
+                x_cur = jax.lax.ppermute(x_cur, axis, perm)
+        return y[None]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 5,
+        out_specs=P(axis))
+    return fn(part.rows, part.cols, part.vals, part.nnz, x_parts)
 
 
 def dist_spmm(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x"):

@@ -26,7 +26,8 @@ from ..core.coo import SparseCOO, round_up_pow2
 from ..core.errors import SpSparseError
 from ..core.structure import SparseCSR, to_csr
 
-__all__ = ["RowPartitionedCSR", "partition_rows", "partition_vector"]
+__all__ = ["RowPartitionedCSR", "RowPartitionedBucketed", "partition_rows",
+           "partition_bucketed", "partition_vector"]
 
 Array = Any
 
@@ -122,6 +123,94 @@ def partition_rows(a: SparseCOO | SparseCSR, n_parts: int,
         row_ptr=jnp.asarray(out_ptr), cols=jnp.asarray(out_cols),
         vals=jnp.asarray(out_vals), nnz=jnp.asarray(out_nnz),
         shape=(nrows, ncols))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowPartitionedBucketed:
+    """Row-partitioned matrix with entries additionally bucketed by the
+    column block that owns them — the layout the ring-SpMV pipeline wants.
+
+    At ring step ``s`` a device multiplies only bucket ``(me+s) % P``
+    against the x-block it currently holds, so total compute per full ring
+    is one pass over the local entries instead of P passes over everything
+    (the naive layout's cost).
+
+    ``rows/cols/vals (P, Pb, cap_bucket)`` with local row ids, *global*
+    column ids, sentinel/zero padding; ``nnz (P, Pb)`` live counts.
+    """
+
+    rows: Array = dataclasses.field(metadata=dict(static=False))
+    cols: Array = dataclasses.field(metadata=dict(static=False))
+    vals: Array = dataclasses.field(metadata=dict(static=False))
+    nnz: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    rows_local: int = dataclasses.field(metadata=dict(static=True))
+    blk_len: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_parts(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.rows.shape[1]
+
+    @property
+    def cap_bucket(self) -> int:
+        return self.rows.shape[2]
+
+
+def partition_bucketed(a: SparseCOO | SparseCSR, n_parts: int, *,
+                       blk_len: int | None = None,
+                       cap_bucket: int | None = None) -> RowPartitionedBucketed:
+    """Host-side build of the column-bucketed row partition.
+
+    ``blk_len`` is the x-block length each device owns (defaults to the
+    block-row vector distribution of :func:`partition_vector`).
+    """
+    csr = a if isinstance(a, SparseCSR) else to_csr(a)
+    nrows, ncols = csr.shape
+    rows_local = -(-nrows // n_parts)
+    if blk_len is None:
+        blk_len = -(-ncols // n_parts)
+    n_buckets = -(-ncols // blk_len)
+
+    row_ptr = np.asarray(csr.row_ptr)
+    cols = np.asarray(csr.cols)
+    vals = np.asarray(csr.vals)
+    nnz_total = int(csr.nnz)
+    rows_of = np.searchsorted(row_ptr, np.arange(nnz_total), side="right") - 1
+
+    part_of = rows_of // rows_local
+    bucket_of = cols[:nnz_total] // blk_len
+    counts = np.zeros((n_parts, n_buckets), np.int64)
+    np.add.at(counts, (part_of, bucket_of), 1)
+    if cap_bucket is None:
+        cap_bucket = round_up_pow2(max(int(counts.max(initial=1)), 1))
+    elif counts.max(initial=0) > cap_bucket:
+        raise SpSparseError(
+            f"cap_bucket={cap_bucket} < max bucket {counts.max()}")
+
+    out_rows = np.full((n_parts, n_buckets, cap_bucket), rows_local, np.int32)
+    out_cols = np.full((n_parts, n_buckets, cap_bucket), ncols, np.int32)
+    out_vals = np.zeros((n_parts, n_buckets, cap_bucket), vals.dtype)
+    out_nnz = np.zeros((n_parts, n_buckets), np.int32)
+    order = np.lexsort((cols[:nnz_total], rows_of, bucket_of, part_of))
+    p_s, b_s = part_of[order], bucket_of[order]
+    key = p_s * n_buckets + b_s
+    first = np.concatenate([[True], key[1:] != key[:-1]])
+    group_start_pos = np.nonzero(first)[0]
+    group_id = np.cumsum(first) - 1
+    slot = np.arange(nnz_total) - group_start_pos[group_id]
+    out_rows[p_s, b_s, slot] = (rows_of[order] % rows_local).astype(np.int32)
+    out_cols[p_s, b_s, slot] = cols[order]
+    out_vals[p_s, b_s, slot] = vals[order]
+    np.add.at(out_nnz, (p_s, b_s), 1)
+    return RowPartitionedBucketed(
+        rows=jnp.asarray(out_rows), cols=jnp.asarray(out_cols),
+        vals=jnp.asarray(out_vals), nnz=jnp.asarray(out_nnz),
+        shape=(nrows, ncols), rows_local=rows_local, blk_len=blk_len)
 
 
 def partition_vector(x, n_parts: int) -> Array:

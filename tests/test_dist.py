@@ -182,3 +182,38 @@ class TestDistSpgemmA2A:
         _, overflow = dist_spgemm_a2a(ap, bp, mesh, req_cap=1, reply_cap=4,
                                       expand_cap=512, out_cap=256)
         assert int(np.asarray(overflow).sum()) > 0
+
+
+class TestBucketedRing:
+    @pytest.mark.parametrize("n", [64, 37])
+    def test_matches_plain_ring(self, rng, n):
+        from spsparse_tpu.dist import (dist_spmv_bucketed, partition_bucketed)
+        A = banded_coo(n, 3, rng)
+        x = rng.uniform(-1, 1, n)
+        mesh = make_mesh()
+        xp = partition_vector(x, 8)
+        bkt = partition_bucketed(A, 8, blk_len=xp.shape[1])
+        y = dist_spmv_bucketed(bkt, xp, mesh)
+        np.testing.assert_allclose(np.asarray(y).reshape(-1)[:n],
+                                   np.asarray(A.to_dense()) @ x, rtol=1e-12)
+
+    def test_bitwise_deterministic(self, rng):
+        from spsparse_tpu.dist import (dist_spmv_bucketed, partition_bucketed)
+        n = 48
+        A = banded_coo(n, 2, rng)
+        x = rng.uniform(-1, 1, n)
+        mesh = make_mesh()
+        xp = partition_vector(x, 8)
+        bkt = partition_bucketed(A, 8, blk_len=xp.shape[1])
+        y1 = np.asarray(dist_spmv_bucketed(bkt, xp, mesh))
+        y2 = np.asarray(dist_spmv_bucketed(bkt, xp, mesh))
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_mismatched_layout_raises(self, rng):
+        from spsparse_tpu.dist import (dist_spmv_bucketed, partition_bucketed)
+        A = banded_coo(64, 2, rng)
+        mesh = make_mesh()
+        bkt = partition_bucketed(A, 4)  # 4 buckets vs 8-device mesh
+        xp = partition_vector(np.ones(64), 8)
+        with pytest.raises(ValueError):
+            dist_spmv_bucketed(bkt, xp, mesh)
