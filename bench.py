@@ -41,20 +41,24 @@ def build_banded_dia(n: int, band: int, dtype=np.float32):
 
 def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
     from spsparse_tpu.ops.spmv_kernels import spmv_dia
-    from spsparse_tpu.ops.pallas_dia import spmv_dia_pallas
-    from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.ops.pallas_dia import spmv_dia_pallas, prepare_dia
+    from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
     dia, nnz = build_banded_dia(n, band)
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, n)
                     .astype(np.float32))
     if use_pallas:
-        step = lambda v: spmv_dia_pallas(dia, v)
+        prep = prepare_dia(dia)
+        step = lambda v: spmv_dia_pallas(prep, v)
         impl = "pallas_dia"
     else:
         step = lambda v: spmv_dia(dia, v)
         impl = "xla_dia"
-    t = bench_fori(step, x, iters=20, reps=3)
+    # Slope method: this rig charges ~0.7 ms fixed per loop iteration, so
+    # per-op time comes from the difference between two unroll factors
+    # (fusion cannot collapse the chain — the kernel is an opaque call).
+    t = bench_slope(step, x, iters=8, reps=3)
 
     kind, bw = device_hbm_bandwidth()
     bytes_moved = nnz * 4 + n * 8

@@ -94,9 +94,8 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
                           entries_per_block=E),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY
-                         if not interpret else pltpu.ANY),  # row_ptr: VMEM ok
-            pl.BlockSpec(memory_space=pltpu.ANY),           # prod stays HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row_ptr: direct loads
+            pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays HBM (DMA'd)
         ],
         out_specs=pl.BlockSpec((R,), lambda b: (b,),
                                memory_space=pltpu.VMEM),
