@@ -10,12 +10,18 @@ runs on the MXU at full tile utilization with zero atomics. This is the
 "segmented merge-and-accumulate" kernel called for by the project north
 star (BASELINE.json).
 
-Blocking contract: each grid step covers rows ``[b*R, (b+1)*R)`` and DMAs
-the entry window ``[row_ptr[b*R], row_ptr[b*R] + E)`` from HBM, where the
-static ``E`` must be >= the max entries under any R consecutive rows
-(``entries_per_block``, computed by the wrapper host-side or passed in).
-The data buffer must be padded by at least ``E`` slots past ``nnz`` so the
-trailing window's DMA stays in bounds — ``pad_products`` handles it.
+Mosaic constraints shape the plumbing: dynamic VMEM slicing is not
+lowerable, so the per-block entry offset comes in via scalar prefetch
+(``PrefetchScalarGridSpec``) and is 128-aligned before use as a DMA
+origin; the row-pointer bounds arrive as two *blocked* VMEM inputs
+(``row_ptr[:-1]`` / ``row_ptr[1:]``), avoiding in-kernel slices entirely.
+
+Blocking contract: grid step ``b`` covers rows ``[b*R, (b+1)*R)`` and DMAs
+the (aligned) entry window of length ``E + 128`` starting at
+``align128(row_ptr[b*R])``; the static ``E`` must be >= the max entries
+under any R consecutive rows (``entries_per_block``). The product buffer
+must be padded by at least ``E + 256`` slots past ``nnz``
+(``pad_products``) so trailing windows stay in bounds.
 """
 
 from __future__ import annotations
@@ -33,26 +39,29 @@ from ..core.structure import SparseCSR
 
 Array = Any
 
-__all__ = ["segmented_row_sums", "spmv_csr_pallas"]
+__all__ = ["segmented_row_sums", "spmv_csr_pallas", "pad_products",
+           "max_entries_per_rowblock"]
 
 
-def _segsum_kernel(row_ptr_ref, prod_hbm, y_ref, scratch, sem,
-                   *, rows_per_block: int, entries_per_block: int):
+def _segsum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, prod_hbm, y_ref,
+                   scratch, sem, *, rows_per_block: int,
+                   entries_per_block: int):
     b = pl.program_id(0)
     R, E = rows_per_block, entries_per_block
-    rp = row_ptr_ref[pl.ds(b * R, R + 1)]            # (R+1,) int32 in VMEM
-    start = rp[0]
+    W = E + 128
+    start = starts_ref[b]
+    start_al = (start // 128) * 128
 
     dma = pltpu.make_async_copy(
-        prod_hbm.at[pl.ds(start, E)], scratch, sem)
+        prod_hbm.at[pl.ds(start_al, W)], scratch, sem)
     dma.start()
 
-    # Row-boundary mask while the DMA is in flight: entry e (global id
-    # start+e) belongs to row r iff rp[r] <= start+e < rp[r+1].
-    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + start
-    lo = jax.lax.broadcast_in_dim(rp[:R], (R, E), (0,))
-    hi = jax.lax.broadcast_in_dim(
-        jax.lax.dynamic_slice_in_dim(rp, 1, R), (R, E), (0,))
+    # Row-boundary mask while the DMA is in flight: window slot e holds the
+    # product of global entry start_al + e, which belongs to row r iff
+    # rp_lo[r] <= start_al + e < rp_hi[r].
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) + start_al
+    lo = jax.lax.broadcast_in_dim(rp_lo_ref[...], (R, W), (0,))
+    hi = jax.lax.broadcast_in_dim(rp_hi_ref[...], (R, W), (0,))
     mask = ((e_ids >= lo) & (e_ids < hi)).astype(jnp.float32)
 
     dma.wait()
@@ -65,7 +74,7 @@ def _segsum_kernel(row_ptr_ref, prod_hbm, y_ref, scratch, sem,
 
 def pad_products(prod: Array, entries_per_block: int) -> Array:
     """Zero-pad the product vector so every block window stays in bounds."""
-    return jnp.pad(prod, (0, entries_per_block))
+    return jnp.pad(prod, (0, entries_per_block + 256))
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_block",
@@ -77,8 +86,7 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
     """Per-row sums of ``prod`` (row-pointer order) via the Pallas kernel.
 
     ``prod`` must already be padded (``pad_products``); ``row_ptr`` is the
-    int32 CSR pointer array of length >= nrows+1, padded so that
-    ``row_ptr[ceil(nrows/R)*R]`` is readable (pad with nnz).
+    int32 CSR pointer array of length >= nrows+1.
     """
     R, E = rows_per_block, entries_per_block
     nblocks = pl.cdiv(nrows, R)
@@ -88,24 +96,31 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
             row_ptr,
             jnp.broadcast_to(row_ptr[-1], (rp_needed - row_ptr.shape[0],))])
     row_ptr = row_ptr.astype(jnp.int32)
+    rp_lo = row_ptr[: nblocks * R]
+    rp_hi = row_ptr[1: nblocks * R + 1]
+    block_starts = row_ptr[0: nblocks * R: R]
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((R,), lambda b, s: (b,)),
+            pl.BlockSpec((R,), lambda b, s: (b,)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays in HBM
+        ],
+        out_specs=pl.BlockSpec((R,), lambda b, s: (b,)),
+        scratch_shapes=[
+            pltpu.VMEM((E + 128,), prod.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
     y = pl.pallas_call(
         functools.partial(_segsum_kernel, rows_per_block=R,
                           entries_per_block=E),
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # row_ptr: direct loads
-            pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays HBM (DMA'd)
-        ],
-        out_specs=pl.BlockSpec((R,), lambda b: (b,),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblocks * R,), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((E,), prod.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(row_ptr, prod)
+    )(block_starts, rp_lo, rp_hi, prod)
     return y[:nrows]
 
 
@@ -131,7 +146,6 @@ def spmv_csr_pallas(csr: SparseCSR, x: Array, *, rows_per_block: int = 256,
     if entries_per_block is None:
         entries_per_block = max(
             max_entries_per_rowblock(csr.row_ptr, rows_per_block), 8)
-        # round to a lane-friendly multiple
         entries_per_block = -(-entries_per_block // 128) * 128
     prod = csr.vals * jnp.take(x, csr.cols, mode="fill", fill_value=0)
     prod = jnp.where(csr.valid_mask(), prod, 0).astype(jnp.float32)
