@@ -22,7 +22,7 @@ import numpy as np
 
 from .coo import SparseCOO
 
-__all__ = ["SparseDIA", "to_dia"]
+__all__ = ["SparseDIA", "to_dia", "dia_to_coo"]
 
 Array = Any
 
@@ -61,6 +61,27 @@ class SparseDIA:
             out = out.at[rows, jnp.clip(cols, 0, self.ncols - 1)].add(
                 jnp.where(ok, self.data[d], 0))
         return out
+
+
+def dia_to_coo(dia: SparseDIA) -> SparseCOO:
+    """DIA -> COO (eager): emits in-band slots with nonzero values."""
+    data = np.asarray(dia.data)
+    n, m = dia.shape
+    rows, cols, vals = [], [], []
+    for d, off in enumerate(dia.offsets):
+        lo, hi = max(0, -off), min(n, m - off)
+        seg = data[d, lo:hi]
+        nz = np.nonzero(seg)[0]
+        rows.append(nz + lo)
+        cols.append(nz + lo + off)
+        vals.append(seg[nz])
+    if rows:
+        idx = np.stack([np.concatenate(rows), np.concatenate(cols)], 1)
+        v = np.concatenate(vals)
+    else:
+        idx, v = np.zeros((0, 2), np.int64), np.zeros((0,))
+    return SparseCOO.from_arrays(idx.astype(np.int32), v, dia.shape,
+                                 check=False)
 
 
 def to_dia(a: SparseCOO, offsets: Sequence[int] | None = None) -> SparseDIA:

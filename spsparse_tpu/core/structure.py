@@ -199,6 +199,21 @@ class SparseELL:
             jnp.arange(self.nrows, dtype=jnp.int32)[:, None], self.cols.shape)
         return dense.at[rows, self.cols].add(self.vals, mode="drop")
 
+    def to_coo(self) -> "SparseCOO":
+        """ELL -> COO (drops padding slots; keeps explicit zeros that
+        occupy real slots out — only sentinel-padded slots are removed)."""
+        rows = jnp.broadcast_to(
+            jnp.arange(self.nrows, dtype=jnp.int32)[:, None],
+            self.cols.shape).reshape(-1)
+        cols = self.cols.reshape(-1).astype(jnp.int32)
+        vals = self.vals.reshape(-1)
+        live = cols < self.ncols
+        import numpy as _np
+        keep = _np.asarray(live)
+        idx = _np.stack([_np.asarray(rows)[keep], _np.asarray(cols)[keep]], 1)
+        return SparseCOO.from_arrays(idx, _np.asarray(vals)[keep],
+                                     self.shape, check=False)
+
 
 def to_ell(a: SparseCOO | SparseCSR, max_row_nnz: int | None = None) -> SparseELL:
     """COO/CSR → ELL. ``max_row_nnz`` must be static under jit; eagerly it

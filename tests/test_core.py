@@ -327,3 +327,36 @@ class TestCheckify:
         err, _ = f(bad)
         with pytest.raises(Exception):
             err.throw()
+
+
+class TestFormatRoundTrips:
+    def test_matmul_sugar(self, rng):
+        b1 = CooBuilder((6, 5), dtype=np.float64)
+        b1.add_many(np.stack([rng.integers(0, 6, 12), rng.integers(0, 5, 12)], 1),
+                    rng.uniform(-1, 1, 12))
+        b2 = CooBuilder((5, 4), dtype=np.float64)
+        b2.add_many(np.stack([rng.integers(0, 5, 10), rng.integers(0, 4, 10)], 1),
+                    rng.uniform(-1, 1, 10))
+        A, B = b1.build(), b2.build()
+        C = A @ B
+        np.testing.assert_allclose(np.asarray(C.to_dense()),
+                                   np.asarray(A.to_dense()) @
+                                   np.asarray(B.to_dense()), rtol=1e-12)
+        x = rng.uniform(-1, 1, 5)
+        np.testing.assert_allclose(np.asarray(A @ x),
+                                   np.asarray(A.to_dense()) @ x, rtol=1e-12)
+
+    def test_ell_and_dia_to_coo(self, rng):
+        from spsparse_tpu.core.dia import to_dia, dia_to_coo
+        b = CooBuilder((8, 8), dtype=np.float64)
+        for i in range(8):
+            b.add((i, i), float(i + 1))
+            if i >= 2:
+                b.add((i, i - 2), 0.5)
+        A = b.build()
+        ell_back = to_ell(A).to_coo()
+        np.testing.assert_allclose(np.asarray(ell_back.to_dense()),
+                                   np.asarray(A.to_dense()), rtol=1e-12)
+        dia_back = dia_to_coo(to_dia(A))
+        np.testing.assert_allclose(np.asarray(dia_back.to_dense()),
+                                   np.asarray(A.to_dense()), rtol=1e-12)
