@@ -48,9 +48,11 @@ def _segsum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, prod_hbm, y_ref,
                    entries_per_block: int):
     b = pl.program_id(0)
     R, E = rows_per_block, entries_per_block
-    W = E + 128
+    # 1-D f32 HBM slices tile at 1024 elements: both the DMA origin and
+    # window length must be 1024-aligned.
+    W = -(-(E + 1024) // 1024) * 1024
     start = starts_ref[b]
-    start_al = (start // 128) * 128
+    start_al = (start // 1024) * 1024
 
     dma = pltpu.make_async_copy(
         prod_hbm.at[pl.ds(start_al, W)], scratch, sem)
@@ -73,8 +75,10 @@ def _segsum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, prod_hbm, y_ref,
 
 
 def pad_products(prod: Array, entries_per_block: int) -> Array:
-    """Zero-pad the product vector so every block window stays in bounds."""
-    return jnp.pad(prod, (0, entries_per_block + 256))
+    """Zero-pad the product vector so every block window stays in bounds
+    (window = 1024-aligned length covering E entries plus alignment skew)."""
+    w = -(-(entries_per_block + 1024) // 1024) * 1024
+    return jnp.pad(prod, (0, w + 1024))
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_block",
@@ -110,7 +114,7 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
         ],
         out_specs=pl.BlockSpec((R,), lambda b, s: (b,)),
         scratch_shapes=[
-            pltpu.VMEM((E + 128,), prod.dtype),
+            pltpu.VMEM((-(-(E + 1024) // 1024) * 1024,), prod.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
