@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: tiled one-hot SpMM (general sparsity on the MXU).
+
+The XLA-level tiled one-hot path (:mod:`spsparse_tpu.ops.tiled_ops`)
+materializes its ``(nt, cap, 128)`` one-hot tensors in HBM — gigabytes of
+traffic that defeat the design. This kernel builds the one-hots in VMEM
+registers per tile, so HBM traffic is just the tile payloads
+(rows/cols/vals), one 128-row X tile per stored tile (DMA'd, double
+buffered), and one Y tile per block row:
+
+    per tile t at (block_row b, block_col c):
+        oh_c[cap,128] = (cols_t[:,None] == iota)         # VPU, in VMEM
+        g   = oh_c @ X_tile[c]                           # MXU (cap, N)
+        oh_r[cap,128] = (rows_t[:,None] == iota)
+        Y_b += oh_r^T @ (vals_t[:,None] * g)             # MXU (128, N)
+
+Grid = one step per *block row*; each step loops over that row's (padded)
+tile list with the X-tile DMA for tile ``t+1`` in flight while tile ``t``
+computes. Requires the host-side layout from :func:`prepare_tiled_rows`
+(tiles grouped by block row, padded to the max tiles-per-row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.tiled import SparseTiledCOO, TILE
+
+Array = Any
+
+__all__ = ["prepare_tiled_rows", "PreparedTiledRows", "spmm_tiled_pallas"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedTiledRows:
+    """Row-grouped tile layout: ``tcols (nbr, Rt)`` block-col ids (sentinel
+    nbc), ``rows/cols (nbr, Rt, cap)`` int32 in-tile offsets, ``vals`` f32."""
+
+    tcols: Array = dataclasses.field(metadata=dict(static=False))
+    rows: Array = dataclasses.field(metadata=dict(static=False))
+    cols: Array = dataclasses.field(metadata=dict(static=False))
+    vals: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nbr(self) -> int:
+        return self.tcols.shape[0]
+
+    @property
+    def tiles_per_row(self) -> int:
+        return self.tcols.shape[1]
+
+    @property
+    def tile_cap(self) -> int:
+        return self.rows.shape[2]
+
+    @property
+    def nbc(self) -> int:
+        return -(-self.shape[1] // TILE)
+
+
+def prepare_tiled_rows(tl: SparseTiledCOO) -> PreparedTiledRows:
+    """Group a :class:`SparseTiledCOO` by block row (host-side, eager)."""
+    nt = int(tl.n_tiles)
+    tr = np.asarray(tl.tile_row)[:nt]
+    tc = np.asarray(tl.tile_col)[:nt]
+    rows = np.asarray(tl.rows)[:nt].astype(np.int32)
+    cols = np.asarray(tl.cols)[:nt].astype(np.int32)
+    vals = np.asarray(tl.vals)[:nt]
+    nbr, nbc = tl.nbrows, tl.nbcols
+    cap = tl.tile_cap
+
+    counts = np.bincount(tr, minlength=nbr)
+    Rt = max(int(counts.max(initial=1)), 1)
+    tcols = np.full((nbr, Rt), nbc, np.int32)
+    r8 = np.zeros((nbr, Rt, cap), np.int32)
+    c8 = np.zeros((nbr, Rt, cap), np.int32)
+    v8 = np.zeros((nbr, Rt, cap), np.float32)
+    slot = np.zeros(nbr, np.int64)
+    for t in range(nt):
+        b = tr[t]
+        s = slot[b]
+        tcols[b, s] = tc[t]
+        r8[b, s] = rows[t]
+        c8[b, s] = cols[t]
+        v8[b, s] = vals[t]
+        slot[b] += 1
+    return PreparedTiledRows(
+        tcols=jnp.asarray(tcols), rows=jnp.asarray(r8),
+        cols=jnp.asarray(c8), vals=jnp.asarray(v8), shape=tl.shape)
+
+
+def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
+                  xtile, sem, *, tiles_per_row: int, cap: int, n_block: int,
+                  nbc: int, interpret: bool):
+    Rt = tiles_per_row
+    iot = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE), 1)
+
+    def get_dma(slot, t):
+        tc = jnp.minimum(tcols_ref[0, t], nbc - 1)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tc * TILE, TILE)], xtile.at[slot], sem.at[slot])
+
+    get_dma(0, 0).start()
+    y_ref[...] = jnp.zeros_like(y_ref)
+
+    def body(t, _):
+        cur = t % 2
+
+        @pl.when(t + 1 < Rt)
+        def _():
+            get_dma((t + 1) % 2, t + 1).start()
+
+        get_dma(cur, t).wait()
+
+        @pl.when(tcols_ref[0, t] < nbc)
+        def _():
+            oh_c = (cols_ref[0, t][:, None] == iot).astype(jnp.float32)
+            g = jax.lax.dot_general(
+                oh_c, xtile[cur],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (cap, N)
+            prod = vals_ref[0, t][:, None] * g
+            oh_r = (rows_ref[0, t][:, None] == iot).astype(jnp.float32)
+            y_ref[...] += jax.lax.dot_general(
+                oh_r, prod,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (TILE, N)
+        return 0
+
+    jax.lax.fori_loop(0, Rt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "nbc", "interpret"))
+def _spmm_tiled_pallas(prep_tcols, prep_rows, prep_cols, prep_vals, Xp, *,
+                       n_block: int, nbc: int, interpret: bool) -> Array:
+    nbr, Rt = prep_tcols.shape
+    cap = prep_rows.shape[2]
+    y = pl.pallas_call(
+        functools.partial(_tiled_kernel, tiles_per_row=Rt, cap=cap,
+                          n_block=n_block, nbc=nbc, interpret=interpret),
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, Rt), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # X in HBM
+        ],
+        out_specs=pl.BlockSpec((TILE, n_block), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, n_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(prep_tcols, prep_rows, prep_cols, prep_vals, Xp)
+    return y
+
+
+def spmm_tiled_pallas(prep: PreparedTiledRows | SparseTiledCOO, X: Array, *,
+                      interpret: bool = False) -> Array:
+    """``Y = A @ X`` via the Pallas tiled one-hot kernel."""
+    if isinstance(prep, SparseTiledCOO):
+        prep = prepare_tiled_rows(prep)
+    X = jnp.asarray(X)
+    K, N = X.shape
+    nbc = prep.nbc
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
+    y = _spmm_tiled_pallas(prep.tcols, prep.rows, prep.cols, prep.vals, Xp,
+                           n_block=N, nbc=nbc, interpret=interpret)
+    return y[: prep.shape[0]]
