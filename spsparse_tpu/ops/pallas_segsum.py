@@ -17,11 +17,13 @@ origin; the row-pointer bounds arrive as two *blocked* VMEM inputs
 (``row_ptr[:-1]`` / ``row_ptr[1:]``), avoiding in-kernel slices entirely.
 
 Blocking contract: grid step ``b`` covers rows ``[b*R, (b+1)*R)`` and DMAs
-the (aligned) entry window of length ``E + 128`` starting at
-``align128(row_ptr[b*R])``; the static ``E`` must be >= the max entries
-under any R consecutive rows (``entries_per_block``). The product buffer
-must be padded by at least ``E + 256`` slots past ``nnz``
-(``pad_products``) so trailing windows stay in bounds.
+a 1024-aligned entry window (origin ``align1024(row_ptr[b*R])``, length
+the next multiple of 1024 covering ``E`` entries plus alignment skew); the
+static ``E`` must be >= the max entries under any R consecutive rows
+(``entries_per_block``). ``pad_products`` pads the product buffer so
+trailing windows stay in bounds. Row-pointer bounds ship as 2-D
+``(nblocks, R)`` operands because XLA tiles 1-D i32 at T(1024), which a
+(R,) block cannot match.
 """
 
 from __future__ import annotations
@@ -62,12 +64,12 @@ def _segsum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, prod_hbm, y_ref,
     # product of global entry start_al + e, which belongs to row r iff
     # rp_lo[r] <= start_al + e < rp_hi[r].
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) + start_al
-    lo = jax.lax.broadcast_in_dim(rp_lo_ref[...], (R, W), (0,))
-    hi = jax.lax.broadcast_in_dim(rp_hi_ref[...], (R, W), (0,))
+    lo = jax.lax.broadcast_in_dim(rp_lo_ref[0, :], (R, W), (0,))
+    hi = jax.lax.broadcast_in_dim(rp_hi_ref[0, :], (R, W), (0,))
     mask = ((e_ids >= lo) & (e_ids < hi)).astype(jnp.float32)
 
     dma.wait()
-    y_ref[...] = jax.lax.dot_general(
+    y_ref[0, :] = jax.lax.dot_general(
         mask, scratch[...].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -100,19 +102,21 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
             row_ptr,
             jnp.broadcast_to(row_ptr[-1], (rp_needed - row_ptr.shape[0],))])
     row_ptr = row_ptr.astype(jnp.int32)
-    rp_lo = row_ptr[: nblocks * R]
-    rp_hi = row_ptr[1: nblocks * R + 1]
+    # 2-D (nblocks, R) layouts: 1-D blocked operands would need 1024-wide
+    # blocks (XLA tiles 1-D i32/f32 at T(1024)); (1, R) 2-D blocks align.
+    rp_lo = row_ptr[: nblocks * R].reshape(nblocks, R)
+    rp_hi = row_ptr[1: nblocks * R + 1].reshape(nblocks, R)
     block_starts = row_ptr[0: nblocks * R: R]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((R,), lambda b, s: (b,)),
-            pl.BlockSpec((R,), lambda b, s: (b,)),
+            pl.BlockSpec((1, R), lambda b, s: (b, 0)),
+            pl.BlockSpec((1, R), lambda b, s: (b, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays in HBM
         ],
-        out_specs=pl.BlockSpec((R,), lambda b, s: (b,)),
+        out_specs=pl.BlockSpec((1, R), lambda b, s: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((-(-(E + 1024) // 1024) * 1024,), prod.dtype),
             pltpu.SemaphoreType.DMA,
@@ -122,10 +126,10 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
         functools.partial(_segsum_kernel, rows_per_block=R,
                           entries_per_block=E),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks * R,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks, R), jnp.float32),
         interpret=interpret,
     )(block_starts, rp_lo, rp_hi, prod)
-    return y[:nrows]
+    return y.reshape(-1)[:nrows]
 
 
 def max_entries_per_rowblock(row_ptr, rows_per_block: int) -> int:

@@ -61,3 +61,36 @@ class TestSegsumKernel:
         assert max_entries_per_rowblock(rp, 2) == 7  # rows 2,3 -> 7 entries
         assert max_entries_per_rowblock(rp, 5) == 9
         assert max_entries_per_rowblock(rp, 3) == 7  # rows 0-2; tail block has 2
+
+
+class TestTiledPallas:
+    def test_matches_dense_interpret(self, rng):
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_rows,
+                                                   spmm_tiled_pallas)
+        b = CooBuilder((520, 260), dtype=np.float32)
+        idx = np.stack([rng.integers(0, 520, 4000),
+                        rng.integers(0, 260, 4000)], 1)
+        b.add_many(idx, rng.uniform(-1, 1, 4000).astype(np.float32))
+        A = b.build()
+        prep = prepare_tiled_rows(to_tiled(A))
+        X = rng.uniform(-1, 1, (260, 128)).astype(np.float32)
+        Y = spmm_tiled_pallas(prep, jnp.asarray(X), interpret=True)
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_empty_rows(self, rng):
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_rows,
+                                                   spmm_tiled_pallas)
+        b = CooBuilder((400, 200), dtype=np.float32)
+        b.add((5, 7), 2.0)
+        b.add((399, 199), 3.0)
+        A = b.build()
+        prep = prepare_tiled_rows(to_tiled(A))
+        X = rng.uniform(-1, 1, (200, 8)).astype(np.float32)
+        Y = spmm_tiled_pallas(prep, jnp.asarray(X), interpret=True)
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-5, atol=1e-6)
