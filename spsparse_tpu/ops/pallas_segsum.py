@@ -64,12 +64,12 @@ def _segsum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, prod_hbm, y_ref,
     # product of global entry start_al + e, which belongs to row r iff
     # rp_lo[r] <= start_al + e < rp_hi[r].
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) + start_al
-    lo = jax.lax.broadcast_in_dim(rp_lo_ref[0, :], (R, W), (0,))
-    hi = jax.lax.broadcast_in_dim(rp_hi_ref[0, :], (R, W), (0,))
+    lo = jax.lax.broadcast_in_dim(rp_lo_ref[0, 0, :], (R, W), (0,))
+    hi = jax.lax.broadcast_in_dim(rp_hi_ref[0, 0, :], (R, W), (0,))
     mask = ((e_ids >= lo) & (e_ids < hi)).astype(jnp.float32)
 
     dma.wait()
-    y_ref[0, :] = jax.lax.dot_general(
+    y_ref[0, 0, :] = jax.lax.dot_general(
         mask, scratch[...].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -102,21 +102,23 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
             row_ptr,
             jnp.broadcast_to(row_ptr[-1], (rp_needed - row_ptr.shape[0],))])
     row_ptr = row_ptr.astype(jnp.int32)
-    # 2-D (nblocks, R) layouts: 1-D blocked operands would need 1024-wide
-    # blocks (XLA tiles 1-D i32/f32 at T(1024)); (1, R) 2-D blocks align.
-    rp_lo = row_ptr[: nblocks * R].reshape(nblocks, R)
-    rp_hi = row_ptr[1: nblocks * R + 1].reshape(nblocks, R)
+    # (nblocks, 1, R) layouts blocked only on the leading dim: 1-D blocked
+    # operands would need 1024-wide blocks (XLA tiles 1-D i32 at T(1024)),
+    # and 2-D (1, R) blocks violate the sublane-divisibility rule; a
+    # leading-dim-only block sidesteps both.
+    rp_lo = row_ptr[: nblocks * R].reshape(nblocks, 1, R)
+    rp_hi = row_ptr[1: nblocks * R + 1].reshape(nblocks, 1, R)
     block_starts = row_ptr[0: nblocks * R: R]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, R), lambda b, s: (b, 0)),
-            pl.BlockSpec((1, R), lambda b, s: (b, 0)),
+            pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, R), lambda b, s: (b, 0)),
+        out_specs=pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((-(-(E + 1024) // 1024) * 1024,), prod.dtype),
             pltpu.SemaphoreType.DMA,
@@ -126,7 +128,7 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
         functools.partial(_segsum_kernel, rows_per_block=R,
                           entries_per_block=E),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 1, R), jnp.float32),
         interpret=interpret,
     )(block_starts, rp_lo, rp_hi, prod)
     return y.reshape(-1)[:nrows]
