@@ -101,11 +101,17 @@ def prepare_tiled_rows(tl: SparseTiledCOO) -> PreparedTiledRows:
 def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
                   xtile, sem, *, tiles_per_row: int, cap: int, n_block: int,
                   nbc: int, interpret: bool):
+    # tcols_ref is a scalar-prefetch SMEM ref (nbr*Rt,): SMEM permits the
+    # dynamic per-tile indexing that VMEM lane reads cannot express.
     Rt = tiles_per_row
+    b = pl.program_id(0)
     iot = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE), 1)
 
+    def tcol(t):
+        return tcols_ref[b * Rt + t]
+
     def get_dma(slot, t):
-        tc = jnp.minimum(tcols_ref[0, 0, t], nbc - 1)
+        tc = jnp.minimum(tcol(t), nbc - 1)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(tc * TILE, TILE)], xtile.at[slot], sem.at[slot])
 
@@ -121,7 +127,7 @@ def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
 
         get_dma(cur, t).wait()
 
-        @pl.when(tcols_ref[0, 0, t] < nbc)
+        @pl.when(tcol(t) < nbc)
         def _():
             oh_c = (cols_ref[0, t][:, None] == iot).astype(jnp.float32)
             g = jax.lax.dot_general(
@@ -142,32 +148,30 @@ def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
 @functools.partial(jax.jit, static_argnames=("n_block", "nbc", "interpret"))
 def _spmm_tiled_pallas(prep_tcols, prep_rows, prep_cols, prep_vals, Xp, *,
                        n_block: int, nbc: int, interpret: bool) -> Array:
-    nbr, _, Rt = prep_tcols.shape
+    nbr, Rt = prep_tcols.shape
     cap = prep_rows.shape[2]
-    y = pl.pallas_call(
-        functools.partial(_tiled_kernel, tiles_per_row=Rt, cap=cap,
-                          n_block=n_block, nbc=nbc, interpret=interpret),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nbr,),
         in_specs=[
-            pl.BlockSpec((1, 1, Rt), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rt, cap), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),          # X in HBM
         ],
-        out_specs=pl.BlockSpec((TILE, n_block), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block), jnp.float32),
+        out_specs=pl.BlockSpec((TILE, n_block), lambda b, s: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, TILE, n_block), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    y = pl.pallas_call(
+        functools.partial(_tiled_kernel, tiles_per_row=Rt, cap=cap,
+                          n_block=n_block, nbc=nbc, interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block), jnp.float32),
         interpret=interpret,
-    )(prep_tcols, prep_rows, prep_cols, prep_vals, Xp)
+    )(prep_tcols.reshape(-1), prep_rows, prep_cols, prep_vals, Xp)
     return y
 
 
@@ -180,7 +184,7 @@ def spmm_tiled_pallas(prep: PreparedTiledRows | SparseTiledCOO, X: Array, *,
     K, N = X.shape
     nbc = prep.nbc
     Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
-    y = _spmm_tiled_pallas(prep.tcols[:, None, :], prep.rows, prep.cols,
+    y = _spmm_tiled_pallas(prep.tcols, prep.rows, prep.cols,
                            prep.vals, Xp, n_block=N, nbc=nbc,
                            interpret=interpret)
     return y[: prep.shape[0]]
