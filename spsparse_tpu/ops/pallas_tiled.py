@@ -133,13 +133,15 @@ def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
             g = jax.lax.dot_general(
                 oh_c, xtile[cur],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cap, N)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # (cap, N)
             prod = vals_ref[0, t][:, None] * g
             oh_r = (rows_ref[0, t][:, None] == iot).astype(jnp.float32)
             y_ref[...] += jax.lax.dot_general(
                 oh_r, prod,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (TILE, N)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # (TILE, N)
         return 0
 
     jax.lax.fori_loop(0, Rt, body, 0)
