@@ -84,6 +84,8 @@ def extra_configs(on_cpu: bool) -> list[dict]:
 
     from spsparse_tpu import CooBuilder
     from spsparse_tpu.core.tiled import to_tiled
+    from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_rows,
+                                               spmm_tiled_pallas)
     from spsparse_tpu.ops.tiled_ops import spmm_tiled
     from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
     from spsparse_tpu.utils.benchtime import bench_fori
@@ -91,9 +93,10 @@ def extra_configs(on_cpu: bool) -> list[dict]:
     rng = np.random.default_rng(0)
     out = []
 
-    # Config 3 (scaled): sparse (50 nnz/row) x dense 128 block, tiled
-    # one-hot MXU path.
-    m = 1 << 12 if on_cpu else 1 << 16
+    # Config 3 (scaled): sparse (50 nnz/row) x dense 128 block via the
+    # Pallas tiled one-hot kernel (the XLA-level path materializes the
+    # one-hot tensors in HBM and OOMs at scale).
+    m = 1 << 12 if on_cpu else 1 << 15
     K, N = 50, 128
     b = CooBuilder((m, m), dtype=np.float32)
     rr = np.repeat(np.arange(m), K)
@@ -102,9 +105,16 @@ def extra_configs(on_cpu: bool) -> list[dict]:
                rng.uniform(-1, 1, rr.size).astype(np.float32))
     tl = to_tiled(b.build())
     X = jnp.asarray(rng.uniform(-1, 1, (m, N)).astype(np.float32))
-    t = bench_fori(lambda Y: spmm_tiled(tl, Y), X, iters=3, reps=2)
-    out.append({"config": "spmm_tiled_50nnz_128block", "rows": m,
-                "nnz": m * K, "n_tiles": int(tl.n_tiles),
+    if on_cpu:
+        t = bench_fori(lambda Y: spmm_tiled(tl, Y), X, iters=3, reps=2)
+        impl = "xla_tiled"
+    else:
+        prep = prepare_tiled_rows(tl)
+        t = bench_fori(lambda Y: spmm_tiled_pallas(prep, Y), X, iters=3,
+                       reps=2)
+        impl = "pallas_tiled"
+    out.append({"config": "spmm_tiled_50nnz_128block", "impl": impl,
+                "rows": m, "nnz": m * K, "n_tiles": int(tl.n_tiles),
                 "tile_cap": tl.tile_cap, "time_s": t,
                 "nnz_per_s": m * K / t})
 

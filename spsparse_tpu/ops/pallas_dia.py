@@ -37,41 +37,47 @@ Array = Any
 __all__ = ["spmv_dia_pallas", "prepare_dia", "PreparedDIA"]
 
 
-def _dia_stream_kernel(x_ref, data_hbm, y_ref, scratch, sems, *,
+def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
                        offsets: tuple, pad: int, block: int, nblocks: int,
                        interpret: bool):
-    # data_hbm is pre-blocked (nblocks, K, block): the DMA slices the
-    # leading (major) dimension — dynamic minor-dim slicing of tiled HBM
-    # memrefs is not supported by Mosaic.
+    # Layouts are chosen so every vector op runs at full sublane width —
+    # (1, L) shapes use 1/8 of the VPU and made the roll-based shifts the
+    # bottleneck (measured: bf16 data gave zero speedup). Eight row blocks
+    # are processed per step:
+    #   xwin_ref (nblocks, L): per-block aligned x windows (precomputed);
+    #   data_hbm (nblocks, K, block): pre-blocked diagonal data, DMA'd 8
+    #     blocks at a time (leading-dim slice — Mosaic cannot slice the
+    #     minor dim of tiled HBM memrefs dynamically);
+    #   y_ref (nblocks, block): full-sublane stores.
     K = len(offsets)
     L = block + 2 * pad
     roll = jnp.roll if interpret else pltpu.roll
+    nsuper = nblocks // 8
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(
-            data_hbm.at[i], scratch.at[slot], sems.at[slot])
+            data_hbm.at[pl.ds(i * 8, 8)], scratch.at[slot], sems.at[slot])
 
     get_dma(0, 0).start()
 
     def body(i, _):
         cur = i % 2
 
-        @pl.when(i + 1 < nblocks)
+        @pl.when(i + 1 < nsuper)
         def _():
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(cur, i).wait()
-        r0 = pl.multiple_of(i * block, 128)
-        w = x_ref[0:1, pl.ds(r0, L)]
-        acc = jnp.zeros((1, block), jnp.float32)
+        w8 = xwin_ref[pl.ds(i * 8, 8), :]              # (8, L)
+        acc = jnp.zeros((8, block), jnp.float32)
         for k, off in enumerate(offsets):
             s = off + pad  # static, in [0, 2*pad]
-            shifted = roll(w, (L - s) % L, axis=1)[:, :block]
-            acc = acc + scratch[cur, k, :][None, :] * shifted
-        y_ref[0:1, pl.ds(r0, block)] = acc
+            shifted = roll(w8, (L - s) % L, axis=1)[:, :block]
+            acc = acc + scratch[cur][:, k, :].astype(jnp.float32) * shifted
+        y_ref[pl.ds(i * 8, 8), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, nblocks, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
 
 
 @functools.partial(jax.jit,
@@ -80,6 +86,12 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                      interpret: bool = False) -> Array:
     nblocks, K, _ = data3.shape
     pad = (x_pad.shape[1] - nblocks * block) // 2
+    L = block + 2 * pad
+    # Per-block aligned windows (nblocks, L) — built with static slices so
+    # XLA emits plain copies, no gather.
+    xwin = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(x_pad[0], b * block, L)
+        for b in range(nblocks)])
     y = pl.pallas_call(
         functools.partial(_dia_stream_kernel, offsets=offsets, pad=pad,
                           block=block, nblocks=nblocks, interpret=interpret),
@@ -90,14 +102,14 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY
                                if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nblocks * block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks, block), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, K, block), jnp.float32),
+            pltpu.VMEM((2, 8, K, block), data3.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_pad, data3)
-    return y[0, :n]
+    )(xwin, data3)
+    return y.reshape(-1)[:n]
 
 
 @jax.tree_util.register_dataclass
@@ -113,17 +125,24 @@ class PreparedDIA:
     block: int = dataclasses.field(metadata=dict(static=True))
 
 
-def prepare_dia(dia: SparseDIA, *, block: int = 8192) -> PreparedDIA:
+def prepare_dia(dia: SparseDIA, *, block: int = 4096,
+                dtype=jnp.float32) -> PreparedDIA:
+    """``dtype=jnp.bfloat16`` halves the dominant HBM traffic term
+    (the diagonal data); accumulation stays f32 in the kernel. The block
+    count is rounded to a multiple of 8 (the kernel processes 8 row blocks
+    per step at full sublane width)."""
     n, _ = dia.shape
-    nblocks = -(-n // block)
+    nblocks = -(-(-(-n // block)) // 8) * 8
     npad = nblocks * block
-    data = dia.data.astype(jnp.float32)
+    data = dia.data.astype(dtype)
     if npad != n:
         data = jnp.pad(data, ((0, 0), (0, npad - n)))
     # Mosaic DMAs require the sublane (second-to-minor) extent to be a
-    # multiple of 8: pad the diagonal count with zero rows.
+    # multiple of the dtype's tile height (8 for f32, 16 for bf16): pad the
+    # diagonal count with zero rows.
+    sub = 16 if dtype == jnp.bfloat16 else 8
     K = data.shape[0]
-    K_pad = -(-K // 8) * 8
+    K_pad = -(-K // sub) * sub
     if K_pad != K:
         data = jnp.pad(data, ((0, K_pad - K), (0, 0)))
     data3 = jnp.swapaxes(data.reshape(K_pad, nblocks, block), 0, 1)
@@ -132,7 +151,7 @@ def prepare_dia(dia: SparseDIA, *, block: int = 8192) -> PreparedDIA:
                        shape=dia.shape, block=block)
 
 
-def spmv_dia_pallas(dia, x: Array, *, block: int = 8192,
+def spmv_dia_pallas(dia, x: Array, *, block: int = 4096,
                     interpret: bool = False) -> Array:
     """``y = A @ x`` for diagonal storage via the streaming Pallas kernel.
 
