@@ -68,7 +68,12 @@ def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(cur, i).wait()
-        w8 = xwin_ref[pl.ds(i * 8, 8), :]              # (8, L)
+        # Build the 8 overlapping windows in-register from the flat padded
+        # x (8 cheap (1,L) loads beat 128 XLA dynamic-slice kernels in the
+        # caller, each of which pays launch overhead).
+        w8 = jnp.concatenate(
+            [xwin_ref[0:1, pl.ds(pl.multiple_of((i * 8 + r) * block, 128), L)]
+             for r in range(8)], axis=0)               # (8, L)
         acc = jnp.zeros((8, block), jnp.float32)
         for k, off in enumerate(offsets):
             s = off + pad  # static, in [0, 2*pad]
@@ -86,12 +91,6 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                      interpret: bool = False) -> Array:
     nblocks, K, _ = data3.shape
     pad = (x_pad.shape[1] - nblocks * block) // 2
-    L = block + 2 * pad
-    # Per-block aligned windows (nblocks, L) — built with static slices so
-    # XLA emits plain copies, no gather.
-    xwin = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(x_pad[0], b * block, L)
-        for b in range(nblocks)])
     y = pl.pallas_call(
         functools.partial(_dia_stream_kernel, offsets=offsets, pad=pad,
                           block=block, nblocks=nblocks, interpret=interpret),
@@ -108,7 +107,7 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xwin, data3)
+    )(x_pad, data3)
     return y.reshape(-1)[:n]
 
 
