@@ -2,8 +2,10 @@
 
 from .netcdf import save_netcdf, load_netcdf, NcIO, ncio_spsparse
 from .cdf import NcFile, NcDim, NcAttr, NcVar, read_cdf, write_cdf
+from .nc4 import read_nc4, write_nc4, is_hdf5
 
 __all__ = [
     "save_netcdf", "load_netcdf", "NcIO", "ncio_spsparse",
     "NcFile", "NcDim", "NcAttr", "NcVar", "read_cdf", "write_cdf",
+    "read_nc4", "write_nc4", "is_hdf5",
 ]

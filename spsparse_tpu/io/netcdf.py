@@ -32,6 +32,21 @@ import numpy as np
 from ..core.coo import SparseCOO
 from ..core.errors import spsparse_error
 from .cdf import NcAttr, NcFile, read_cdf, write_cdf
+from .nc4 import is_hdf5, read_nc4, write_nc4
+
+
+def _read_any(path) -> NcFile:
+    """Dispatch on container flavor: HDF5/NetCDF-4 vs classic CDF."""
+    if is_hdf5(path):
+        return read_nc4(path)
+    return read_cdf(path)
+
+
+def _write_any(path, nc: NcFile) -> None:
+    if nc.version == 4:
+        write_nc4(path, nc)
+    else:
+        write_cdf(path, nc)
 
 __all__ = ["save_netcdf", "load_netcdf", "NcIO", "ncio_spsparse"]
 
@@ -78,11 +93,15 @@ def _read_array(nc: NcFile, vname: str, *, rank: int | None = None,
 
 
 def save_netcdf(path, arrays: dict[str, SparseCOO], *, version: int = 5) -> None:
-    """Write named sparse arrays to ``path`` in the reference schema."""
+    """Write named sparse arrays to ``path`` in the reference schema.
+
+    ``version`` selects the container: 1/2/5 = classic CDF (in-tree codec);
+    4 = NetCDF-4/HDF5 (via h5py) — the flavor netCDF-4-library hosts of the
+    reference produce and consume."""
     nc = NcFile(version=version)
     for vname, A in arrays.items():
         _write_array(nc, A, vname)
-    write_cdf(path, nc)
+    _write_any(path, nc)
 
 
 def load_netcdf(path, vname: str, *, rank: int | None = None,
@@ -90,7 +109,7 @@ def load_netcdf(path, vname: str, *, rank: int | None = None,
                 dtype=np.float64, cap: int | None = None) -> SparseCOO:
     """Read one sparse array written by :func:`save_netcdf` (or by the
     reference library into a classic-format file)."""
-    nc = read_cdf(path)
+    nc = _read_any(path)
     return _read_array(nc, vname, rank=rank, shape=shape, alloc=alloc,
                        dtype=dtype, cap=cap)
 
@@ -116,7 +135,7 @@ class NcIO:
         assert rw in ("r", "w")
         self.path = path
         self.rw = rw
-        self.nc = read_cdf(path) if rw == "r" else NcFile(version=5)
+        self.nc = _read_any(path) if rw == "r" else NcFile(version=5)
         self._actions: list = []
         self.results: dict[str, SparseCOO] = {}
 
@@ -129,7 +148,7 @@ class NcIO:
             act()
         self._actions.clear()
         if self.rw == "w":
-            write_cdf(self.path, self.nc)
+            _write_any(self.path, self.nc)
         return self.results
 
     def __enter__(self):

@@ -163,3 +163,52 @@ class TestShardedCheckpoints:
         back = load_netcdf_sharded(prefix)
         np.testing.assert_allclose(back.to_dense(), part.to_dense(),
                                    rtol=1e-12)
+
+
+class TestNc4Container:
+    def test_round_trip_hdf5(self, tmp_path):
+        from spsparse_tpu.io import is_hdf5
+        A = example_array()
+        path = str(tmp_path / "sp4.nc")
+        save_netcdf(path, {"A": A}, version=4)
+        assert is_hdf5(path)
+        B = load_netcdf(path, "A", rank=2)
+        assert B.shape == (5, 6)
+        assert B.to_lists() == A.to_lists()
+
+    def test_h5py_written_file_readable(self, tmp_path):
+        # Simulate a file produced by another HDF5/netCDF-4 writer.
+        import h5py
+        import numpy as np
+        path = str(tmp_path / "foreign.nc")
+        with h5py.File(path, "w") as f:
+            for dname, size in (("A.size", 2), ("A.rank", 2)):
+                ds = f.create_dataset(dname, shape=(size,), dtype=np.float32)
+                ds.attrs["CLASS"] = np.bytes_(b"DIMENSION_SCALE")
+                ds.attrs["NAME"] = np.bytes_(
+                    b"This is a netCDF dimension but not a netCDF variable.")
+                ds.make_scale(dname)
+            iv = f.create_dataset("A.indices",
+                                  data=np.array([[0, 1], [3, 4]], np.int64))
+            iv.dims[0].attach_scale(f["A.size"])
+            iv.dims[1].attach_scale(f["A.rank"])
+            vv = f.create_dataset("A.vals", data=np.array([7.5, 8.5]))
+            vv.dims[0].attach_scale(f["A.size"])
+            info = f.create_dataset("A.info", data=np.int64(0))
+            info.attrs["shape"] = np.array([5, 6], np.uint64)
+        B = load_netcdf(path, "A", rank=2)
+        assert B.shape == (5, 6)
+        idx, vals = B.to_lists()
+        assert idx == [(0, 1), (3, 4)]
+        np.testing.assert_allclose(vals, [7.5, 8.5])
+
+    def test_ncio_reads_either_container(self, tmp_path):
+        A = example_array()
+        p4 = str(tmp_path / "v4.nc")
+        p5 = str(tmp_path / "v5.nc")
+        save_netcdf(p4, {"A": A}, version=4)
+        save_netcdf(p5, {"A": A}, version=5)
+        for p in (p4, p5):
+            ncio = NcIO(p, "r")
+            ncio_spsparse(ncio, None, True, "A", rank=2)
+            assert ncio.flush()["A"].to_lists() == A.to_lists()
