@@ -360,3 +360,44 @@ class TestFormatRoundTrips:
         dia_back = dia_to_coo(to_dia(A))
         np.testing.assert_allclose(np.asarray(dia_back.to_dense()),
                                    np.asarray(A.to_dense()), rtol=1e-12)
+
+
+class TestUtils:
+    def test_event_log(self):
+        from spsparse_tpu.utils.trace import (enable_event_log, get_event_log)
+        from spsparse_tpu import consolidate
+        enable_event_log(True)
+        arr = build((4, 4), [((1, 2), 3.0), ((1, 2), 4.0)])
+        consolidate(arr, (0, 1))
+        log = get_event_log()
+        enable_event_log(False)
+        assert any(e["op"] == "spsparse.consolidate" for e in log)
+
+    def test_roofline_models(self):
+        from spsparse_tpu.utils.roofline import (
+            spmv_dia_stats, spmv_ell_stats, spmv_csr_stats, spmm_ell_stats,
+            spgemm_esc_stats, roofline)
+        s = spmv_dia_stats(11, 1 << 20)
+        assert s.nnz == 11 * (1 << 20)
+        assert s.bytes_moved == s.nnz * 4 + (1 << 20) * 8
+        r = roofline(s, 1e-3)
+        assert r["nnz_per_s"] == s.nnz / 1e-3
+        assert 0 < r["pct_of_roofline"]
+        for st in (spmv_ell_stats(100, 8), spmv_csr_stats(1000, 100),
+                   spmm_ell_stats(100, 8, 128), spgemm_esc_stats(100, 100, 400, 150)):
+            assert st.bytes_moved > 0 and st.flops > 0
+
+    def test_error_handler_pluggable(self):
+        from spsparse_tpu import set_error_handler, SpSparseError
+        calls = []
+        def handler(code, msg):
+            calls.append((code, msg))
+            raise SpSparseError("custom: " + msg)
+        set_error_handler(handler)
+        try:
+            b = CooBuilder((2,))
+            with pytest.raises(SpSparseError, match="custom:"):
+                b.add((5,), 1.0)
+            assert calls and calls[0][0] == -1
+        finally:
+            set_error_handler(None)
