@@ -94,3 +94,42 @@ class TestTiledPallas:
         np.testing.assert_allclose(np.asarray(Y),
                                    np.asarray(A.to_dense()) @ X,
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestCgMegakernel:
+    def test_solves_spd_tridiagonal(self, rng):
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_cg import cg_solve_dia_pallas
+        n = 1500
+        b = CooBuilder((n, n), dtype=np.float32)
+        main = rng.uniform(2.5, 3.5, n).astype(np.float32)
+        off1 = rng.uniform(-1, 1, n - 1).astype(np.float32)
+        b.add_many(np.stack([np.arange(n), np.arange(n)], 1), main)
+        b.add_many(np.stack([np.arange(n - 1), np.arange(1, n)], 1), off1)
+        b.add_many(np.stack([np.arange(1, n), np.arange(n - 1)], 1), off1)
+        A = b.build()
+        rhs = rng.uniform(-1, 1, n).astype(np.float32)
+        x, rs = cg_solve_dia_pallas(to_dia(A), rhs, iters=60, block=512,
+                                    interpret=True)
+        ref = np.linalg.solve(np.asarray(A.to_dense(), np.float64),
+                              rhs.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x, np.float64), ref,
+                                   rtol=1e-4, atol=1e-5)
+        assert float(rs) < 1e-8
+
+    def test_shift_term(self, rng):
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_cg import cg_solve_dia_pallas
+        n = 600
+        b = CooBuilder((n, n), dtype=np.float32)
+        off1 = rng.uniform(-0.4, 0.4, n - 1).astype(np.float32)
+        b.add_many(np.stack([np.arange(n - 1), np.arange(1, n)], 1), off1)
+        b.add_many(np.stack([np.arange(1, n), np.arange(n - 1)], 1), off1)
+        A = b.build()  # no diagonal: SPD only thanks to the shift
+        rhs = rng.uniform(-1, 1, n).astype(np.float32)
+        x, rs = cg_solve_dia_pallas(to_dia(A), rhs, iters=80, shift=2.0,
+                                    block=512, interpret=True)
+        dense = np.asarray(A.to_dense(), np.float64) + 2.0 * np.eye(n)
+        ref = np.linalg.solve(dense, rhs.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x, np.float64), ref,
+                                   rtol=1e-4, atol=1e-5)
