@@ -88,20 +88,30 @@ def _cg_kernel(data_hbm, b_flat, b_blk, xg, rg, stats, p_flat, ap2, vscr,
     jax.lax.fori_loop(0, nsuper, init_sb, 0)
 
     def cg_iter(t, _):
-        # ---- pass A: Ap = (A + shift I) p ; pap = p.Ap   (Ap kept in VMEM)
+        # ---- pass A: Ap = (A + shift I) p ; pap = p.Ap   (Ap kept in VMEM;
+        # diagonal-data DMA double-buffered against the shifted-FMA compute)
         smem[PAP] = jnp.float32(0.0)
 
+        def dget(slot, i):
+            return pltpu.make_async_copy(
+                data_hbm.at[pl.ds(i * 8, 8)], dscr.at[slot], sems.at[slot])
+
+        dget(0, 0).start()
+
         def passA(i, _):
-            dd = pltpu.make_async_copy(
-                data_hbm.at[pl.ds(i * 8, 8)], dscr, sems.at[2])
-            dd.start()
-            dd.wait()
+            cur = i % 2
+
+            @pl.when(i + 1 < nsuper)
+            def _():
+                dget((i + 1) % 2, i + 1).start()
+
+            dget(cur, i).wait()
             w8 = jnp.concatenate([pload(i * 8, r) for r in range(8)], axis=0)
             acc = jnp.zeros((8, block), jnp.float32)
             for k, off in enumerate(offsets):
                 s = off + PAD
                 shifted = roll(w8, (L - s) % L, axis=1)[:, :block]
-                acc = acc + dscr[:, k, :].astype(jnp.float32) * shifted
+                acc = acc + dscr[cur][:, k, :].astype(jnp.float32) * shifted
             blk = pblk8(i * 8)
             acc = acc + jnp.float32(shift) * blk
             ap2[pl.ds(i * 8, 8), :] = acc
@@ -178,7 +188,7 @@ def _cg_dia(data3, b_flat, b_blk, *, offsets: tuple, n: int, block: int,
             pltpu.VMEM((1, nblocks * block + 2 * PAD), jnp.float32),  # p
             pltpu.VMEM((nblocks, block), jnp.float32),                # Ap
             pltpu.VMEM((2, 8, block), jnp.float32),                   # x/r
-            pltpu.VMEM((8, K_pad, block), data3.dtype),               # data
+            pltpu.VMEM((2, 8, K_pad, block), data3.dtype),            # data
             pltpu.SMEM((4,), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
