@@ -355,6 +355,11 @@ class SparseCOO:
         from .structure import dim_beginnings as _dim_beginnings
         return _dim_beginnings(self)
 
+    def copy(self) -> "SparseCOO":
+        """Value copy (reference ``copy()``, ``algorithm.hpp:30-37``;
+        immutable pytrees make this a metadata-level operation)."""
+        return dataclasses.replace(self)
+
     def __matmul__(self, other):
         """Operator sugar: ``A @ B`` — sparse x sparse => SpGEMM (new
         SparseCOO); sparse x dense array => dense SpMV/SpMM result."""

@@ -401,3 +401,40 @@ class TestUtils:
             assert calls and calls[0][0] == -1
         finally:
             set_error_handler(None)
+
+
+class TestPropertyRandomized:
+    """Randomized differential testing of consolidate against the numpy
+    oracle across shapes, ranks, policies, and zero/NaN patterns."""
+
+    @pytest.mark.parametrize("trial", range(20))
+    def test_consolidate_vs_numpy_oracle(self, trial):
+        from spsparse_tpu.native import _numpy_consolidate
+        rng = np.random.default_rng(1000 + trial)
+        rank = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(2, 12)) for _ in range(rank))
+        n = int(rng.integers(0, 60))
+        idx = np.stack([rng.integers(0, s, n) for s in shape], axis=1)
+        vals = rng.uniform(-1, 1, n)
+        vals[rng.uniform(size=n) < 0.15] = 0.0
+        vals[rng.uniform(size=n) < 0.1] = np.nan
+        policy = list(DuplicatePolicy)[int(rng.integers(0, 3))]
+        zero_nan = bool(rng.integers(0, 2))
+        order = tuple(rng.permutation(rank).tolist())
+
+        b = CooBuilder(shape, dtype=np.float64)
+        if n:
+            b.add_many(idx, vals)
+        got = consolidate(b.build(), order, policy, zero_nan)
+        gi, gv = got.to_lists()
+
+        keep = vals != 0
+        if zero_nan:
+            keep &= ~np.isnan(vals)
+        ei, ev = _numpy_consolidate(
+            idx.astype(np.int64), vals, shape, order, policy, zero_nan)
+        assert gi == [tuple(r) for r in ei.tolist()]
+        np.testing.assert_array_equal(np.isnan(gv), np.isnan(ev))
+        np.testing.assert_allclose(np.nan_to_num(gv), np.nan_to_num(ev),
+                                   rtol=1e-13)
+        assert got.sort_order == order
