@@ -217,3 +217,49 @@ class TestBucketedRing:
         xp = partition_vector(np.ones(64), 8)
         with pytest.raises(ValueError):
             dist_spmv_bucketed(bkt, xp, mesh)
+
+
+class TestDistSpgemmRing:
+    def test_matches_allgather_and_dense(self, rng):
+        from spsparse_tpu.dist import partition_bucketed
+        from spsparse_tpu.dist.spgemm_ring import dist_spgemm_ring
+        n = 32
+        A = banded_coo(n, 2, rng)
+        B = banded_coo(n, 1, rng)
+        mesh = make_mesh()
+        bp = partition_rows(B, 8)
+        abkt = partition_bucketed(A, 8, blk_len=bp.rows_local)
+        C = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256, out_cap=256)
+        np.testing.assert_allclose(
+            np.asarray(C.to_coo().to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+        C2 = dist_spgemm(partition_rows(A, 8), bp, mesh,
+                         expand_cap=512, out_cap=256)
+        np.testing.assert_allclose(np.asarray(C.to_coo().to_dense()),
+                                   np.asarray(C2.to_coo().to_dense()),
+                                   rtol=1e-12)
+
+    def test_rectangular(self, rng):
+        from spsparse_tpu.dist import partition_bucketed
+        from spsparse_tpu.dist.spgemm_ring import dist_spgemm_ring
+        A = banded_coo(24, 2, rng, shape_cols=16)
+        B = banded_coo(16, 1, rng, shape_cols=40)
+        mesh = make_mesh()
+        bp = partition_rows(B, 8)
+        abkt = partition_bucketed(A, 8, blk_len=bp.rows_local)
+        C = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256, out_cap=256)
+        assert C.shape == (24, 40)
+        np.testing.assert_allclose(
+            np.asarray(C.to_coo().to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+
+    def test_layout_mismatch_raises(self, rng):
+        from spsparse_tpu.dist import partition_bucketed
+        from spsparse_tpu.dist.spgemm_ring import dist_spgemm_ring
+        A = banded_coo(32, 1, rng)
+        B = banded_coo(32, 1, rng)
+        mesh = make_mesh()
+        bp = partition_rows(B, 8)
+        abkt = partition_bucketed(A, 4)  # wrong bucket count
+        with pytest.raises(ValueError):
+            dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=64, out_cap=64)
