@@ -2,6 +2,8 @@
 "model" layer (conjugate gradients, power iteration) for single-chip and
 row-partitioned multi-chip execution."""
 
-from .iterative import cg_solve, cg_step, power_iteration, CGState
+from .iterative import (cg_solve, cg_step, pcg_solve,
+                        jacobi_preconditioner, power_iteration, CGState)
 
-__all__ = ["cg_solve", "cg_step", "power_iteration", "CGState"]
+__all__ = ["cg_solve", "cg_step", "pcg_solve", "jacobi_preconditioner",
+           "power_iteration", "CGState"]

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 Array = Any
 
-__all__ = ["CGState", "cg_step", "cg_solve", "power_iteration"]
+__all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
+           "jacobi_preconditioner", "power_iteration"]
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +64,43 @@ def cg_solve(matvec: Callable[[Array], Array], b: Array, *, iters: int,
 
     state, _ = jax.lax.scan(body, state, None, length=iters)
     return state.x, state.rs
+
+
+def pcg_solve(matvec: Callable[[Array], Array], b: Array, *, iters: int,
+              minv: Array | Callable[[Array], Array] | None = None,
+              x0: Array | None = None) -> tuple[Array, Array]:
+    """Preconditioned CG: ``minv`` is the preconditioner application —
+    either a dense vector (Jacobi: elementwise ``1/diag(A)``) or a callable
+    ``z = M^{-1} r``. Falls back to plain CG when ``minv`` is None."""
+    if minv is None:
+        return cg_solve(matvec, b, iters=iters, x0=x0)
+    apply_m = minv if callable(minv) else (lambda r: minv * r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    z0 = apply_m(r0)
+    state = (x0, r0, z0, jnp.vdot(r0, z0))
+
+    def body(state, _):
+        x, r, p, rz = state
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_m(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, _, _), _ = jax.lax.scan(body, state, None, length=iters)
+    return x, jnp.vdot(r, r)
+
+
+def jacobi_preconditioner(diag: Array, eps: float = 1e-12) -> Array:
+    """Elementwise inverse-diagonal preconditioner vector for
+    :func:`pcg_solve` (guards zero diagonal entries)."""
+    return jnp.where(jnp.abs(diag) > eps, 1.0 / diag, 1.0)
 
 
 def power_iteration(matvec: Callable[[Array], Array], v0: Array, *,

@@ -374,3 +374,56 @@ class TestFullSeedSweep:
         dense = np.asarray(f(stackA, stackV))
         expect = np.einsum("sij,sj->si", np.stack(Ads), np.stack(Vds))
         np.testing.assert_allclose(dense, expect, rtol=1e-12, atol=1e-300)
+
+
+class TestOperandConsolidationSemantics:
+    """multiply consolidates unsorted operands with the CALLER's
+    duplicate_policy / zero_nan (reference multiply_sparse.hpp:187-188) —
+    pin that the knobs actually reach the consolidation."""
+
+    def test_duplicate_policy_reaches_operands(self):
+        a = CooBuilder((1, 1))
+        a.add((0, 0), 2.0)
+        a.add((0, 0), 10.0)   # duplicate
+        b = CooBuilder((1, 1))
+        b.add((0, 0), 1.0)
+        A, B = a.build(), b.build()
+        from spsparse_tpu import DuplicatePolicy
+        got_add = multiply(1.0, A, B)
+        assert dict(zip(*got_add.to_lists()))[(0, 0)] == pytest.approx(12.0)
+        got_first = multiply(1.0, A, B,
+                             duplicate_policy=DuplicatePolicy.LEAVE_ALONE)
+        assert dict(zip(*got_first.to_lists()))[(0, 0)] == pytest.approx(2.0)
+        got_last = multiply(1.0, A, B,
+                            duplicate_policy=DuplicatePolicy.REPLACE)
+        assert dict(zip(*got_last.to_lists()))[(0, 0)] == pytest.approx(10.0)
+
+    def test_zero_nan_reaches_operands(self):
+        a = CooBuilder((1, 2))
+        a.add((0, 0), np.nan)
+        a.add((0, 1), 3.0)
+        b = CooBuilder((2, 1))
+        b.add((0, 0), 1.0)
+        b.add((1, 0), 2.0)
+        A, B = a.build(), b.build()
+        # zero_nan=False: NaN entry participates -> NaN sum, emitted
+        kept = multiply(1.0, A, B)
+        assert np.isnan(dict(zip(*kept.to_lists()))[(0, 0)])
+        # zero_nan=True: NaN dropped during consolidation -> clean product
+        dropped = multiply(1.0, A, B, zero_nan=True)
+        assert dict(zip(*dropped.to_lists()))[(0, 0)] == pytest.approx(6.0)
+
+    def test_mv_policy_and_zero_nan(self):
+        a = CooBuilder((1, 1))
+        a.add((0, 0), 4.0)
+        a.add((0, 0), 6.0)
+        v = CooBuilder((1,))
+        v.add((0,), np.nan)
+        v.add((0,), 5.0)
+        from spsparse_tpu import DuplicatePolicy
+        # REPLACE keeps last per operand: A -> 6, V -> 5 (NaN dropped first
+        # under zero_nan, so last surviving duplicate is 5)
+        got = multiply_mv(1.0, a.build(), v.build(),
+                          duplicate_policy=DuplicatePolicy.REPLACE,
+                          zero_nan=True)
+        assert dict(zip(*got.to_lists()))[(0,)] == pytest.approx(30.0)

@@ -130,3 +130,36 @@ class TestSolvers:
         Ad = np.asarray(A.to_dense())
         expect = np.linalg.eigvalsh(Ad @ Ad.T).max()
         np.testing.assert_allclose(float(lam), expect, rtol=1e-6)
+
+
+class TestPreconditionedCG:
+    def test_jacobi_pcg_converges_faster(self, rng):
+        from spsparse_tpu.solvers import (cg_solve, pcg_solve,
+                                          jacobi_preconditioner)
+        n = 64
+        # Badly scaled SPD diagonal + small coupling
+        diag = 10.0 ** rng.uniform(-2, 2, n)
+        A = np.diag(diag)
+        Q = rng.uniform(-0.05, 0.05, (n, n))
+        A = A + Q @ Q.T
+        b = rng.uniform(-1, 1, n)
+        mv = lambda v: jnp.asarray(A) @ v
+        x_cg, rs_cg = cg_solve(mv, jnp.asarray(b), iters=24)
+        x_pcg, rs_pcg = pcg_solve(mv, jnp.asarray(b), iters=24,
+                                  minv=jnp.asarray(
+                                      jacobi_preconditioner(
+                                          jnp.asarray(np.diag(A)))))
+        assert float(rs_pcg) < float(rs_cg) * 1e-2
+        ref = np.linalg.solve(A, b)
+        np.testing.assert_allclose(np.asarray(x_pcg), ref, rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_pcg_none_equals_cg(self, rng):
+        from spsparse_tpu.solvers import cg_solve, pcg_solve
+        A = random_coo(rng, (10, 10), 30)
+        csr = to_csr(A)
+        mv = lambda v: spmv(csr, spmv(csr, v, transpose=True)) + v
+        b = jnp.asarray(rng.uniform(-1, 1, 10))
+        x1, _ = cg_solve(mv, b, iters=15)
+        x2, _ = pcg_solve(mv, b, iters=15, minv=None)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
