@@ -263,3 +263,14 @@ class TestDistSpgemmRing:
         abkt = partition_bucketed(A, 4)  # wrong bucket count
         with pytest.raises(ValueError):
             dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=64, out_cap=64)
+
+
+class TestMultihostHelpers:
+    def test_single_process_path(self):
+        from spsparse_tpu.dist import multihost as mh
+        mh.initialize()  # no-op single-process
+        assert not mh.is_multiprocess()
+        mesh = mh.pod_mesh()
+        assert mesh.devices.size == 8
+        assert list(mh.my_partitions(8)) == list(range(8))
+        assert list(mh.my_partitions(3)) == list(range(3))
