@@ -133,3 +133,30 @@ class TestCgMegakernel:
         ref = np.linalg.solve(dense, rhs.astype(np.float64))
         np.testing.assert_allclose(np.asarray(x, np.float64), ref,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMrhsDia:
+    def test_matches_dense(self, rng):
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        n = 2000
+        b = CooBuilder((n, n), dtype=np.float32)
+        for off in (-2, 0, 1, 3):
+            r = np.arange(max(0, -off), min(n, n - off))
+            b.add_many(np.stack([r, r + off], 1),
+                       rng.uniform(-1, 1, r.size).astype(np.float32))
+        A = b.build()
+        X = rng.uniform(-1, 1, (8, n)).astype(np.float32)
+        Y = spmm_dia_mrhs_pallas(to_dia(A), X, block=512, interpret=True)
+        ref = (np.asarray(A.to_dense()) @ X.T).T
+        np.testing.assert_allclose(np.asarray(Y), ref, rtol=2e-5, atol=2e-5)
+
+    def test_too_many_rhs_raises(self, rng):
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        b = CooBuilder((64, 64), dtype=np.float32)
+        b.add((0, 0), 1.0)
+        with pytest.raises(ValueError):
+            spmm_dia_mrhs_pallas(to_dia(b.build()),
+                                 np.ones((9, 64), np.float32),
+                                 interpret=True)
