@@ -93,6 +93,20 @@ def extra_configs(on_cpu: bool) -> list[dict]:
     rng = np.random.default_rng(0)
     out = []
 
+    # Config 2b: multi-RHS banded SpMM (8 RHS amortize the diagonal
+    # stream; per-RHS-equivalent throughput approaches the HBM roofline).
+    if not on_cpu:
+        from spsparse_tpu.ops.pallas_dia import prepare_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        from spsparse_tpu.utils.benchtime import bench_slope
+        dia, nnz = build_banded_dia(1 << 20, 5)
+        prep = prepare_dia(dia)
+        X = jnp.asarray(rng.uniform(-1, 1, (8, 1 << 20)).astype(np.float32))
+        t = bench_slope(lambda Xv: spmm_dia_mrhs_pallas(prep, Xv), X,
+                        iters=6, reps=3, u_lo=1, u_hi=3)
+        out.append({"config": "spmv_banded_8rhs", "nnz": nnz,
+                    "time_s": t, "nnz_per_s_aggregate": 8 * nnz / t})
+
     # Config 3 (scaled): sparse (50 nnz/row) x dense 128 block via the
     # Pallas tiled one-hot kernel (the XLA-level path materializes the
     # one-hot tensors in HBM and OOMs at scale).
