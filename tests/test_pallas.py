@@ -160,3 +160,25 @@ class TestMrhsDia:
             spmm_dia_mrhs_pallas(to_dia(b.build()),
                                  np.ones((9, 64), np.float32),
                                  interpret=True)
+
+
+class TestChainKernel:
+    def test_matches_repeated_application(self, rng):
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_dia_chain import spmv_dia_chain_pallas
+        n = 1024
+        b = CooBuilder((n, n), dtype=np.float32)
+        for off in (-1, 0, 2):
+            r = np.arange(max(0, -off), min(n, n - off))
+            b.add_many(np.stack([r, r + off], 1),
+                       rng.uniform(-0.5, 0.5, r.size).astype(np.float32))
+        A = b.build()
+        x = rng.uniform(-1, 1, n).astype(np.float32)
+        y = spmv_dia_chain_pallas(to_dia(A), x, iters=3, scale=0.7,
+                                  block=256, interpret=True)
+        ref = x.astype(np.float64)
+        Ad = np.asarray(A.to_dense(), np.float64)
+        for _ in range(3):
+            ref = 0.7 * (Ad @ ref)
+        np.testing.assert_allclose(np.asarray(y, np.float64), ref,
+                                   rtol=1e-4, atol=1e-6)
