@@ -40,8 +40,11 @@ def build_banded_dia(n: int, band: int, dtype=np.float32):
 
 
 def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
+    import time
+
     from spsparse_tpu.ops.spmv_kernels import spmv_dia
     from spsparse_tpu.ops.pallas_dia import spmv_dia_pallas, prepare_dia
+    from spsparse_tpu.ops.pallas_dia_chain import spmv_dia_chain_pallas
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
@@ -49,16 +52,34 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, n)
                     .astype(np.float32))
     if use_pallas:
+        # Steady-state kernel throughput: T device-resident SpMV iterations
+        # per launch; per-iteration time = slope between two T values
+        # (cancels this rig's large per-call tunnel latency — see
+        # docs/PERFORMANCE.md "methodology").
         prep = prepare_dia(dia)
-        step = lambda v: spmv_dia_pallas(prep, v)
-        impl = "pallas_dia"
+
+        def run(T):
+            y = spmv_dia_chain_pallas(prep, x, iters=T, scale=0.3)
+            return float(jnp.sum(y))
+
+        t_lo_T, t_hi_T = 8, 88
+        run(t_lo_T)
+        run(t_hi_T)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(t_lo_T)
+            lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(t_hi_T)
+            hi = time.perf_counter() - t0
+            samples.append((hi - lo) / (t_hi_T - t_lo_T))
+        t = float(np.median(samples))
+        impl = "pallas_dia_chain_steady_state"
     else:
         step = lambda v: spmv_dia(dia, v)
+        t = bench_slope(step, x, iters=8, reps=3)
         impl = "xla_dia"
-    # Slope method: this rig charges ~0.7 ms fixed per loop iteration, so
-    # per-op time comes from the difference between two unroll factors
-    # (fusion cannot collapse the chain — the kernel is an opaque call).
-    t = bench_slope(step, x, iters=8, reps=3)
 
     kind, bw = device_hbm_bandwidth()
     bytes_moved = nnz * 4 + n * 8
