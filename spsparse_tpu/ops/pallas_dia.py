@@ -44,7 +44,8 @@ def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
     # (1, L) shapes use 1/8 of the VPU and made the roll-based shifts the
     # bottleneck (measured: bf16 data gave zero speedup). Eight row blocks
     # are processed per step:
-    #   xwin_ref (nblocks, L): per-block aligned x windows (precomputed);
+    #   xwin_ref (1, npad + 2*pad): flat padded x, VMEM-resident; each
+    #     step builds its 8 overlapping windows from aligned loads;
     #   data_hbm (nblocks, K, block): pre-blocked diagonal data, DMA'd 8
     #     blocks at a time (leading-dim slice — Mosaic cannot slice the
     #     minor dim of tiled HBM memrefs dynamically);
