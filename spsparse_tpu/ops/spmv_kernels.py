@@ -53,10 +53,31 @@ def spmv_ell(ell: SparseELL, x: Array) -> Array:
     return jnp.sum(ell.vals * xg, axis=1)
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def best_spmv(a, x: Array) -> Array:
-    """Format-dispatched SpMV (jittable; dispatch is static on type)."""
+    """Format-dispatched SpMV (jittable; dispatch is static on type and
+    backend). On TPU, DIA operands route to the Pallas streaming kernel;
+    elsewhere the XLA lowerings apply."""
     if isinstance(a, SparseDIA):
+        if _on_tpu():
+            from .pallas_dia import spmv_dia_pallas
+
+            return spmv_dia_pallas(a, x)
         return spmv_dia(a, x)
+    from .pallas_dia import PreparedDIA
+
+    if isinstance(a, PreparedDIA):
+        from .pallas_dia import spmv_dia_pallas
+
+        return spmv_dia_pallas(a, x, interpret=not _on_tpu())
     if isinstance(a, SparseELL):
         return spmv_ell(a, x)
     if isinstance(a, SparseCSR):
