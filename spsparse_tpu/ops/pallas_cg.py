@@ -8,6 +8,14 @@ iteration. This kernel runs ``T`` whole CG iterations inside a single
 updates, with the solver scalars (``rs``, ``p.Ap``) in SMEM. One launch
 per *solve*, not per op.
 
+**When to use**: the many-small-solves regime, where per-solve dispatch
+dominates (n up to ~100K, or batches of tiny systems). At 1M rows the
+XLA-composed loop (:func:`spsparse_tpu.solvers.cg_solve`, the *default*
+CG path) wins — measured ~1.6 ms/iter vs ~2.3 ms/iter here, because this
+kernel's passes serialize on the SMEM solver scalars while XLA overlaps
+across ops (docs/PERFORMANCE.md "CG megakernel"). Making it win at scale
+needs cross-superblock async DMA chaining — a roadmap item, not shipped.
+
 Operator: :class:`~spsparse_tpu.ops.pallas_dia.PreparedDIA` diagonals plus
 a ``shift * I`` Tikhonov term (callers solve ``(A + shift I) x = b`` with
 the operator SPD).
@@ -170,13 +178,13 @@ def _cg_dia(data3, b_flat, b_blk, *, offsets: tuple, n: int, block: int,
                           offsets=offsets, shift=shift, interpret=interpret),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # data3
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b flat
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b blocked
+            pl.BlockSpec(memory_space=pl.ANY),   # data3
+            pl.BlockSpec(memory_space=pl.ANY),   # b flat
+            pl.BlockSpec(memory_space=pl.ANY),   # b blocked
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x
-            pl.BlockSpec(memory_space=pltpu.ANY),   # r
+            pl.BlockSpec(memory_space=pl.ANY),   # x
+            pl.BlockSpec(memory_space=pl.ANY),   # r
             pl.BlockSpec(memory_space=pltpu.SMEM),  # stats
         ),
         out_shape=(

@@ -97,10 +97,10 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                           block=block, nblocks=nblocks, interpret=interpret),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # data stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, block), jnp.float32),
         scratch_shapes=[

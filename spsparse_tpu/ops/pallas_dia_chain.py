@@ -100,10 +100,10 @@ def _chain(data3, x0_flat, *, offsets: tuple, n: int, block: int,
                           interpret=interpret),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, block), jnp.float32),
         scratch_shapes=[

@@ -90,10 +90,10 @@ def _spmm_mrhs(data3, x3, *, offsets: tuple, n: int, block: int,
                           block=block, nblocks=nblocks, interpret=interpret),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # X windows
-            pl.BlockSpec(memory_space=pltpu.ANY),   # data
+            pl.BlockSpec(memory_space=pl.ANY),   # X windows
+            pl.BlockSpec(memory_space=pl.ANY),   # data
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nblocks, RHS_BLOCK, block),
                                        jnp.float32),
         scratch_shapes=[

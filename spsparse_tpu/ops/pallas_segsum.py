@@ -117,7 +117,7 @@ def segmented_row_sums(prod: Array, row_ptr: Array, *, nrows: int,
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # prod stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # prod stays in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, R), lambda b, s: (b, 0, 0)),
         scratch_shapes=[

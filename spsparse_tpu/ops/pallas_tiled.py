@@ -159,7 +159,7 @@ def _spmm_tiled_pallas(prep_tcols, prep_rows, prep_cols, prep_vals, Xp, *,
             pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, Rt, cap), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # X in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # X in HBM
         ],
         out_specs=pl.BlockSpec((TILE, n_block), lambda b, s: (b, 0)),
         scratch_shapes=[

@@ -9,8 +9,10 @@ gather + segmented reduction with no sorting at all.
 
 XLA paths live here (segment scatter-add for CSR/COO, fully vectorized
 gather+reduce for ELL); the Pallas kernels in
-:mod:`spsparse_tpu.ops.pallas_spmv` override them on TPU for the hot
-configurations.
+:mod:`spsparse_tpu.ops.pallas_dia` (banded),
+:mod:`spsparse_tpu.ops.pallas_segsum` (CSR row reduction) and
+:mod:`spsparse_tpu.ops.pallas_tiled` (general tiled one-hot SpMM)
+override them on TPU for the hot configurations.
 
 Semantics of the ``filter_nan`` flag follow the reference sketch
 (``multiply_dense.hpp:20-23``): non-finite entries of the dense operand are

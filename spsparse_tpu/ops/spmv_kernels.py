@@ -6,8 +6,8 @@ Dispatch layer over the storage formats:
   Zero gathers; streams ``data`` once and ``x`` once per diagonal. This is
   the speed-of-light path for the BASELINE config-2 banded family.
 * :func:`spmv_ell` — general bounded-row-length matrices: row-blocked
-  gather + reduce (XLA lowering; a Pallas variant lives in
-  :mod:`spsparse_tpu.ops.pallas_spmv`).
+  gather + reduce (XLA lowering; Pallas CSR variant in
+  :mod:`spsparse_tpu.ops.pallas_segsum`).
 * :func:`best_spmv` — picks the fastest available implementation for the
   operand's format.
 """

@@ -320,6 +320,7 @@ class TestSpgemmHelpers:
             np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
 
 
+@pytest.mark.slow
 class TestFullSeedSweep:
     """The reference sweeps seeds 1..999 (test_multiply_sparse.cpp:132-136,
     198-203). Same coverage here, vectorized: all seeds share one compiled
