@@ -59,6 +59,92 @@ class TestCdfCodec:
         np.testing.assert_array_equal(back.var("b").data, [1, 2, 3])
 
 
+class TestScipyCrossValidation:
+    """Independent validation of the classic-CDF container bytes: scipy's
+    ``scipy.io.netcdf_file`` is a third-party CDF-1/2 codec (the same wire
+    format libnetcdf writes for the reference's classic files,
+    /root/reference/slib/spsparse/netcdf.hpp:23-76). Both directions —
+    our writer -> scipy reader, scipy writer -> our reader — so the interop
+    claim no longer rests on the codec reading its own writes. CDF-5 is
+    excluded (scipy does not implement it); its schema-level checks live in
+    TestSpSparseSchema/TestCdfCodec."""
+
+    @pytest.mark.parametrize("version", [1, 2])
+    def test_ours_readable_by_scipy(self, tmp_path, version):
+        from scipy.io import netcdf_file
+        nc = NcFile(version=version)
+        d0 = nc.add_dim("n", 4)
+        d1 = nc.add_dim("r", 2)
+        nc.add_var("idx", [d0, d1],
+                   np.array([[0, 1], [1, 3], [2, 0], [3, 5]], np.int32))
+        v = nc.add_var("vals", [d0], np.array([1.5, -2.5, 3.5, 0.25]))
+        v.attrs.append(NcAttr("units", b"kg"))
+        nc.add_var("small", [d1], np.array([7, -8], np.int16))
+        nc.gattrs.append(NcAttr("title", b"interop"))
+        path = str(tmp_path / f"ours{version}.nc")
+        write_cdf(path, nc)
+
+        with netcdf_file(path, "r", mmap=False) as f:
+            assert f.dimensions["n"] == 4
+            assert f.dimensions["r"] == 2
+            np.testing.assert_array_equal(
+                f.variables["idx"][:], [[0, 1], [1, 3], [2, 0], [3, 5]])
+            np.testing.assert_allclose(f.variables["vals"][:],
+                                       [1.5, -2.5, 3.5, 0.25])
+            assert f.variables["vals"].units == b"kg"
+            np.testing.assert_array_equal(f.variables["small"][:], [7, -8])
+            assert f.title == b"interop"
+
+    @pytest.mark.parametrize("version", [1, 2])
+    def test_scipy_readable_by_ours(self, tmp_path, version):
+        from scipy.io import netcdf_file
+        path = str(tmp_path / f"scipy{version}.nc")
+        with netcdf_file(path, "w", version=version) as f:
+            f.createDimension("n", 3)
+            f.createDimension("r", 2)
+            vi = f.createVariable("idx", np.int32, ("n", "r"))
+            vi[:] = np.array([[4, 5], [0, 1], [2, 2]], np.int32)
+            vv = f.createVariable("vals", np.float64, ("n",))
+            vv[:] = np.array([9.0, -1.0, 0.5])
+            vv.units = "m"
+            f.history = "made by scipy"
+
+        back = read_cdf(path)
+        assert back.version == version
+        assert back.dim("n").size == 3
+        np.testing.assert_array_equal(back.var("idx").data,
+                                      [[4, 5], [0, 1], [2, 2]])
+        np.testing.assert_allclose(back.var("vals").data, [9.0, -1.0, 0.5])
+        units = [a for a in back.var("vals").attrs if a.name == "units"][0]
+        assert bytes(units.values) == b"m"
+        hist = [a for a in back.gattrs if a.name == "history"][0]
+        assert bytes(hist.values) == b"made by scipy"
+
+    def test_scipy_written_schema_loads(self, tmp_path):
+        """A foreign (scipy-written) CDF-2 file in the spsparse schema with
+        int32 indices — the classic-file variant a pre-CDF5 toolchain
+        produces — loads through ``load_netcdf``."""
+        from scipy.io import netcdf_file
+        path = str(tmp_path / "schema32.nc")
+        with netcdf_file(path, "w", version=2) as f:
+            f.createDimension("A.size", 3)
+            f.createDimension("A.rank", 2)
+            vi = f.createVariable("A.indices", np.int32, ("A.size", "A.rank"))
+            vi[:] = np.array([[1, 2], [2, 3], [4, 5]], np.int32)
+            vv = f.createVariable("A.vals", np.float64, ("A.size",))
+            vv[:] = np.array([3.5, 4.5, 5.5])
+            info = f.createVariable("A.info", np.int32, ())
+            info.data = np.zeros((), np.int32)
+            # scipy reserves .shape on the variable object; set the netCDF
+            # attribute through the attribute dict instead.
+            info._attributes["shape"] = np.array([5, 6], np.int32)
+        B = load_netcdf(path, "A", rank=2)
+        assert B.shape == (5, 6)
+        idx, vals = B.to_lists()
+        assert idx == [(1, 2), (2, 3), (4, 5)]
+        np.testing.assert_allclose(vals, [3.5, 4.5, 5.5])
+
+
 class TestSpSparseSchema:
     def test_round_trip_alloc(self, tmp_path):
         # test_netcdf.cpp:49-98 — write, read back with alloc
