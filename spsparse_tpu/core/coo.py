@@ -36,13 +36,25 @@ import numpy as np
 
 from .errors import DuplicatePolicy, SpSparseError, spsparse_error
 
-__all__ = ["SparseCOO", "CooBuilder", "coo_matrix", "coo_vector"]
+__all__ = ["SparseCOO", "CooBuilder", "coo_matrix", "coo_vector",
+           "default_index_dtype"]
 
 Array = Any
 
 
 def _canonical_index_dtype() -> jnp.dtype:
     return jnp.dtype(jnp.int32)
+
+
+def default_index_dtype(shape: Sequence[int]) -> jnp.dtype:
+    """int32 unless any extent (or the sentinel ``extent`` itself) overflows
+    it — then int64, matching the reference's int64 ``IndexT``/NetCDF schema
+    (/root/reference/slib/spsparse/netcdf.hpp:102). int64 indices on device
+    require ``jax_enable_x64`` (otherwise JAX silently truncates to int32).
+    """
+    if shape and max(int(s) for s in shape) >= 2**31:
+        return jnp.dtype(jnp.int64)
+    return _canonical_index_dtype()
 
 
 def round_up_pow2(n: int) -> int:
@@ -113,7 +125,7 @@ class SparseCOO:
     @staticmethod
     def sentinel_index(shape: Sequence[int], dtype=None) -> np.ndarray:
         """The padding index tuple: one-past-the-end in every dimension."""
-        dtype = dtype or _canonical_index_dtype()
+        dtype = dtype or default_index_dtype(shape)
         return np.asarray(shape, dtype=dtype)
 
     @classmethod
@@ -122,7 +134,7 @@ class SparseCOO:
         """An all-padding array with ``nnz == 0`` and the given capacity."""
         shape = tuple(int(s) for s in shape)
         cap = max(int(cap), 1)
-        index_dtype = index_dtype or _canonical_index_dtype()
+        index_dtype = index_dtype or default_index_dtype(shape)
         sent = cls.sentinel_index(shape, index_dtype)
         indices = jnp.broadcast_to(jnp.asarray(sent), (cap, len(shape)))
         vals = jnp.zeros((cap,), dtype=dtype)
@@ -157,8 +169,11 @@ class SparseCOO:
         if indices.ndim != 2 or indices.shape[1] != rank:
             raise SpSparseError(
                 f"indices must have shape (n, {rank}); got {indices.shape}")
+        need = default_index_dtype(shape)
         if indices.dtype not in (jnp.int32, jnp.int64):
-            indices = indices.astype(_canonical_index_dtype())
+            indices = indices.astype(need)
+        elif indices.dtype == jnp.int32 and need == jnp.int64:
+            indices = indices.astype(jnp.int64)
         vals = jnp.asarray(vals)
         n = indices.shape[0]
         if vals.shape != (n,):
@@ -219,7 +234,7 @@ class SparseCOO:
             vals = np_arr[nz]
             return cls.from_arrays(idx, vals, np_arr.shape, check=False)
         nz = jnp.nonzero(arr, size=cap, fill_value=tuple(arr.shape))
-        idx = jnp.stack(nz, axis=1).astype(_canonical_index_dtype())
+        idx = jnp.stack(nz, axis=1).astype(default_index_dtype(arr.shape))
         nnz = jnp.sum(arr != 0).astype(jnp.int32)
         vals = jnp.where(jnp.arange(cap) < nnz, arr[nz], 0)
         return cls(indices=idx, vals=vals, nnz=nnz, shape=arr.shape)
@@ -408,7 +423,8 @@ class CooBuilder:
     """
 
     def __init__(self, shape: Sequence[int], dtype=jnp.float32,
-                 index_dtype=np.int32):
+                 index_dtype=None):
+        index_dtype = index_dtype or np.dtype(default_index_dtype(shape))
         self.shape = tuple(int(s) for s in shape)
         self.rank = len(self.shape)
         self._cap = 16

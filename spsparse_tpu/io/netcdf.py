@@ -89,7 +89,11 @@ def _read_array(nc: NcFile, vname: str, *, rank: int | None = None,
         shape = tuple(int(s) for s in shape)
     idx = np.asarray(nc.var(f"{vname}.indices").data, np.int64)
     vals = np.asarray(nc.var(f"{vname}.vals").data, dtype)
-    return SparseCOO.from_arrays(idx.astype(np.int32), vals, shape, cap=cap)
+    # Index dtype follows the extents: int64 stays int64 when any extent
+    # needs it (reference stores int64 on disk, netcdf.hpp:102).
+    from ..core.coo import default_index_dtype
+    idx = idx.astype(np.dtype(default_index_dtype(shape)))
+    return SparseCOO.from_arrays(idx, vals, shape, cap=cap)
 
 
 def save_netcdf(path, arrays: dict[str, SparseCOO], *, version: int = 5) -> None:

@@ -438,3 +438,42 @@ class TestPropertyRandomized:
         np.testing.assert_allclose(np.nan_to_num(gv), np.nan_to_num(ev),
                                    rtol=1e-13)
         assert got.sort_order == order
+
+
+class TestInt64Extents:
+    """Extents past 2^31 use int64 indices end-to-end (reference parity:
+    IndexT is int64 and the NetCDF schema stores int64,
+    /root/reference/slib/spsparse/netcdf.hpp:102)."""
+
+    def test_default_dtype_selection(self):
+        from spsparse_tpu.core.coo import default_index_dtype
+        assert default_index_dtype((100, 100)) == jnp.int32
+        assert default_index_dtype((4, 2**31)) == jnp.int64
+        assert default_index_dtype(()) == jnp.int32
+
+    def test_consolidate_and_netcdf_round_trip(self, tmp_path):
+        from spsparse_tpu.io import load_netcdf, save_netcdf
+        big = 2**33 + 5
+        b = CooBuilder((4, big))
+        assert b._idx.dtype == np.int64
+        b.add((1, 2**32 + 7), 1.5)
+        b.add((0, big - 1), 2.5)
+        b.add((1, 2**32 + 7), 3.0)  # duplicate — merges under ADD
+        A = b.build()
+        assert A.index_dtype == jnp.int64
+        C = A.consolidate()
+        idx, vals = C.to_lists()
+        assert idx == [(0, big - 1), (1, 2**32 + 7)]
+        assert vals == [2.5, 4.5]
+
+        path = tmp_path / "big.nc"
+        save_netcdf(path, {"A": C})
+        B = load_netcdf(path, "A", rank=2)
+        assert B.index_dtype == jnp.int64
+        assert B.shape == (4, big)
+        assert B.to_lists() == C.to_lists()
+
+    def test_from_arrays_upcasts_int32_input(self):
+        A = SparseCOO.from_arrays(
+            np.array([[0, 0]], np.int32), np.array([1.0]), (2, 2**31 + 2))
+        assert A.index_dtype == jnp.int64
