@@ -40,6 +40,7 @@ __all__ = [
     "consolidate",
     "sorted_permutation",
     "merge_sorted_entries",
+    "sort_entry_stream",
     "filter_compact",
     "Consolidated",
 ]
@@ -68,6 +69,114 @@ def filter_compact(a: SparseCOO, keep, *, cap: int | None = None) -> SparseCOO:
                      shape=a.shape, sort_order=a.sort_order).repad()
 
 
+def _plan_packing(extents: Sequence[int], limit: int) -> list[list[int]]:
+    """Greedily group consecutive column extents into words whose value
+    range stays below ``limit``. Returns a list of groups of column
+    positions; lexicographic order over the packed words equals the
+    original column-wise lexicographic order."""
+    words: list[list[int]] = []
+    cur: list[int] = []
+    prod = 1
+    for pos, e in enumerate(extents):
+        e = max(int(e), 1)
+        if cur and prod * e <= limit:
+            cur.append(pos)
+            prod *= e
+        else:
+            if cur:
+                words.append(cur)
+            cur = [pos]
+            prod = e
+    if cur:
+        words.append(cur)
+    return words
+
+
+def _pack_cols(col_arrays, extents, words, dtype):
+    """Pack column arrays into mixed-radix words per ``words`` plan."""
+    packed = []
+    for grp in words:
+        mult = 1
+        word = None
+        for pos in reversed(grp):
+            contrib = col_arrays[pos].astype(dtype) * jnp.asarray(mult, dtype)
+            word = contrib if word is None else word + contrib
+            mult *= max(int(extents[pos]), 1)
+        packed.append(word)
+    return packed
+
+
+def _unpack_cols(packed, extents, words, dtype):
+    """Inverse of :func:`_pack_cols` (div/mod per column)."""
+    cols = [None] * len(extents)
+    for word, grp in zip(packed, words):
+        mult = 1
+        for pos in reversed(grp):
+            e = max(int(extents[pos]), 1)
+            cols[pos] = ((word // mult) % e).astype(dtype)
+            mult *= e
+    return cols
+
+
+def sort_entry_stream(col_arrays, vals, live, *, extents, extra=(),
+                      num_key_cols: int | None = None):
+    """Stable sort of a (columns, vals) entry stream by its leading columns.
+
+    The TPU-tuned core shared by :func:`consolidate` and the ESC SpGEMM
+    compress phase. ``lax.sort`` cost on TPU scales with the *number of
+    operand arrays* (measured on v5e: 1 array 1.8 Gelem/s, 4 arrays
+    0.59 Gelem/s at 8M), so index columns are packed into as few mixed-radix
+    words as the index dtype allows (each column gets ``extent+1`` headroom
+    so the sentinel ``extent`` survives packing), dead entries are encoded
+    as all-sentinel keys (no separate validity array — liveness is recovered
+    as ``word0 != max``), and columns are reconstructed by div/mod after the
+    sort. Returns ``(cols, vals, live, extras)`` sorted.
+    """
+    ncols = len(col_arrays)
+    if num_key_cols is None:
+        num_key_cols = ncols
+    dtype = col_arrays[0].dtype
+    limit = 2 ** 62 if dtype == jnp.int64 else 2 ** 31
+    exts = [int(e) + 1 for e in extents]
+
+    sent_cols = [
+        jnp.where(live, col_arrays[d], jnp.asarray(extents[d], dtype))
+        for d in range(ncols)
+    ]
+    vals = jnp.where(live, vals, jnp.zeros((), vals.dtype))
+
+    key_words_plan = _plan_packing(exts[:num_key_cols], limit)
+    other_plan = _plan_packing(exts[num_key_cols:], limit)
+    key_words = _pack_cols(sent_cols[:num_key_cols], exts[:num_key_cols],
+                           key_words_plan, dtype)
+    other_words = _pack_cols(sent_cols[num_key_cols:], exts[num_key_cols:],
+                             other_plan, dtype)
+
+    out = jax.lax.sort(
+        tuple(key_words) + tuple(other_words) + (vals,) + tuple(extra),
+        num_keys=len(key_words),
+        is_stable=True,
+    )
+    skey = out[: len(key_words)]
+    sother = out[len(key_words): len(key_words) + len(other_words)]
+    svals = out[len(key_words) + len(other_words)]
+    sextra = out[len(key_words) + len(other_words) + 1:]
+
+    # Dead entries are all-sentinel: their first packed word is the maximum
+    # packable value; any live entry is strictly below it (every live column
+    # is < extent).
+    max0 = 1
+    for pos in key_words_plan[0]:
+        max0 *= exts[pos]
+    slive = skey[0] != jnp.asarray(max0 - 1, dtype)
+
+    skey_cols = _unpack_cols(skey, exts[:num_key_cols], key_words_plan,
+                             dtype)
+    sother_cols = _unpack_cols(sother, exts[num_key_cols:], other_plan,
+                               dtype)
+    return skey_cols + sother_cols, svals, slive, sextra
+
+
 def _sort_operands(a: SparseCOO, sort_order: Sequence[int], extra=(),
                    live=None):
     """Stable-sort the entries of ``a`` by its index columns in ``sort_order``.
@@ -81,37 +190,19 @@ def _sort_operands(a: SparseCOO, sort_order: Sequence[int], extra=(),
     sort_order = tuple(sort_order)
     if live is None:
         live = a.valid_mask()
-    vals = jnp.where(live, a.vals, jnp.zeros((), a.vals.dtype))
-
-    key_cols = []
-    for d in sort_order:
-        sent = jnp.asarray(a.shape[d], a.indices.dtype)
-        key_cols.append(jnp.where(live, a.indices[:, d], sent))
-    # Carry the remaining (non-key) index columns, validity, vals, extras.
     other_dims = [d for d in range(rank) if d not in sort_order]
-    carried = (
-        [a.indices[:, d] for d in other_dims]
-        + [live.astype(jnp.int32), vals]
-        + list(extra)
-    )
-    out = jax.lax.sort(
-        tuple(key_cols) + tuple(carried),
-        num_keys=len(sort_order),
-        is_stable=True,
-    )
-    skeys = out[: len(sort_order)]
-    scarried = out[len(sort_order):]
-    sother = scarried[: len(other_dims)]
-    slive = scarried[len(other_dims)] == 1
-    svals = scarried[len(other_dims) + 1]
-    sextra = scarried[len(other_dims) + 2:]
+    dim_order = list(sort_order) + other_dims
+
+    cols_in = [a.indices[:, d] for d in dim_order]
+    extents = [a.shape[d] for d in dim_order]
+    scols, svals, slive, sextra = sort_entry_stream(
+        cols_in, a.vals, live, extents=extents, extra=extra,
+        num_key_cols=len(sort_order))
 
     # Reassemble index columns in natural dimension order.
     cols: list = [None] * rank
-    for pos, d in enumerate(sort_order):
-        cols[d] = skeys[pos]
-    for pos, d in enumerate(other_dims):
-        cols[d] = sother[pos]
+    for pos, d in enumerate(dim_order):
+        cols[d] = scols[pos]
     return cols, svals, slive, sextra
 
 

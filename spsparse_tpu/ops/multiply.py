@@ -53,6 +53,7 @@ from ..core.consolidate import (
     consolidate as _consolidate,
     filter_compact,
     merge_sorted_entries,
+    sort_entry_stream,
 )
 from ..core.coo import SparseCOO, round_up_pow2
 from ..core.errors import DuplicatePolicy, spsparse_error
@@ -159,12 +160,11 @@ def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
     sum. Returns the unscaled, unfiltered merged COO (row-major sorted)."""
     I, J = out_shape
     merge_cap = merge_cap if merge_cap is not None else i_t.shape[0]
-    ik = jnp.where(valid_t, i_t, I).astype(jnp.int32)
-    jk = jnp.where(valid_t, j_t, J).astype(jnp.int32)
-    si_, sj_, sv_, svalid = jax.lax.sort(
-        (ik, jk, v_t, valid_t.astype(jnp.int32)), num_keys=2, is_stable=True)
+    (si_, sj_), sv_, slive, _ = sort_entry_stream(
+        (i_t.astype(jnp.int32), j_t.astype(jnp.int32)), v_t, valid_t,
+        extents=(I, J))
     return merge_sorted_entries(
-        (si_, sj_), sv_, svalid == 1,
+        (si_, sj_), sv_, slive,
         shape=out_shape, duplicate_policy=DuplicatePolicy.ADD,
         cap=merge_cap, sort_order=(0, 1), index_dtype=jnp.int32)
 
