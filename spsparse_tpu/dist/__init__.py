@@ -2,14 +2,18 @@
 
 from .partition import (RowPartitionedCSR, RowPartitionedBucketed,
                         partition_rows, partition_bucketed, partition_vector)
-from .ops import (dist_spmv, dist_spmv_bucketed, dist_spmm, dist_spgemm,
-                  RowPartitionedCOO)
+from .ops import (dist_spmv, dist_spmv_bucketed, dist_spmv_halo, dist_spmm,
+                  dist_spmm_bucketed, dist_spgemm, RowPartitionedCOO)
 from .spgemm_a2a import dist_spgemm_a2a
 from .spgemm_ring import dist_spgemm_ring
+from .model import (RingModel, ring_weak_scaling_efficiency,
+                    halo_weak_scaling_efficiency)
 
 __all__ = [
     "RowPartitionedCSR", "RowPartitionedBucketed", "partition_rows",
     "partition_bucketed", "partition_vector",
-    "dist_spmv", "dist_spmv_bucketed", "dist_spmm", "dist_spgemm",
-    "dist_spgemm_a2a", "dist_spgemm_ring", "RowPartitionedCOO",
+    "dist_spmv", "dist_spmv_bucketed", "dist_spmm", "dist_spmm_bucketed",
+    "dist_spgemm", "dist_spgemm_a2a", "dist_spgemm_ring",
+    "RowPartitionedCOO", "RingModel", "ring_weak_scaling_efficiency",
+    "halo_weak_scaling_efficiency", "dist_spmv_halo",
 ]

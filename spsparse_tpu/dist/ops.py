@@ -34,8 +34,8 @@ from ..core.coo import SparseCOO
 from ..ops.multiply import expand_products_raw, sort_and_merge_products
 from .partition import RowPartitionedCSR, RowPartitionedBucketed
 
-__all__ = ["dist_spmv", "dist_spmv_bucketed", "dist_spmm", "dist_spgemm",
-           "RowPartitionedCOO"]
+__all__ = ["dist_spmv", "dist_spmv_bucketed", "dist_spmv_halo", "dist_spmm",
+           "dist_spmm_bucketed", "dist_spgemm", "RowPartitionedCOO"]
 
 Array = Any
 
@@ -190,6 +190,128 @@ def dist_spmv_bucketed(part: RowPartitionedBucketed, x_parts, mesh: Mesh,
         in_specs=(P(axis),) * 5,
         out_specs=P(axis))
     return fn(part.rows, part.cols, part.vals, part.nnz, x_parts)
+
+
+def dist_spmm_bucketed(part: RowPartitionedBucketed, x_parts, mesh: Mesh,
+                       axis: str = "x"):
+    """Ring SpMM over the column-bucketed layout: the dense right block
+    ``X (P, blk_len, N)`` rotates around the ring while each device
+    multiplies only the bucket owned by the resident block — one pass over
+    the local entries total, O(local X block) peak memory, comm overlapped
+    with compute (the SpMM analogue of :func:`dist_spmv_bucketed`;
+    round-1 ``dist_spmm`` all-gathers X, O(K x N) per device)."""
+    nparts = mesh.shape[axis]
+    blk_len = x_parts.shape[1]
+    if part.n_buckets != nparts or part.blk_len != blk_len:
+        raise ValueError(
+            "bucketed layout must match the mesh/X distribution: "
+            f"n_buckets={part.n_buckets} vs P={nparts}, "
+            f"blk_len={part.blk_len} vs {blk_len}")
+    rows_local = part.rows_local
+
+    def local_fn(rows, cols, vals, nnz, xl):
+        rows, cols, vals, nnz, xl = (rows[0], cols[0], vals[0], nnz[0],
+                                     xl[0])
+        me = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+        N = xl.shape[1]
+        y = jnp.zeros((rows_local, N), vals.dtype)
+        x_cur = xl
+        cap = rows.shape[1]
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        for s in range(nparts):
+            b = (me + s) % nparts
+            r_b = jnp.take(rows, b, axis=0)
+            c_b = jnp.take(cols, b, axis=0)
+            v_b = jnp.take(vals, b, axis=0)
+            live = slot < jnp.take(nnz, b)
+            rel = jnp.clip(c_b - b * blk_len, 0, blk_len - 1)
+            gathered = jnp.take(x_cur, rel, axis=0)       # (cap, N)
+            prod = jnp.where(live[:, None], v_b[:, None] * gathered, 0)
+            tgt = jnp.where(live, r_b, rows_local)
+            y = y.at[tgt].add(prod, mode="drop")
+            if s + 1 < nparts:
+                x_cur = jax.lax.ppermute(x_cur, axis, perm)
+        return y[None]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 5,
+        out_specs=P(axis))
+    return fn(part.rows, part.cols, part.vals, part.nnz, x_parts)
+
+
+def dist_spmv_halo(part: RowPartitionedCSR, x_parts, mesh: Mesh,
+                   axis: str = "x", *, halo: int):
+    """Banded-matrix SpMV with neighbor-only halo exchange.
+
+    For matrices whose columns stay within ``halo`` of the local row range
+    (bandwidth <= halo — the BASELINE config-2 family), each device needs
+    only the tail of its left neighbour's x block and the head of its
+    right neighbour's: two ``ppermute`` transfers of ``halo`` elements,
+    independent of P. This is the weak-scaling-correct primitive — the
+    ring rotates ALL of x past every device (O(P * blk) comm per device,
+    which the analytical model shows cannot hit the 80% weak-scaling
+    target for ~10 nnz/row matrices), while halo comm is O(halo).
+
+    Entries whose columns fall outside the halo window contribute zero;
+    callers must choose ``halo`` >= the true matrix bandwidth (checked
+    eagerly when the operand is concrete).
+    """
+    nparts = mesh.shape[axis]
+    blk_len = x_parts.shape[1]
+    if halo > blk_len:
+        raise ValueError(f"halo={halo} exceeds block length {blk_len}")
+    rows_local = part.rows_local
+
+    def local_fn(rp, cols, vals, nnz, xl):
+        rp, cols, vals, nnz, xl = rp[0], cols[0], vals[0], nnz[0], xl[0]
+        me = jax.lax.axis_index(axis)
+        # Left halo: tail of the left neighbour's block (device p receives
+        # from p-1); right halo: head of the right neighbour's block.
+        from_left = jax.lax.ppermute(
+            xl[blk_len - halo:], axis,
+            [(i, (i + 1) % nparts) for i in range(nparts)])
+        from_right = jax.lax.ppermute(
+            xl[:halo], axis,
+            [(i, (i - 1) % nparts) for i in range(nparts)])
+        # Zero the wrapped halos at the chain ends (no periodic boundary).
+        from_left = jnp.where(me > 0, from_left, 0)
+        from_right = jnp.where(me < nparts - 1, from_right, 0)
+        x_ext = jnp.concatenate([from_left, xl, from_right])
+
+        nrows = rp.shape[0] - 1
+        cap = cols.shape[0]
+        live = jnp.arange(cap, dtype=jnp.int32) < nnz
+        rel = cols - (me * blk_len - halo)
+        in_win = live & (rel >= 0) & (rel < blk_len + 2 * halo)
+        xg = jnp.take(x_ext, jnp.clip(rel, 0, blk_len + 2 * halo - 1))
+        prod = jnp.where(in_win, vals * xg, 0)
+        rows = jnp.searchsorted(
+            rp, jnp.arange(cap, dtype=rp.dtype), side="right"
+        ).astype(jnp.int32) - 1
+        rows = jnp.where(in_win, rows, nrows)
+        y = jnp.zeros((nrows,), prod.dtype).at[rows].add(prod, mode="drop")
+        return y[None]
+
+    # Eager bandwidth check when operands are concrete.
+    if not isinstance(part.cols, jax.core.Tracer):
+        cols_h = np.asarray(part.cols)
+        nnz_h = np.asarray(part.nnz)
+        for p in range(nparts):
+            c = cols_h[p][: int(nnz_h[p])]
+            if c.size:
+                lo, hi = p * blk_len - halo, (p + 1) * blk_len + halo
+                if (c < lo).any() or (c >= hi).any():
+                    raise ValueError(
+                        f"partition {p} has columns outside its halo-{halo} "
+                        "window; increase halo or use dist_spmv")
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 5,
+        out_specs=P(axis))
+    return fn(part.row_ptr, part.cols, part.vals, part.nnz, x_parts)
 
 
 def dist_spmm(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x"):
