@@ -46,27 +46,57 @@ __all__ = [
 ]
 
 
+def compact_select(select, carried, *, cap_out: int):
+    """Order-preserving compaction of the ``select``-flagged entries of
+    parallel arrays to the front, without scatters.
+
+    XLA scatter/gather on TPU run at ~0.09 Gelem/s (per-element serial),
+    so compaction-by-scatter dominated round-1 consolidate. This uses one
+    stable single-key ``lax.sort`` instead (selected entries get key 0,
+    the rest key 1; stability preserves order within each class), which
+    streams at ~1-2 Gelem/s. Returns ``(compacted_arrays, n_selected)``;
+    each output is resized to ``cap_out`` (slice or pad at the end — the
+    tail is unselected-class data that callers must mask via
+    ``n_selected``).
+    """
+    key = jnp.where(select, jnp.int32(0), jnp.int32(1))
+    n_sel = jnp.sum(select).astype(jnp.int32)
+    out = jax.lax.sort((key,) + tuple(carried), num_keys=1, is_stable=True)
+    comp = []
+    n = key.shape[0]
+    for arr in out[1:]:
+        if cap_out <= n:
+            comp.append(arr[:cap_out])
+        else:
+            pad = [(0, cap_out - n)] + [(0, 0)] * (arr.ndim - 1)
+            comp.append(jnp.pad(arr, pad))
+    return tuple(comp), n_sel
+
+
 def filter_compact(a: SparseCOO, keep, *, cap: int | None = None) -> SparseCOO:
     """Keep only entries where ``keep`` is true, compacting to the front.
 
     Order-preserving (so sortedness metadata survives); jit-compatible.
     ``keep`` is a ``(cap,)`` boolean mask; entries outside the live range are
-    dropped regardless.
+    dropped regardless. Implemented with :func:`compact_select` (stable
+    sort), not scatter — see that docstring for why.
     """
     keep = jnp.asarray(keep) & a.valid_mask()
     cap_out = a.cap if cap is None else int(cap)
-    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, new_pos, jnp.asarray(cap_out, jnp.int32))
-    n_out = jnp.sum(keep).astype(jnp.int32)
-
-    sent = SparseCOO.sentinel_index(a.shape, a.index_dtype)
-    out_idx = jnp.broadcast_to(jnp.asarray(sent), (cap_out, a.rank))
-    out_idx = out_idx.at[tgt].set(a.indices, mode="drop")
-    out_vals = jnp.zeros((cap_out,), a.vals.dtype).at[tgt].set(
-        a.vals, mode="drop")
-    return SparseCOO(indices=out_idx, vals=out_vals,
-                     nnz=jnp.minimum(n_out, cap_out).astype(jnp.int32),
-                     shape=a.shape, sort_order=a.sort_order).repad()
+    dtype = a.index_dtype
+    limit = 2 ** 62 if dtype == jnp.int64 else 2 ** 31
+    exts = [int(s) + 1 for s in a.shape]
+    plan = _plan_packing(exts, limit)
+    cols = [a.indices[:, d] for d in range(a.rank)]
+    words = _pack_cols(cols, exts, plan, dtype)
+    (comp_out), n_out = compact_select(
+        keep, tuple(words) + (a.vals,), cap_out=cap_out)
+    out_cols = _unpack_cols(comp_out[:len(words)], exts, plan, dtype)
+    out_vals = comp_out[len(words)]
+    n_out = jnp.minimum(n_out, cap_out).astype(jnp.int32)
+    return SparseCOO(indices=jnp.stack(out_cols, axis=1), vals=out_vals,
+                     nnz=n_out, shape=a.shape,
+                     sort_order=a.sort_order).repad()
 
 
 def _plan_packing(extents: Sequence[int], limit: int) -> list[list[int]]:
@@ -229,6 +259,7 @@ def merge_sorted_entries(
     cap: int,
     sort_order: tuple | None = None,
     index_dtype=None,
+    method: str = "compact",
 ) -> SparseCOO:
     """Merge runs of equal index tuples in already-sorted entry streams.
 
@@ -241,6 +272,21 @@ def merge_sorted_entries(
     * ``LEAVE_ALONE``: first value of each run (``algorithm.hpp:307`` — no-op
       on later duplicates).
     * ``REPLACE``: last value of each run (``algorithm.hpp:309-310``).
+
+    ``method``:
+
+    * ``"compact"`` (default, TPU-fast): run representatives are compacted
+      to the front with one stable single-key sort
+      (:func:`compact_select`); ADD sums arrive as differences of the
+      inclusive prefix sum at run ends. ~10x over scatter on v5e (XLA
+      scatters execute per-element at ~0.09 Gelem/s). Note the ADD sums
+      are evaluated as ``cumsum[end] - cumsum[prev_end]`` — algebraically
+      the in-order run sum, but not bitwise-identical to a left-to-right
+      per-run accumulation in floating point (differences are O(n*eps)
+      relative to the prefix magnitude).
+    * ``"scatter"``: the round-1 formulation (XLA scatter-add/set). Run
+      sums accumulate left-to-right per run — bitwise parity with the
+      reference's sequential scan — at scatter speed.
 
     Returns a compact :class:`SparseCOO` of capacity ``cap``; runs beyond
     ``cap`` are dropped (callers choose ``cap`` >= worst case when exactness
@@ -257,8 +303,16 @@ def merge_sorted_entries(
     is_new = valid & ~same_as_prev
     seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # -1 before first run
     n_out = jnp.sum(is_new).astype(jnp.int32)
+    shape = tuple(int(s) for s in shape)
 
-    # Scatter target: run id for run starts/ends, else out-of-range (dropped).
+    if method == "compact":
+        return _merge_compact(index_cols, vals, valid, is_new,
+                              shape=shape,
+                              duplicate_policy=duplicate_policy, cap=cap,
+                              sort_order=sort_order,
+                              index_dtype=index_dtype, n_out=n_out)
+
+    # ---- scatter formulation (reference-bitwise ADD accumulation) ----
     drop = jnp.asarray(cap, jnp.int32)
     start_tgt = jnp.where(is_new, seg_id, drop)
 
@@ -270,23 +324,14 @@ def merge_sorted_entries(
         out_vals = jnp.zeros((cap,), vals.dtype).at[start_tgt].set(
             vals, mode="drop")
     elif duplicate_policy == DuplicatePolicy.REPLACE:
-        # A valid entry ends its run if the next entry starts a new run or
-        # there is no next valid entry (valid entries are contiguous at the
-        # front, so the last valid entry always ends a run).
-        nxt = jnp.arange(n, dtype=jnp.int32) + 1
-        next_new = jnp.where(nxt < n, jnp.roll(is_new, -1), True)
-        next_valid = jnp.where(nxt < n, jnp.roll(valid, -1), False)
-        is_last = valid & (next_new | ~next_valid)
+        is_last = _run_last(is_new, valid)
         end_tgt = jnp.where(is_last, seg_id, drop)
         out_vals = jnp.zeros((cap,), vals.dtype).at[end_tgt].set(
             vals, mode="drop")
     else:  # pragma: no cover
         raise ValueError(f"unknown duplicate policy {duplicate_policy}")
 
-    shape = tuple(int(s) for s in shape)
     sent = SparseCOO.sentinel_index(shape, index_dtype)
-    out_idx = jnp.broadcast_to(
-        jnp.asarray(sent), (cap, len(shape))).astype(index_dtype)
     out_cols = []
     for k, col in enumerate(index_cols):
         out_col = jnp.full((cap,), sent[k], dtype=index_dtype).at[
@@ -300,6 +345,111 @@ def merge_sorted_entries(
     return out.repad()
 
 
+def _run_last(is_new, valid):
+    """A valid entry ends its run iff the next entry starts a new run or
+    there is no next valid entry (valid entries are contiguous)."""
+    n = is_new.shape[0]
+    nxt = jnp.arange(n, dtype=jnp.int32) + 1
+    next_new = jnp.where(nxt < n, jnp.roll(is_new, -1), True)
+    next_valid = jnp.where(nxt < n, jnp.roll(valid, -1), False)
+    return valid & (next_new | ~next_valid)
+
+
+def _merge_compact(index_cols, vals, valid, is_new, *, shape,
+                   duplicate_policy, cap, sort_order, index_dtype, n_out):
+    """Scatter-free merge: pick one representative entry per run, compact
+    representatives to the front with a stable sort."""
+    floating = jnp.issubdtype(vals.dtype, jnp.floating)
+    if duplicate_policy == DuplicatePolicy.ADD:
+        select = _run_last(is_new, valid)
+        if floating:
+            # A plain cumsum would poison every run after the first
+            # non-finite value. Prefix-sum the finite part and carry
+            # integer presence counts; the IEEE outcome of a sum depends
+            # only on which non-finite classes the run contains (any NaN
+            # -> NaN; +inf and -inf -> NaN; else the surviving inf). The
+            # counts ride the compaction sort only on the (rare) inputs
+            # that actually contain non-finite values — a runtime
+            # ``lax.cond`` picks the 3-fewer-operand sort otherwise.
+            finite = jnp.isfinite(vals)
+            carry_val = jnp.cumsum(jnp.where(finite, vals, 0))
+            extra = (jnp.cumsum(jnp.isnan(vals).astype(jnp.int32)),
+                     jnp.cumsum((vals == jnp.inf).astype(jnp.int32)),
+                     jnp.cumsum((vals == -jnp.inf).astype(jnp.int32)))
+        else:
+            carry_val = jnp.cumsum(vals)
+            extra = ()
+    elif duplicate_policy == DuplicatePolicy.LEAVE_ALONE:
+        select = is_new
+        carry_val = vals
+        extra = ()
+    elif duplicate_policy == DuplicatePolicy.REPLACE:
+        select = _run_last(is_new, valid)
+        carry_val = vals
+        extra = ()
+    else:  # pragma: no cover
+        raise ValueError(f"unknown duplicate policy {duplicate_policy}")
+
+    limit = 2 ** 62 if index_dtype == jnp.int64 else 2 ** 31
+    exts = [int(s) + 1 for s in shape]
+    plan = _plan_packing(exts, limit)
+    sent_cols = [
+        jnp.where(valid, c.astype(index_dtype),
+                  jnp.asarray(shape[d], index_dtype))
+        for d, c in enumerate(index_cols)
+    ]
+    words = _pack_cols(sent_cols, exts, plan, index_dtype)
+    if extra:
+        def with_counts(ops):
+            sel, base, ex = ops
+            comp, _ = compact_select(sel, base + ex, cap_out=cap)
+            return comp
+
+        def without_counts(ops):
+            sel, base, ex = ops
+            comp, _ = compact_select(sel, base, cap_out=cap)
+            # Derive the zeros from ``ex`` so they carry the same
+            # mesh-axis varying-ness under shard_map (a plain
+            # ``jnp.zeros`` is replicated, and cond requires both
+            # branches' outputs to vary over the same manual axes).
+            z = jnp.zeros((cap,), jnp.int32) + ex[0][0] * 0
+            return comp + (z,) * len(ex)
+
+        any_nonfinite = (extra[0][-1] + extra[1][-1] + extra[2][-1]) > 0
+        comp = jax.lax.cond(any_nonfinite, with_counts, without_counts,
+                            (select, tuple(words) + (carry_val,), extra))
+    else:
+        comp, _ = compact_select(select, tuple(words) + (carry_val,),
+                                 cap_out=cap)
+    out_cols = _unpack_cols(comp[:len(words)], exts, plan, index_dtype)
+    cval = comp[len(words)]
+
+    def run_diff(c):
+        prev = jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+        return c - prev
+
+    if duplicate_policy == DuplicatePolicy.ADD:
+        # Run sum = inclusive-prefix at this run's end minus at the
+        # previous run's end (runs tile the valid prefix contiguously).
+        out_vals = run_diff(cval)
+        if extra:
+            n_nan, n_pos, n_neg = (run_diff(comp[len(words) + 1 + i])
+                                   for i in range(3))
+            out_vals = jnp.where(n_pos > 0, jnp.asarray(
+                jnp.inf, out_vals.dtype), out_vals)
+            out_vals = jnp.where(n_neg > 0, jnp.asarray(
+                -jnp.inf, out_vals.dtype), out_vals)
+            out_vals = jnp.where(
+                (n_nan > 0) | ((n_pos > 0) & (n_neg > 0)),
+                jnp.asarray(jnp.nan, out_vals.dtype), out_vals)
+    else:
+        out_vals = cval
+    out = SparseCOO(indices=jnp.stack(out_cols, axis=1), vals=out_vals,
+                    nnz=jnp.minimum(n_out, cap).astype(jnp.int32),
+                    shape=shape, sort_order=sort_order)
+    return out.repad()
+
+
 @traced("spsparse.consolidate")
 def consolidate(
     a: SparseCOO,
@@ -308,6 +458,7 @@ def consolidate(
     zero_nan: bool = False,
     *,
     cap: int | None = None,
+    method: str = "compact",
 ) -> SparseCOO:
     """Sort ``a`` by ``sort_order``, drop zeros/NaNs, merge duplicates.
 
@@ -335,6 +486,7 @@ def consolidate(
         cap=cap_out,
         sort_order=sort_order,
         index_dtype=a.index_dtype,
+        method=method,
     )
 
 

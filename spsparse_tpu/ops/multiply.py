@@ -123,16 +123,29 @@ def expand_products_raw(i_a, k_a, v_a, a_live, row_start, row_len,
     cum = jnp.cumsum(cnt)                       # inclusive
     total = cum[-1] if cap_a else jnp.zeros((), cnt.dtype)
 
+    # Run-length decode slot -> source A entry. ``searchsorted`` costs
+    # ~17 ms per 128K on v5e (binary search = log n serial-gather passes);
+    # scattering each product-generating entry's id at its run start and
+    # filling forward with ``cummax`` (both ids and starts are increasing,
+    # and slot 0 is always a run start when total > 0) costs ~0.4 ms
+    # (probes/probe_expand_r2.py).
     t = jnp.arange(expand_cap, dtype=jnp.int32)
-    e = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
     valid_t = t < total
-    e = jnp.minimum(e, cap_a - 1)
-    base = jnp.take(cum, e) - jnp.take(cnt, e)
+    base_e = (cum - cnt).astype(jnp.int32)
+    has = cnt > 0
+    pos = jnp.where(has, base_e, jnp.asarray(expand_cap, jnp.int32))
+    e = jax.lax.cummax(
+        jnp.zeros((expand_cap,), jnp.int32).at[pos].set(
+            jnp.arange(cap_a, dtype=jnp.int32), mode="drop"))
+    base = jax.lax.cummax(
+        jnp.zeros((expand_cap,), jnp.int32).at[pos].set(
+            base_e, mode="drop"))
     r = t - base
 
-    b_pos = jnp.take(row_start,
-                     jnp.take(k_a, e, mode="fill", fill_value=nrows_b),
-                     mode="fill", fill_value=0) + r
+    # Pre-gather B-row starts at A-entry granularity (cap_a-sized, cheap)
+    # so the slot-level gathers shrink to one per needed stream.
+    b_start_a = jnp.take(row_start, k_a, mode="fill", fill_value=0)
+    b_pos = jnp.take(b_start_a, e) + r
     j_t = jnp.take(b_cols, b_pos, mode="fill",
                    fill_value=ncols_b).astype(jnp.int32)
     vb = jnp.take(b_vals, b_pos, mode="fill", fill_value=0)
@@ -154,7 +167,8 @@ def _expand_products(acon: SparseCOO, b_csr: SparseCSR, sj_pres, sj_val,
 
 
 def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
-                            merge_cap: int | None = None) -> SparseCOO:
+                            merge_cap: int | None = None,
+                            merge_method: str = "compact") -> SparseCOO:
     """Compress an ESC product stream: stable (i, j) sort — which preserves
     ascending-k accumulation order within each output cell — then segmented
     sum. Returns the unscaled, unfiltered merged COO (row-major sorted)."""
@@ -166,7 +180,8 @@ def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
     return merge_sorted_entries(
         (si_, sj_), sv_, slive,
         shape=out_shape, duplicate_policy=DuplicatePolicy.ADD,
-        cap=merge_cap, sort_order=(0, 1), index_dtype=jnp.int32)
+        cap=merge_cap, sort_order=(0, 1), index_dtype=jnp.int32,
+        method=merge_method)
 
 
 @traced("spsparse.multiply_mm")
@@ -184,11 +199,19 @@ def multiply(
     zero_nan: bool = False,
     cap: int | None = None,
     expand_cap: int | None = None,
+    merge_method: str = "compact",
 ) -> SparseCOO:
     """MM chain: ``C · diag(scalei) · A^(T?) · diag(scalej) · B^(T?) · diag(scalek)``.
 
     Reference: ``multiply`` (MM overload), ``multiply_sparse.hpp:152-248``.
     Returns a row-major-sorted :class:`SparseCOO` of shape ``(A'.rows, B'.cols)``.
+
+    ``merge_method="scatter"`` keeps the reference's bitwise left-to-right
+    accumulation of each output cell (``EXPECT_DOUBLE_EQ`` parity,
+    test_multiply_sparse.cpp:126) at scatter speed; the default
+    ``"compact"`` evaluates cell sums as prefix-sum differences — same
+    ascending-k order algebraically, with O(n*eps) rounding differences —
+    and is ~10x faster on TPU (see core.consolidate.merge_sorted_entries).
     """
     if A.rank != 2 or B.rank != 2:
         spsparse_error(-1, "multiply (MM) requires rank-2 operands")
@@ -203,9 +226,9 @@ def multiply(
     # Consolidate operands (reference multiply_sparse.hpp:187-188). A ends up
     # row-major (i,k); B becomes a CSR over its rows (k,j).
     acon = Aw if Aw.sort_order == (0, 1) else _consolidate(
-        Aw, (0, 1), duplicate_policy, zero_nan)
+        Aw, (0, 1), duplicate_policy, zero_nan, method=merge_method)
     bcon = Bw if Bw.sort_order == (0, 1) else _consolidate(
-        Bw, (0, 1), duplicate_policy, zero_nan)
+        Bw, (0, 1), duplicate_policy, zero_nan, method=merge_method)
     b_csr = to_csr(bcon)
 
     K = Aw.shape[1]
@@ -229,7 +252,8 @@ def multiply(
     i_t, j_t, v_t, valid_t = _expand_products(
         acon, b_csr, sj_pres, sj_val, expand_cap)
     merged = sort_and_merge_products(
-        i_t, j_t, v_t.astype(out_dtype), valid_t, out_shape)
+        i_t, j_t, v_t.astype(out_dtype), valid_t, out_shape,
+        merge_method=merge_method)
 
     # Emission + outer scaling (reference :195,211,238-243).
     live = merged.valid_mask()
@@ -267,6 +291,7 @@ def multiply_mv(
     duplicate_policy: DuplicatePolicy = DuplicatePolicy.ADD,
     zero_nan: bool = False,
     cap: int | None = None,
+    merge_method: str = "compact",
 ) -> SparseCOO:
     """MV chain: ``C · diag(scalei) · A^(T?) · diag(scalej) · V``.
 
@@ -284,9 +309,9 @@ def multiply_mv(
             Aw.shape[1], V.shape[0])
 
     acon = Aw if Aw.sort_order == (0, 1) else _consolidate(
-        Aw, (0, 1), duplicate_policy, zero_nan)
+        Aw, (0, 1), duplicate_policy, zero_nan, method=merge_method)
     vcon = V if V.sort_order == (0,) else _consolidate(
-        V, (0,), duplicate_policy, zero_nan)
+        V, (0,), duplicate_policy, zero_nan, method=merge_method)
 
     K = Aw.shape[1]
     v_pres, v_val = _dense_scale(vcon, K)
@@ -317,7 +342,8 @@ def multiply_mv(
     merged = merge_sorted_entries(
         (rows,), contrib, live,
         shape=(out_len,), duplicate_policy=DuplicatePolicy.ADD,
-        cap=acon.cap, sort_order=(0,), index_dtype=jnp.int32)
+        cap=acon.cap, sort_order=(0,), index_dtype=jnp.int32,
+        method=merge_method)
 
     mlive = merged.valid_mask()
     keep = mlive & (merged.vals != 0) & jnp.asarray(C != 0)

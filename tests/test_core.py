@@ -477,3 +477,78 @@ class TestInt64Extents:
         A = SparseCOO.from_arrays(
             np.array([[0, 0]], np.int32), np.array([1.0]), (2, 2**31 + 2))
         assert A.index_dtype == jnp.int64
+
+
+class TestMergeMethods:
+    """The compact (sort-based) and scatter merge formulations agree; the
+    scatter path keeps bitwise left-to-right ADD accumulation."""
+
+    def _sorted_stream(self, rng, n=500, nrows=12, ncols=9):
+        idx = np.stack([rng.integers(0, nrows, n),
+                        rng.integers(0, ncols, n)], 1).astype(np.int32)
+        order = np.lexsort((np.arange(n), idx[:, 1], idx[:, 0]))
+        idx = idx[order]
+        vals = rng.uniform(-1, 1, n)
+        return idx, vals, (nrows, ncols)
+
+    @pytest.mark.parametrize("policy", list(DuplicatePolicy))
+    def test_methods_agree(self, rng, policy):
+        from spsparse_tpu.core.consolidate import merge_sorted_entries
+        idx, vals, shape = self._sorted_stream(rng)
+        cols = (jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]))
+        valid = jnp.ones((idx.shape[0],), bool)
+        a = merge_sorted_entries(cols, jnp.asarray(vals), valid, shape=shape,
+                                 duplicate_policy=policy, cap=256,
+                                 method="compact")
+        b = merge_sorted_entries(cols, jnp.asarray(vals), valid, shape=shape,
+                                 duplicate_policy=policy, cap=256,
+                                 method="scatter")
+        assert int(a.nnz) == int(b.nnz)
+        np.testing.assert_array_equal(np.asarray(a.indices),
+                                      np.asarray(b.indices))
+        np.testing.assert_allclose(np.asarray(a.vals), np.asarray(b.vals),
+                                   rtol=1e-10)
+        if policy != DuplicatePolicy.ADD:
+            # first/last selection moves values untouched: bitwise equal
+            np.testing.assert_array_equal(np.asarray(a.vals),
+                                          np.asarray(b.vals))
+
+    def test_scatter_add_is_left_to_right_exact(self, rng):
+        from spsparse_tpu.core.consolidate import merge_sorted_entries
+        idx, vals, shape = self._sorted_stream(rng, n=300, nrows=3, ncols=2)
+        cols = (jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]))
+        valid = jnp.ones((idx.shape[0],), bool)
+        out = merge_sorted_entries(cols, jnp.asarray(vals), valid,
+                                   shape=shape,
+                                   duplicate_policy=DuplicatePolicy.ADD,
+                                   cap=64, method="scatter")
+        oidx, ovals = out.to_lists()
+        # numpy oracle: strict left-to-right per-run accumulation
+        sums = {}
+        order = []
+        for (i, j), v in zip(map(tuple, idx), vals):
+            if (i, j) not in sums:
+                sums[(i, j)] = np.float64(0)
+                order.append((i, j))
+            sums[(i, j)] = sums[(i, j)] + v
+        order.sort()
+        assert oidx == order
+        np.testing.assert_array_equal(ovals, [float(sums[k]) for k in order])
+
+    def test_compact_nonfinite_semantics(self):
+        from spsparse_tpu.core.consolidate import merge_sorted_entries
+        # runs: (0,0): [1, nan] -> nan; (0,1): [inf, 1] -> inf;
+        # (1,0): [inf, -inf] -> nan; (1,1): [2, 3] -> 5
+        cols = (jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32),
+                jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1], jnp.int32))
+        vals = jnp.asarray([1.0, np.nan, np.inf, 1.0, np.inf, -np.inf,
+                            2.0, 3.0])
+        valid = jnp.ones((8,), bool)
+        out = merge_sorted_entries(cols, vals, valid, shape=(2, 2),
+                                   duplicate_policy=DuplicatePolicy.ADD,
+                                   cap=8, method="compact")
+        v = np.asarray(out.vals)[:4]
+        assert np.isnan(v[0])
+        assert v[1] == np.inf
+        assert np.isnan(v[2])
+        assert v[3] == 5.0

@@ -114,6 +114,9 @@ class TestDistSpmm:
 
 
 class TestDistSpgemm:
+    # SpGEMM oracle tolerances are 1e-10 (not 1e-12): the default
+    # merge_method="compact" evaluates cell sums as prefix-sum differences
+    # (O(n*eps) drift vs left-to-right; see core.consolidate).
     def test_matches_dense(self, rng):
         n = 32
         A = banded_coo(n, 2, rng)
@@ -125,7 +128,7 @@ class TestDistSpgemm:
         Cd = np.asarray(C.to_coo().to_dense())
         np.testing.assert_allclose(
             Cd, np.asarray(A.to_dense()) @ np.asarray(B.to_dense()),
-            rtol=1e-12)
+            rtol=1e-10)
 
     def test_rectangular(self, rng):
         A = banded_coo(24, 2, rng, shape_cols=16)
@@ -137,7 +140,7 @@ class TestDistSpgemm:
         assert C.shape == (24, 40)
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
-            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
 
 
 class TestDistSpgemmA2A:
@@ -154,7 +157,7 @@ class TestDistSpgemmA2A:
         assert int(np.asarray(overflow).sum()) == 0
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
-            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
 
     def test_rectangular_and_agreement_with_allgather(self, rng):
         from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
@@ -169,7 +172,7 @@ class TestDistSpgemmA2A:
         C2 = dist_spgemm(ap, bp, mesh, expand_cap=512, out_cap=256)
         np.testing.assert_allclose(np.asarray(C1.to_coo().to_dense()),
                                    np.asarray(C2.to_coo().to_dense()),
-                                   rtol=1e-12)
+                                   rtol=1e-10)
 
     def test_overflow_reported(self, rng):
         from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
@@ -233,12 +236,12 @@ class TestDistSpgemmRing:
         C = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256, out_cap=256)
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
-            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
         C2 = dist_spgemm(partition_rows(A, 8), bp, mesh,
                          expand_cap=512, out_cap=256)
         np.testing.assert_allclose(np.asarray(C.to_coo().to_dense()),
                                    np.asarray(C2.to_coo().to_dense()),
-                                   rtol=1e-12)
+                                   rtol=1e-10)
 
     def test_rectangular(self, rng):
         from spsparse_tpu.dist import partition_bucketed
@@ -252,7 +255,7 @@ class TestDistSpgemmRing:
         assert C.shape == (24, 40)
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
-            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-12)
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
 
     def test_layout_mismatch_raises(self, rng):
         from spsparse_tpu.dist import partition_bucketed

@@ -326,7 +326,11 @@ class TestFullSeedSweep:
     198-203). Same coverage here, vectorized: all seeds share one compiled
     program via fixed capacities + vmap."""
 
-    def test_mm_999_seeds(self):
+    @pytest.mark.parametrize("merge_method,atol", [
+        ("scatter", 1e-300),   # reference EXPECT_DOUBLE_EQ parity
+        ("compact", 5e-15),    # fast default: prefix-sum-difference sums
+    ])
+    def test_mm_999_seeds(self, merge_method, atol):
         dsize, cap = 5, 32
         As, Bs, Ads, Bds = [], [], [], []
         for seed in range(1, 1000):
@@ -345,11 +349,12 @@ class TestFullSeedSweep:
         @jax.jit
         @jax.vmap
         def f(a, b):
-            return multiply(1.0, a, b, expand_cap=1024, cap=64).to_dense()
+            return multiply(1.0, a, b, expand_cap=1024, cap=64,
+                            merge_method=merge_method).to_dense()
 
         dense = np.asarray(f(stackA, stackB))
         expect = np.einsum("sij,sjk->sik", np.stack(Ads), np.stack(Bds))
-        np.testing.assert_allclose(dense, expect, rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(dense, expect, rtol=1e-12, atol=atol)
 
     def test_mv_999_seeds(self):
         dsize, cap = 5, 32

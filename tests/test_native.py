@@ -38,7 +38,11 @@ class TestNativeConsolidate:
         ref = consolidate(b.build(), order, policy)
         ridx, rvals = ref.to_lists()
         np.testing.assert_array_equal(out_idx, np.asarray(ridx, np.int64))
-        np.testing.assert_allclose(out_vals, rvals, rtol=1e-15)
+        # The JAX merge evaluates ADD sums as prefix-sum differences
+        # (merge_sorted_entries(method="compact")); the C++ host path sums
+        # per run left-to-right, so agreement is O(n*eps) relative, not
+        # bitwise.
+        np.testing.assert_allclose(out_vals, rvals, rtol=1e-10)
 
     @pytest.mark.parametrize("policy", POLICIES)
     def test_matches_numpy_fallback(self, have_native, rng, policy):
