@@ -279,3 +279,57 @@ class TestBestSpmvDispatch:
             np.testing.assert_allclose(np.asarray(best_spmv(op, x)), ref,
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=str(type(op)))
+
+
+class TestBitonicBlockSort:
+    """Interpret-mode coverage of ops.pallas_sort (the in-VMEM bitonic
+    block sort; Mosaic-compiled path exercised by probes + tests_tpu)."""
+
+    @pytest.mark.parametrize("R", [1, 8, 32])
+    def test_sorts_blocks_with_payload(self, rng, R):
+        from spsparse_tpu.ops.pallas_sort import sort_blocks
+        nblk = 3
+        k = rng.integers(0, 1 << 30, (nblk, R, 128)).astype(np.int32)
+        v = (k % 997).astype(np.float32)
+        ks, vs = sort_blocks((jnp.asarray(k), jnp.asarray(v)), num_keys=1,
+                             interpret=True)
+        for b in range(nblk):
+            flat = np.asarray(ks)[b].ravel()
+            assert (np.diff(flat) >= 0).all()
+            assert np.array_equal(np.sort(k[b].ravel()), flat)
+            np.testing.assert_array_equal(np.asarray(vs)[b].ravel(),
+                                          flat % 997)
+
+    def test_two_key_lexicographic(self, rng):
+        from spsparse_tpu.ops.pallas_sort import sort_blocks
+        k1 = rng.integers(0, 8, (2, 8, 128)).astype(np.int32)
+        k2 = rng.integers(0, 1 << 20, (2, 8, 128)).astype(np.int32)
+        s1, s2 = sort_blocks((jnp.asarray(k1), jnp.asarray(k2)), num_keys=2,
+                             interpret=True)
+        for b in range(2):
+            a = np.asarray(s1)[b].ravel().astype(np.int64)
+            c = np.asarray(s2)[b].ravel().astype(np.int64)
+            fused = a * (1 << 21) + c
+            assert (np.diff(fused) >= 0).all()
+
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_stable_matches_numpy_stable_argsort(self, rng, packed):
+        from spsparse_tpu.ops.pallas_sort import sort_blocks_stable
+        kk = rng.integers(0, 8, (1, 8, 128)).astype(np.int32)
+        pos = np.arange(1024, dtype=np.int32).reshape(1, 8, 128)
+        sk, sp = sort_blocks_stable(
+            jnp.asarray(kk), (jnp.asarray(pos),),
+            key_bound=8 if packed else None, interpret=True)
+        ref = np.argsort(kk[0].ravel(), kind="stable")
+        np.testing.assert_array_equal(np.asarray(sp)[0].ravel(), ref)
+        np.testing.assert_array_equal(np.asarray(sk)[0].ravel(),
+                                      kk[0].ravel()[ref])
+
+    def test_bad_block_shape_raises(self):
+        from spsparse_tpu.ops.pallas_sort import sort_blocks
+        with pytest.raises(ValueError):
+            sort_blocks((jnp.zeros((1, 7, 128), jnp.int32),), num_keys=1,
+                        interpret=True)
+        with pytest.raises(ValueError):
+            sort_blocks((jnp.zeros((1, 8, 64), jnp.int32),), num_keys=1,
+                        interpret=True)

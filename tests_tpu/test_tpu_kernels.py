@@ -60,3 +60,19 @@ class TestCompiledDia:
         y = np.asarray(jax.block_until_ready(best_spmv(dia, x)))
         y_ref = np.asarray(jax.block_until_ready(spmv_dia(dia, x)))
         np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledBlockSort:
+    def test_sort_blocks_compiled(self, rng):
+        from spsparse_tpu.ops.pallas_sort import sort_blocks
+        nblk, R = 4, 64
+        k = rng.integers(0, 1 << 30, (nblk, R, 128)).astype(np.int32)
+        v = (k % 997).astype(np.float32)
+        ks, vs = jax.block_until_ready(
+            sort_blocks((jnp.asarray(k), jnp.asarray(v)), num_keys=1))
+        for b in range(nblk):
+            flat = np.asarray(ks)[b].ravel()
+            assert (np.diff(flat) >= 0).all()
+            assert np.array_equal(np.sort(k[b].ravel()), flat)
+            np.testing.assert_array_equal(np.asarray(vs)[b].ravel(),
+                                          flat % 997)
