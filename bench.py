@@ -1,17 +1,25 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: SpMV throughput (nnz/s) on the BASELINE.md config-2 matrix — a
-synthetic banded matrix, ~10 nnz/row, 1M rows on TPU (scaled down on CPU) —
-via the Pallas DIA kernel (gather-free banded SpMV), timed with the
-in-graph chained harness (``spsparse_tpu.utils.benchtime.bench_fori``; see
-CLAUDE.md for why naive timing is invalid on this machine's remote TPU
-tunnel). ``vs_baseline`` is achieved throughput relative to the
-BASELINE.json target of 70% of the HBM speed-of-light roofline (>= 1.0
-means the target is met). The roofline model charges ``4*nnz`` bytes for
-the diagonal data plus ``8*nrows`` for x and y.
+Headline (BASELINE config 2): SpMV throughput (nnz/s) on a synthetic
+banded matrix (~10 nnz/row, 1M rows on TPU; scaled down on CPU) via the
+Pallas DIA chain kernel, timed with the steady-state slope method (see
+CLAUDE.md / docs/PERFORMANCE.md for why naive timing is invalid on this
+machine's remote TPU tunnel).
 
-Run: ``python bench.py``  (``--all`` adds per-config detail on stderr;
-the last stdout line is always the single headline JSON).
+Honest bytes model: the chain kernel keeps x and y VMEM-resident across
+iterations, so steady-state HBM traffic is the diagonal stream only —
+``4 bytes/nnz`` — and the speed-of-light denominator uses exactly that
+(round 1 charged a phantom ``8*nrows`` of x/y traffic per iteration,
+inflating ``vs_baseline`` ~18%; VERDICT flagged it). ``vs_baseline`` is
+achieved throughput over 70% of that roofline (>= 1.0 meets the
+BASELINE.json target).
+
+``--all`` additionally reports every BASELINE.md config (1-5) as JSON
+lines on stderr, each with its own stated bytes model and
+``pct_of_roofline`` where a roofline is meaningful.
+
+Run: ``python bench.py`` — the last stdout line is always the single
+headline JSON.
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
     import time
 
     from spsparse_tpu.ops.spmv_kernels import spmv_dia
-    from spsparse_tpu.ops.pallas_dia import spmv_dia_pallas, prepare_dia
+    from spsparse_tpu.ops.pallas_dia import prepare_dia
     from spsparse_tpu.ops.pallas_dia_chain import spmv_dia_chain_pallas
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
@@ -54,8 +62,7 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
     if use_pallas:
         # Steady-state kernel throughput: T device-resident SpMV iterations
         # per launch; per-iteration time = slope between two T values
-        # (cancels this rig's large per-call tunnel latency — see
-        # docs/PERFORMANCE.md "methodology").
+        # (cancels this rig's large per-call tunnel latency).
         prep = prepare_dia(dia)
 
         def run(T):
@@ -76,13 +83,18 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
             samples.append((hi - lo) / (t_hi_T - t_lo_T))
         t = float(np.median(samples))
         impl = "pallas_dia_chain_steady_state"
+        # Steady state: x and y live in VMEM across iterations; HBM traffic
+        # per iteration is the diagonal stream only.
+        bytes_moved = nnz * 4
+        bytes_model = "steady_state_chain: 4B/nnz (x,y VMEM-resident)"
     else:
-        step = lambda v: spmv_dia(dia, v)
+        step = lambda v: spmv_dia(dia, v)  # noqa: E731
         t = bench_slope(step, x, iters=8, reps=3)
         impl = "xla_dia"
+        bytes_moved = nnz * 4 + n * 8
+        bytes_model = "one-shot: 4B/nnz data + 8B/row x,y"
 
     kind, bw = device_hbm_bandwidth()
-    bytes_moved = nnz * 4 + n * 8
     sol_nnz_s = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {
@@ -91,75 +103,170 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
         "unit": "nnz/s",
         "vs_baseline": achieved / (0.7 * sol_nnz_s),
         "detail": {
-            "impl": impl, "n": n, "nnz": nnz, "time_s": t, "device": kind,
-            "bytes_moved": bytes_moved,
+            "config": 2, "impl": impl, "n": n, "nnz": nnz, "time_s": t,
+            "device": kind, "bytes_moved": bytes_moved,
+            "bytes_model": bytes_model,
             "pct_of_roofline": 100.0 * achieved / sol_nnz_s,
             "effective_gb_s": bytes_moved / t / 1e9,
         },
     }
 
 
-def extra_configs(on_cpu: bool) -> list[dict]:
-    """Smaller side benchmarks for --all (configs 1/3/4 scaled)."""
-    import dataclasses
+def config1_reference_check() -> dict:
+    """Config 1: the reference's own CPU-runnable correctness config —
+    consolidate + diag-scaled SpGEMM on test_multiply_sparse-style 5x5
+    operands vs the dense oracle. Roofline is meaningless at this size;
+    the metric is the oracle match."""
+    import time
 
     from spsparse_tpu import CooBuilder
-    from spsparse_tpu.core.tiled import to_tiled
+    from spsparse_tpu.ops import multiply
+
+    rng = np.random.default_rng(17)
+    t0 = time.perf_counter()
+    checked = 0
+    max_err = 0.0
+    for seed in range(1, 33):
+        r = np.random.default_rng(seed)
+        na = int(r.uniform(0, 1) * 25)
+        nb = int(r.uniform(0, 1) * 25)
+        ba = CooBuilder((5, 5), dtype=np.float64)
+        for _ in range(na):
+            ba.add((int(r.integers(5)), int(r.integers(5))),
+                   float(r.uniform(-1, 1)))
+        bb = CooBuilder((5, 5), dtype=np.float64)
+        for _ in range(nb):
+            bb.add((int(r.integers(5)), int(r.integers(5))),
+                   float(r.uniform(-1, 1)))
+        A, B = ba.build(cap=32), bb.build(cap=32)
+        C = multiply(1.0, A, B, expand_cap=1024, cap=64)
+        err = np.abs(np.asarray(C.to_dense())
+                     - np.asarray(A.to_dense()) @ np.asarray(B.to_dense()))
+        max_err = max(max_err, float(err.max(initial=0)))
+        checked += 1
+    # f64 oracles need jax x64 (the test suite enables it); without it the
+    # values silently run in f32, so calibrate the tolerance to the dtype.
+    tol = 1e-12 if jax.config.jax_enable_x64 else 1e-5
+    return {"config": 1, "name": "reference_oracle_spgemm",
+            "seeds_checked": checked, "max_abs_err": max_err,
+            "tolerance": tol,
+            "oracle_match": bool(max_err < tol),
+            "time_s": time.perf_counter() - t0,
+            "pct_of_roofline": None,
+            "note": "correctness config (5x5); roofline not meaningful"}
+
+
+def config2b_multirhs(on_cpu: bool) -> dict | None:
+    """Config 2b: multi-RHS banded SpMM — 8 RHS amortize the diagonal
+    stream. Bytes model: 4B/nnz data + 8 RHS x/y streamed per pass."""
+    if on_cpu:
+        return None
+    from spsparse_tpu.ops.pallas_dia import prepare_dia
+    from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+    from spsparse_tpu.utils.benchtime import bench_slope
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    dia, nnz = build_banded_dia(n, 5)
+    prep = prepare_dia(dia)
+    X = jnp.asarray(rng.uniform(-1, 1, (8, n)).astype(np.float32))
+    t = bench_slope(lambda Xv: spmm_dia_mrhs_pallas(prep, Xv), X,
+                    iters=6, reps=3, u_lo=1, u_hi=3)
+    kind, bw = device_hbm_bandwidth()
+    bytes_moved = nnz * 4 + 8 * 2 * n * 4
+    agg = 8 * nnz / t
+    sol = bw / (bytes_moved / (8 * nnz))
+    return {"config": "2b", "name": "spmv_banded_8rhs", "nnz": nnz,
+            "time_s": t, "nnz_per_s_aggregate": agg,
+            "bytes_model": "4B/nnz data + 8 RHS x,y",
+            "pct_of_roofline": 100.0 * agg / sol}
+
+
+def _regrid_matrix(m: int, k: int, rng, spread: int = 128):
+    """Column-local 'regridding-style' matrix: row r's k entries cluster
+    around column 2r (conservative-interpolation structure — each output
+    cell touches a compact source neighbourhood). This is the library's
+    target domain; fully random columns are a gather-machine benchmark,
+    not a regridding one (see docs/PERFORMANCE.md)."""
+    from spsparse_tpu import CooBuilder
+    ncols = 2 * m
+    rr = np.repeat(np.arange(m), k)
+    cc = np.clip(rr * 2 + rng.integers(-spread, spread + 1, rr.size),
+                 0, ncols - 1)
+    b = CooBuilder((m, ncols), dtype=np.float32)
+    b.add_many(np.stack([rr, cc], 1),
+               rng.uniform(-1, 1, rr.size).astype(np.float32))
+    return b.build()
+
+
+def config3_spmm(on_cpu: bool) -> dict:
+    """Config 3: CSR (50 nnz/row) x dense 128-col block via the tiled
+    one-hot kernel. Pattern-aware roofline: A payload (6B/entry tiled) +
+    each occupied X tile fetched once (64KB) + Y written once."""
+    from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_rows,
                                                spmm_tiled_pallas)
     from spsparse_tpu.ops.tiled_ops import spmm_tiled
-    from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
     from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
     rng = np.random.default_rng(0)
-    out = []
-
-    # Config 2b: multi-RHS banded SpMM (8 RHS amortize the diagonal
-    # stream; per-RHS-equivalent throughput approaches the HBM roofline).
-    if not on_cpu:
-        from spsparse_tpu.ops.pallas_dia import prepare_dia
-        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
-        from spsparse_tpu.utils.benchtime import bench_slope
-        dia, nnz = build_banded_dia(1 << 20, 5)
-        prep = prepare_dia(dia)
-        X = jnp.asarray(rng.uniform(-1, 1, (8, 1 << 20)).astype(np.float32))
-        t = bench_slope(lambda Xv: spmm_dia_mrhs_pallas(prep, Xv), X,
-                        iters=6, reps=3, u_lo=1, u_hi=3)
-        out.append({"config": "spmv_banded_8rhs", "nnz": nnz,
-                    "time_s": t, "nnz_per_s_aggregate": 8 * nnz / t})
-
-    # Config 3 (scaled): sparse (50 nnz/row) x dense 128 block via the
-    # Pallas tiled one-hot kernel (the XLA-level path materializes the
-    # one-hot tensors in HBM and OOMs at scale).
     m = 1 << 12 if on_cpu else 1 << 15
     K, N = 50, 128
-    b = CooBuilder((m, m), dtype=np.float32)
-    rr = np.repeat(np.arange(m), K)
-    cc = rng.integers(0, m, rr.size)
-    b.add_many(np.stack([rr, cc], 1),
-               rng.uniform(-1, 1, rr.size).astype(np.float32))
-    tl = to_tiled(b.build())
-    X = jnp.asarray(rng.uniform(-1, 1, (m, N)).astype(np.float32))
+    A = _regrid_matrix(m, K, rng)
+    tl = to_tiled(A)
+    X = jnp.asarray(rng.uniform(-1, 1, (A.shape[1], N)).astype(np.float32))
+    # A is (m, 2m): the chain carries X (the wider operand) and feeds a
+    # negligible data-dependent eps back so iterations cannot be elided.
     if on_cpu:
-        t = bench_fori(lambda Y: spmm_tiled(tl, Y), X, iters=3, reps=2)
+        kernel = lambda Y: spmm_tiled(tl, Y)            # noqa: E731
         impl = "xla_tiled"
     else:
         prep = prepare_tiled_rows(tl)
-        t = bench_fori(lambda Y: spmm_tiled_pallas(prep, Y), X, iters=3,
-                       reps=2)
+        kernel = lambda Y: spmm_tiled_pallas(prep, Y)   # noqa: E731
         impl = "pallas_tiled"
-    out.append({"config": "spmm_tiled_50nnz_128block", "impl": impl,
-                "rows": m, "nnz": m * K, "n_tiles": int(tl.n_tiles),
-                "tile_cap": tl.tile_cap, "time_s": t,
-                "nnz_per_s": m * K / t})
 
-    # Config 4 (scaled): SpGEMM A A^T on a regridding-style matrix. The
-    # chain feeds a data-dependent (numerically negligible) epsilon back
-    # into A's values so iterations cannot be elided or overlapped.
+    def step(Xc):
+        Y = kernel(Xc)
+        return Xc + jnp.sum(Y) * jnp.float32(1e-38)
+
+    t = bench_fori(step, X, iters=3, reps=2)
+    nnz = m * K
+    n_tiles = int(tl.n_tiles)
+    fill = nnz / max(n_tiles, 1)
+    kind, bw = device_hbm_bandwidth()
+    bytes_moved = (n_tiles * tl.tile_cap * 6       # tile payloads (padded)
+                   + n_tiles * TILE * N * 4        # one X tile per stored tile
+                   + -(-m // TILE) * TILE * N * 4)  # Y
+    sol_nnz = bw / (bytes_moved / nnz)
+    achieved = nnz / t
+    return {"config": 3, "name": "spmm_tiled_50nnz_128block", "impl": impl,
+            "rows": m, "nnz": nnz, "n_tiles": n_tiles,
+            "tile_fill": fill, "tile_cap": tl.tile_cap, "time_s": t,
+            "nnz_per_s": achieved,
+            "bytes_model": "6B/entry tiles + 64KB/occupied X tile + Y once",
+            "pct_of_roofline": 100.0 * achieved / sol_nnz,
+            "matrix": "column-local regridding-style (spread 128)"}
+
+
+def config4_spgemm(on_cpu: bool) -> dict:
+    """Config 4: SpGEMM A A^T on the regridding-style matrix (ESC path).
+    Bytes model via spgemm_esc_stats (expansion-dominated, charged sort
+    passes stated explicitly)."""
+    import dataclasses
+
+    from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
+    from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.utils.roofline import (device_hbm_bandwidth,
+                                             spgemm_esc_stats)
+
+    rng = np.random.default_rng(0)
     n_dst = 1 << 12 if on_cpu else 1 << 15
     per = 4
     r = np.repeat(np.arange(n_dst), per)
     c = np.minimum(r * 2 + rng.integers(0, 3, r.size), n_dst * 2 - 1)
+    from spsparse_tpu import CooBuilder
     b = CooBuilder((n_dst, n_dst * 2), dtype=np.float32)
     b.add_many(np.stack([r, c], 1), rng.uniform(0, 1, r.size))
     A = b.build()
@@ -171,9 +278,79 @@ def extra_configs(on_cpu: bool) -> list[dict]:
         return dataclasses.replace(a, vals=a.vals + eps)
 
     t = bench_fori(step, A, iters=5, reps=2)
-    out.append({"config": "spgemm_aat_regrid", "nnz_a": r.size,
-                "products": expand_cap, "time_s": t,
-                "products_per_s": expand_cap / t})
+    res = spgemm_aat(A, cap=out_cap, expand_cap=expand_cap)
+    nnz_out = int(res.nnz)
+    stats = spgemm_esc_stats(r.size, r.size, expand_cap, nnz_out)
+    kind, bw = device_hbm_bandwidth()
+    achieved = expand_cap / t
+    sol = stats.sol_nnz_per_s(bw)
+    return {"config": 4, "name": "spgemm_aat_regrid", "nnz_a": r.size,
+            "products": expand_cap, "nnz_out": nnz_out, "time_s": t,
+            "products_per_s": achieved,
+            "bytes_model": "esc: operands + expansion*(1+2*4 sort passes) "
+                           "+ output",
+            "pct_of_roofline": 100.0 * achieved / sol}
+
+
+def config5_distributed(on_cpu: bool) -> dict:
+    """Config 5: row-partitioned SpMV/SpGEMM across devices. Real
+    multi-chip hardware is not reachable from this rig (single chip via
+    tunnel), so: on CPU a real 8-virtual-device mesh executes the
+    collective graphs (validating them end to end), and the scaling
+    figures come from the auditable analytical model in
+    spsparse_tpu/dist/model.py (v5e book bandwidths)."""
+    from spsparse_tpu.dist import (halo_weak_scaling_efficiency,
+                                   ring_weak_scaling_efficiency)
+
+    out = {"config": 5, "name": "distributed_row_partitioned",
+           "per_chip_workload": "1M rows, 11 nnz/row (config-2 family)",
+           "model": "dist/model.py (overlapped ring / halo exchange, "
+                    "v5e book HBM+ICI bandwidths)",
+           "pct_of_roofline": None}
+    for p in (2, 8, 64):
+        out[f"halo_weak_scaling_eff_p{p}"] = halo_weak_scaling_efficiency(
+            nnz_local=11 * (1 << 20), rows_local=1 << 20, halo=8,
+            n_devices=p)
+        out[f"ring_weak_scaling_eff_p{p}"] = ring_weak_scaling_efficiency(
+            nnz_local=11 * (1 << 20), rows_local=1 << 20, n_devices=p)
+    out["meets_baseline_80pct"] = bool(
+        out["halo_weak_scaling_eff_p8"] >= 0.8)
+
+    if on_cpu and len(jax.devices()) >= 8:
+        import time
+
+        from jax.sharding import Mesh
+        from spsparse_tpu.dist import (dist_spmv_halo, partition_rows,
+                                       partition_vector)
+        from spsparse_tpu import CooBuilder
+        n = 1 << 12
+        rng = np.random.default_rng(0)
+        bld = CooBuilder((n, n), dtype=np.float32)
+        rows = np.repeat(np.arange(n), 3)
+        cols = np.clip(rows + rng.integers(-2, 3, rows.size), 0, n - 1)
+        bld.add_many(np.stack([rows, cols], 1),
+                     rng.uniform(-1, 1, rows.size).astype(np.float32))
+        A = bld.build()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("x",))
+        part = partition_rows(A, 8)
+        xp = partition_vector(np.ones(n, np.float32), 8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(dist_spmv_halo(part, xp, mesh, halo=8))
+        out["virtual_mesh_exec"] = {
+            "devices": 8, "halo_spmv_wall_s": time.perf_counter() - t0,
+            "note": "virtual CPU mesh: validates the collective graph, "
+                    "not ICI timing"}
+    return out
+
+
+def extra_configs(on_cpu: bool) -> list[dict]:
+    out = [config1_reference_check()]
+    c2b = config2b_multirhs(on_cpu)
+    if c2b:
+        out.append(c2b)
+    out.append(config3_spmm(on_cpu))
+    out.append(config4_spgemm(on_cpu))
+    out.append(config5_distributed(on_cpu))
     return out
 
 
