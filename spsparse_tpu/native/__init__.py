@@ -34,14 +34,27 @@ _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _SO = os.path.join(_CSRC, "libspsparse_host.so")
 
 
+def _find_so() -> str:
+    """Installed-wheel extension first (built by setup.py as
+    ``_spsparse_host*.so`` next to this file), then the csrc build."""
+    import glob
+    here = os.path.dirname(__file__)
+    hits = sorted(glob.glob(os.path.join(here, "_spsparse_host*.so")))
+    if hits:
+        return hits[0]
+    return _SO
+
+
 @lru_cache(maxsize=1)
 def _lib():
     """Load (building if needed) the native library; None if unavailable."""
     try:
-        if not os.path.exists(_SO):
+        so = _find_so()
+        if not os.path.exists(so):
             subprocess.run(["make", "-C", _CSRC], check=True,
                            capture_output=True)
-        lib = ctypes.CDLL(_SO)
+            so = _SO
+        lib = ctypes.CDLL(so)
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.info("native host library unavailable (%s); using numpy", e)
         return None

@@ -1,5 +1,6 @@
 """Native host runtime vs the JAX core: identical consolidate semantics."""
 
+import os
 import numpy as np
 import pytest
 
@@ -105,3 +106,37 @@ class TestNativeHelpers:
         idx = np.array([[0, 1], [2, 3], [1, 9]])
         assert native.check_bounds_host(idx, (3, 4)) == 2
         assert native.check_bounds_host(idx[:2], (3, 4)) == -1
+
+
+class TestWheelPackaging:
+    """setup.py ships the native library inside the wheel
+    (spsparse_tpu/native/_spsparse_host*.so) and the loader prefers it."""
+
+    def test_find_so_prefers_packaged_ext(self, tmp_path, monkeypatch):
+        import glob as _glob
+        fake = str(tmp_path / "_spsparse_host.cpython-312-x86_64.so")
+        monkeypatch.setattr(
+            _glob, "glob", lambda pat: [fake] if "_spsparse_host" in pat
+            else [])
+        assert native._find_so() == fake
+
+    def test_find_so_falls_back_to_csrc(self, monkeypatch):
+        import glob as _glob
+        monkeypatch.setattr(_glob, "glob", lambda pat: [])
+        assert native._find_so() == native._SO
+
+    @pytest.mark.slow
+    def test_wheel_contains_native_so(self, tmp_path):
+        import subprocess
+        import sys
+        import zipfile
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-m", "pip", "wheel", "--no-deps",
+             "--no-build-isolation", repo, "-w", str(tmp_path)],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        (whl,) = tmp_path.glob("*.whl")
+        names = zipfile.ZipFile(whl).namelist()
+        assert any(n.startswith("spsparse_tpu/native/_spsparse_host")
+                   and n.endswith(".so") for n in names), names
