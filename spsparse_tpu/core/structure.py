@@ -122,13 +122,11 @@ class SparseCSR:
 
     def row_ids(self) -> Array:
         """Expand ``row_ptr`` back to a per-entry row-id vector (cap,)."""
-        # row of entry p = number of row starts <= p, minus 1
-        return (
-            jnp.searchsorted(
-                self.row_ptr, jnp.arange(self.cap, dtype=self.row_ptr.dtype),
-                side="right",
-            ).astype(jnp.int32) - 1
-        )
+        # row of entry p = number of row starts <= p, minus 1; sort-join
+        # phrasing on TPU (searchsorted = log(cap) serial gather rounds
+        # there — see core.joinfill).
+        from .joinfill import row_ids_from_row_ptr
+        return row_ids_from_row_ptr(self.row_ptr, self.cap)
 
     def to_coo(self, sort_order=(0, 1)) -> SparseCOO:
         rows = jnp.where(self.valid_mask(), self.row_ids(),
@@ -157,9 +155,8 @@ def to_csr(a: SparseCOO, *, transpose: bool = False) -> SparseCSR:
     rows = jnp.where(aw.valid_mask(), aw.indices[:, 0],
                      jnp.asarray(aw.shape[0], aw.indices.dtype))
     nrows = aw.shape[0]
-    row_ptr = jnp.searchsorted(
-        rows, jnp.arange(nrows + 1, dtype=rows.dtype), side="left"
-    ).astype(jnp.int32)
+    from .joinfill import row_ptr_from_sorted_rows
+    row_ptr = row_ptr_from_sorted_rows(rows, nrows)
     cols = jnp.where(aw.valid_mask(), aw.indices[:, 1],
                      jnp.asarray(aw.shape[1], aw.indices.dtype))
     return SparseCSR(row_ptr=row_ptr, cols=cols, vals=aw.repad().vals,

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.coo import SparseCOO
+from ..core.joinfill import row_ids_from_row_ptr
 from ..ops.multiply import expand_products_raw, sort_and_merge_products
 from .partition import RowPartitionedCSR, RowPartitionedBucketed
 
@@ -79,9 +80,7 @@ def _local_csr_spmv(row_ptr, cols, vals, nnz, x):
     live = jnp.arange(cap, dtype=jnp.int32) < nnz
     prod = vals * jnp.take(x, cols, mode="fill", fill_value=0)
     prod = jnp.where(live, prod, 0)
-    rows = jnp.searchsorted(
-        row_ptr, jnp.arange(cap, dtype=row_ptr.dtype), side="right"
-    ).astype(jnp.int32) - 1
+    rows = row_ids_from_row_ptr(row_ptr, cap)
     rows = jnp.where(live, rows, nrows)
     return jnp.zeros((nrows,), prod.dtype).at[rows].add(prod, mode="drop")
 
@@ -122,9 +121,7 @@ def dist_spmv(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x",
             me = jax.lax.axis_index(axis)
             cap = cols.shape[0]
             live = jnp.arange(cap, dtype=jnp.int32) < nnz
-            rows = jnp.searchsorted(
-                rp, jnp.arange(cap, dtype=rp.dtype), side="right"
-            ).astype(jnp.int32) - 1
+            rows = row_ids_from_row_ptr(rp, cap)
             rows = jnp.where(live, rows, nrows)
             perm = [(i, (i - 1) % nparts) for i in range(nparts)]
             y = jnp.zeros((nrows,), vals.dtype)
@@ -287,9 +284,7 @@ def dist_spmv_halo(part: RowPartitionedCSR, x_parts, mesh: Mesh,
         in_win = live & (rel >= 0) & (rel < blk_len + 2 * halo)
         xg = jnp.take(x_ext, jnp.clip(rel, 0, blk_len + 2 * halo - 1))
         prod = jnp.where(in_win, vals * xg, 0)
-        rows = jnp.searchsorted(
-            rp, jnp.arange(cap, dtype=rp.dtype), side="right"
-        ).astype(jnp.int32) - 1
+        rows = row_ids_from_row_ptr(rp, cap)
         rows = jnp.where(in_win, rows, nrows)
         y = jnp.zeros((nrows,), prod.dtype).at[rows].add(prod, mode="drop")
         return y[None]
@@ -325,9 +320,7 @@ def dist_spmm(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x"):
         live = jnp.arange(cap, dtype=jnp.int32) < nnz
         gathered = jnp.take(xg, cols, axis=0, mode="fill", fill_value=0)
         prod = jnp.where(live[:, None], vals[:, None] * gathered, 0)
-        rows = jnp.searchsorted(
-            rp, jnp.arange(cap, dtype=rp.dtype), side="right"
-        ).astype(jnp.int32) - 1
+        rows = row_ids_from_row_ptr(rp, cap)
         rows = jnp.where(live, rows, nrows)
         y = jnp.zeros((nrows, xg.shape[1]), prod.dtype).at[rows].add(
             prod, mode="drop")
@@ -380,9 +373,7 @@ def dist_spgemm(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
         # Local A entries: local row ids + global k columns.
         cap_a = acols.shape[0]
         live = jnp.arange(cap_a, dtype=jnp.int32) < annz
-        a_rows = jnp.searchsorted(
-            arp, jnp.arange(cap_a, dtype=arp.dtype), side="right"
-        ).astype(jnp.int32) - 1
+        a_rows = row_ids_from_row_ptr(arp, cap_a)
         a_rows = jnp.where(live, a_rows, rows_local_a)
 
         i_t, j_t, v_t, valid_t = expand_products_raw(

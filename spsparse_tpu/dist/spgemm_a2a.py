@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.consolidate import filter_compact
+from ..core.joinfill import row_ids_from_row_ptr
 from ..ops.multiply import expand_products_raw, sort_and_merge_products
 from .ops import RowPartitionedCOO
 from .partition import RowPartitionedCSR
@@ -166,9 +167,7 @@ def dist_spgemm_a2a(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
         flat_cols = rcols_in.reshape(-1)
         flat_vals = rvals_in.reshape(-1)
 
-        a_rows = jnp.searchsorted(
-            arp, jnp.arange(cap_a, dtype=arp.dtype), side="right"
-        ).astype(jnp.int32) - 1
+        a_rows = row_ids_from_row_ptr(arp, cap_a)
         a_rows = jnp.where(live, a_rows, rows_local_a)
 
         i_t, j_t, v_t, valid_t = expand_products_raw(

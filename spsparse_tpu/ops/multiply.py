@@ -100,17 +100,39 @@ def expansion_size(a_inner_cols, a_live, b_csr: SparseCSR,
 
 def expand_products_raw(i_a, k_a, v_a, a_live, row_start, row_len,
                         b_cols, b_vals, ncols_b: int, nrows_b: int,
-                        sj_pres, sj_val, expand_cap: int):
+                        sj_pres, sj_val, expand_cap: int,
+                        method: str = "auto"):
     """ESC expansion over raw arrays: enumerate every (A entry) x (B-row
     entry) product. ``row_start``/``row_len`` describe where B's row ``k``
     lives inside ``b_cols``/``b_vals`` (a CSR, or any padded layout — the
     distributed path passes gathered block-padded buffers).
 
-    Returns ``(i, j, v, valid)`` arrays of length ``expand_cap``, ordered by
-    (A-entry order, within-B-row order) = (i, k, j)."""
+    Returns ``(i, j, v, valid)`` arrays of length ``expand_cap``. Stream
+    order is an implementation detail of ``method`` — both orders list
+    each output cell's products in ascending ``k``, which the stable
+    product sort preserves (so accumulation order, and reference bitwise
+    parity via ``merge_method="scatter"``, are unaffected):
+
+    * ``"gather"`` (CPU default): per-slot XLA gathers; stream ordered
+      (i, k, j). Fast on CPU, ~0.09 Gelem/s per gathered element on TPU.
+    * ``"join"`` (TPU default): three sort-based joins
+      (:func:`spsparse_tpu.core.joinfill.merge_fill_compact`) — A entries
+      x B-row table by k, run-length spread to product slots, slots x B
+      entries by CSR position; stream ordered (k, i, j). ~8x on v5e at
+      131K nnz (probes/probe_spgemm_stages_r2b.py: the gather expansion
+      alone cost 14.6 ms there).
+    * ``"auto"``: ``"join"`` on TPU, ``"gather"`` elsewhere.
+    """
+    if method == "auto":
+        method = "join" if jax.default_backend() == "tpu" else "gather"
     cap_a = i_a.shape[0]
     k_a = jnp.where(a_live, k_a, jnp.asarray(nrows_b, k_a.dtype))
     v_a = jnp.where(a_live, v_a, 0)
+
+    if method == "join":
+        return _expand_join(i_a, k_a, v_a, a_live, row_start, row_len,
+                            b_cols, b_vals, ncols_b, nrows_b,
+                            sj_pres, sj_val, expand_cap)
 
     cnt = jnp.take(row_len, k_a, mode="fill", fill_value=0)
     cnt = jnp.where(a_live, cnt, 0)
@@ -153,6 +175,76 @@ def expand_products_raw(i_a, k_a, v_a, a_live, row_start, row_len,
     v_t = jnp.take(v_a, e) * vb
     i_t = jnp.where(valid_t, i_t, nrows_b)  # placeholder; re-masked later
     return i_t, j_t, jnp.where(valid_t, v_t, 0), valid_t
+
+
+def _expand_join(i_a, k_a, v_a, a_live, row_start, row_len,
+                 b_cols, b_vals, ncols_b: int, nrows_b: int,
+                 sj_pres, sj_val, expand_cap: int):
+    """Sort-join ESC expansion (no per-element gathers/scatters); see
+    :func:`expand_products_raw` for the contract."""
+    from ..core.joinfill import merge_fill_compact
+
+    cap_a = i_a.shape[0]
+    b_cap = b_cols.shape[0]
+
+    # --- join 1: A entries x B-row table by inner index k --------------
+    # Dead A entries carry key nrows_b (sorts after every table row) and
+    # are masked via the carried `a_live`.
+    krow = jnp.arange(nrows_b, dtype=jnp.int32)
+    row_payloads = [row_start.astype(jnp.int32)[:nrows_b],
+                    row_len.astype(jnp.int32)[:nrows_b]]
+    if sj_pres is not None:
+        row_payloads += [sj_pres[:nrows_b].astype(jnp.int32),
+                         sj_val[:nrows_b]]
+    # Live entries with k outside [0, nrows_b) must not expand (the gather
+    # path zero-fills them via mode="fill").
+    live_j = a_live & (k_a < nrows_b)
+    filled, carried = merge_fill_compact(
+        krow, row_payloads,
+        jnp.minimum(k_a, nrows_b).astype(jnp.int32),
+        (i_a.astype(jnp.int32), v_a, live_j),
+        cap_a, key_bound=nrows_b + 1)
+    bstart_f, blen_f = filled[0], filled[1]
+    i_s, v_s, live_s = carried
+    if sj_pres is not None:
+        kp = (filled[2] != 0) & live_s
+        cnt = jnp.where(kp, blen_f, 0)
+        v_s = v_s * jnp.where(kp, filled[3], 0).astype(v_s.dtype)
+    else:
+        cnt = jnp.where(live_s, blen_f, 0)
+    # A entries are now k-ascending (stable: i-ascending within k).
+
+    cum = jnp.cumsum(cnt)
+    total = cum[-1] if cap_a else jnp.zeros((), cnt.dtype)
+    base_e = (cum - cnt).astype(jnp.int32)
+
+    # --- join 2: run-length spread of entries onto product slots -------
+    # Entry -> first slot base_e (strictly increasing among cnt>0);
+    # entries with cnt == 0 get a key past every slot.
+    pos_key = jnp.where(cnt > 0, base_e,
+                        jnp.asarray(expand_cap, jnp.int32))
+    t = jnp.arange(expand_cap, dtype=jnp.int32)
+    filled2, _ = merge_fill_compact(
+        pos_key, (i_s, v_s, base_e, bstart_f),
+        t, (), expand_cap, key_bound=expand_cap + 1)
+    i_f, v_f, base_f, bstart_sl = filled2
+    valid_t = t < total
+    b_pos = bstart_sl + (t - base_f)
+    b_pos = jnp.where(valid_t, b_pos, jnp.asarray(b_cap, jnp.int32))
+
+    # --- join 3: slots x B entries by CSR position ---------------------
+    q = jnp.arange(b_cap, dtype=jnp.int32)
+    filled3, carried3 = merge_fill_compact(
+        q, (b_cols.astype(jnp.int32), b_vals),
+        b_pos, (i_f, v_f, valid_t),
+        expand_cap, key_bound=b_cap + 1)
+    j_o, vb_o = filled3
+    i_o, va_o, valid_o = carried3
+
+    i_t = jnp.where(valid_o, i_o, nrows_b)
+    j_t = jnp.where(valid_o, j_o, ncols_b).astype(jnp.int32)
+    v_t = jnp.where(valid_o, va_o * vb_o, 0)
+    return i_t, j_t, v_t, valid_o
 
 
 def _expand_products(acon: SparseCOO, b_csr: SparseCSR, sj_pres, sj_val,
