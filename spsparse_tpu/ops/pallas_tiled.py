@@ -35,7 +35,17 @@ from ..core.tiled import SparseTiledCOO, TILE
 
 Array = Any
 
-__all__ = ["prepare_tiled_rows", "PreparedTiledRows", "spmm_tiled_pallas"]
+__all__ = ["prepare_tiled_rows", "PreparedTiledRows", "spmm_tiled_pallas",
+           "prepare_tiled_dense", "PreparedTiledDense",
+           "spmm_tiled_dense_pallas", "DENSE_FILL_THRESHOLD"]
+
+# Above this many entries per occupied tile, the dense-block kernel beats
+# the one-hot kernel: a dense (128,128)@(128,N) matmul costs 128*128*N
+# MACs per tile, while the one-hot formulation costs tile_cap*2*128*N —
+# i.e. dense wins whenever tile_cap > 64, *and* its cost does not scale
+# with padding. (Measured on v5e: one-hot at tile_cap=4096 runs ~64x more
+# MXU work per tile than dense blocks.)
+DENSE_FILL_THRESHOLD = 64
 
 
 @jax.tree_util.register_dataclass
@@ -189,4 +199,170 @@ def spmm_tiled_pallas(prep: PreparedTiledRows | SparseTiledCOO, X: Array, *,
     y = _spmm_tiled_pallas(prep.tcols, prep.rows, prep.cols,
                            prep.vals, Xp, n_block=N, nbc=nbc,
                            interpret=interpret)
+    return y[: prep.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Dense-block variant: occupied tiles stored as dense (128,128) f32 blocks.
+#
+# The one-hot kernel uses the MXU as a gather engine — every *padded entry
+# slot* costs 2*128*N MACs — so its runtime scales with tile_cap, not nnz,
+# and at tile_cap >= 4096 it is compute-bound ~75x off the HBM roofline.
+# Densifying each occupied tile flips the cost: one (128,128)@(128,N)
+# matmul per tile regardless of fill, 64KB/tile of A traffic, which makes
+# the kernel HBM-bound (the design target for general SpMM). The tile
+# *pattern* stays sparse — only occupied tiles are stored and only their
+# X tiles are fetched — so the sparsity still pays at the block level.
+# Use for fill >= DENSE_FILL_THRESHOLD; below that the one-hot kernel
+# moves fewer bytes.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedTiledDense:
+    """Row-grouped dense-block layout: ``tcols (nbr, Rt)`` block-col ids
+    (sentinel nbc), ``blocks (nbr, Rt, TILE, TILE)`` f32 densified tiles
+    (zero where no entry)."""
+
+    tcols: Array = dataclasses.field(metadata=dict(static=False))
+    blocks: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nbr(self) -> int:
+        return self.tcols.shape[0]
+
+    @property
+    def tiles_per_row(self) -> int:
+        return self.tcols.shape[1]
+
+    @property
+    def nbc(self) -> int:
+        return -(-self.shape[1] // TILE)
+
+
+def prepare_tiled_dense(tl: SparseTiledCOO) -> PreparedTiledDense:
+    """Densify a :class:`SparseTiledCOO` into per-block-row dense tiles
+    (host-side, eager)."""
+    nt = int(tl.n_tiles)
+    tr = np.asarray(tl.tile_row)[:nt]
+    tc = np.asarray(tl.tile_col)[:nt]
+    rows = np.asarray(tl.rows)[:nt].astype(np.int64)
+    cols = np.asarray(tl.cols)[:nt].astype(np.int64)
+    vals = np.asarray(tl.vals)[:nt].astype(np.float32)
+    nbr, nbc = tl.nbrows, tl.nbcols
+
+    counts = np.bincount(tr, minlength=nbr)
+    Rt = max(int(counts.max(initial=1)), 1)
+    tcols = np.full((nbr, Rt), nbc, np.int32)
+    blocks = np.zeros((nbr, Rt, TILE, TILE), np.float32)
+    slot = np.zeros(nbr, np.int64)
+    for t in range(nt):
+        b = tr[t]
+        s = slot[b]
+        tcols[b, s] = tc[t]
+        # Padding entries carry value 0 at offset (0,0); add.at folds them
+        # into block[0,0] harmlessly. Live duplicate offsets accumulate,
+        # matching consolidate(ADD).
+        np.add.at(blocks[b, s], (rows[t], cols[t]), vals[t])
+        slot[b] += 1
+    return PreparedTiledDense(tcols=jnp.asarray(tcols),
+                              blocks=jnp.asarray(blocks), shape=tl.shape)
+
+
+def _tiled_dense_kernel(tcols_ref, blocks_ref, x_hbm, y_ref, xtile, sem, *,
+                        tiles_per_row: int, n_rows: int, nbc: int):
+    # Grid = one step per block row; inner fori over the row's Rt tiles.
+    # X-tile DMAs are indexed by the GLOBAL step g = b*Rt + t and the DMA
+    # for g+1 is issued while step g computes — including across the row
+    # boundary (issuing only within a row leaves a DMA-latency stall at
+    # the top of every row: ~256 rows x ~1-2 us was a measurable fraction
+    # of the whole kernel). Measured v5e (slope method,
+    # probes/probe_tiled_dense_r2d/e.py): ~600 GB/s of actual traffic at
+    # f32 HIGHEST — HBM-bound, as designed.
+    Rt = tiles_per_row
+    b = pl.program_id(0)
+    n_steps = n_rows * Rt
+
+    def get_dma(g):
+        tc = jnp.minimum(tcols_ref[g], nbc - 1)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tc * TILE, TILE)], xtile.at[g % 2],
+            sem.at[g % 2])
+
+    @pl.when(b == 0)
+    def _():
+        get_dma(0).start()
+
+    y_ref[...] = jnp.zeros_like(y_ref)
+
+    def body(t, _):
+        g = b * Rt + t
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            get_dma(g + 1).start()
+
+        get_dma(g).wait()
+
+        @pl.when(tcols_ref[g] < nbc)
+        def _():
+            y_ref[...] += jax.lax.dot_general(
+                blocks_ref[0, t], xtile[g % 2],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return 0
+
+    jax.lax.fori_loop(0, Rt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "nbc", "interpret"))
+def _spmm_tiled_dense(prep_tcols, prep_blocks, Xp, *, n_block: int,
+                      nbc: int, interpret: bool) -> Array:
+    nbr, Rt = prep_tcols.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, Rt, TILE, TILE), lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),          # X in HBM
+        ],
+        out_specs=pl.BlockSpec((TILE, n_block), lambda b, t: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, n_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tiled_dense_kernel, tiles_per_row=Rt,
+                          n_rows=nbr, nbc=nbc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block), jnp.float32),
+        interpret=interpret,
+    )(prep_tcols.reshape(-1), prep_blocks, Xp)
+
+
+def spmm_tiled_dense_pallas(prep: PreparedTiledDense | SparseTiledCOO,
+                            X: Array, *, interpret: bool = False) -> Array:
+    """``Y = A @ X`` via the Pallas dense-block tiled kernel."""
+    if isinstance(prep, SparseTiledCOO):
+        prep = prepare_tiled_dense(prep)
+    # The per-block-row block stream is double-buffered in VMEM
+    # (2 * Rt * 64KB); guard against layouts whose widest block row
+    # cannot fit (very wide rows belong on the one-hot kernel, whose
+    # VMEM footprint is per-tile).
+    if prep.tiles_per_row * TILE * TILE * 4 * 2 > 32 * 1024 * 1024:
+        raise ValueError(
+            f"tiles_per_row={prep.tiles_per_row} needs "
+            f"{prep.tiles_per_row * 128 * 1024 // (1 << 20)} MiB of VMEM "
+            "block double-buffer; use spmm_tiled_pallas (one-hot) for "
+            "such wide rows")
+    X = jnp.asarray(X)
+    K, N = X.shape
+    nbc = prep.nbc
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
+    y = _spmm_tiled_dense(prep.tcols, prep.blocks, Xp, n_block=N, nbc=nbc,
+                          interpret=interpret)
     return y[: prep.shape[0]]

@@ -333,3 +333,65 @@ class TestBitonicBlockSort:
         with pytest.raises(ValueError):
             sort_blocks((jnp.zeros((1, 8, 64), jnp.int32),), num_keys=1,
                         interpret=True)
+
+
+class TestTiledDenseKernel:
+    """Dense-block tiled SpMM (ops.pallas_tiled dense variant): interpret
+    mode; compiled path covered by tests_tpu + probes."""
+
+    def _mat(self, rng, m=300, k=410, K=7):
+        from spsparse_tpu import CooBuilder
+        rr = np.repeat(np.arange(m), K)
+        cc = rng.integers(0, k, rr.size)
+        b = CooBuilder((m, k), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        return b.build()
+
+    def test_matches_dense_oracle(self, rng):
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import spmm_tiled_dense_pallas
+        A = self._mat(rng)
+        X = rng.uniform(-1, 1, (410, 64)).astype(np.float32)
+        Y = np.asarray(spmm_tiled_dense_pallas(to_tiled(A), jnp.asarray(X),
+                                               interpret=True))
+        ref = np.asarray(A.to_dense()) @ X
+        np.testing.assert_allclose(Y, ref, atol=5e-5)
+
+    def test_agrees_with_onehot_kernel(self, rng):
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import (spmm_tiled_dense_pallas,
+                                                   spmm_tiled_pallas)
+        A = self._mat(rng, m=150, k=200, K=5)
+        tl = to_tiled(A)
+        X = rng.uniform(-1, 1, (200, 32)).astype(np.float32)
+        Y1 = np.asarray(spmm_tiled_dense_pallas(tl, jnp.asarray(X),
+                                                interpret=True))
+        Y2 = np.asarray(spmm_tiled_pallas(tl, jnp.asarray(X),
+                                          interpret=True))
+        np.testing.assert_allclose(Y1, Y2, atol=5e-5)
+
+    def test_duplicate_offsets_accumulate(self):
+        from spsparse_tpu.core.coo import SparseCOO
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import prepare_tiled_dense
+        idx = np.array([[1, 2], [1, 2], [0, 0]], np.int32)
+        A = SparseCOO.from_arrays(idx, np.array([2.0, 3.0, 1.0], np.float32),
+                                  (4, 4))
+        prep = prepare_tiled_dense(to_tiled(A))
+        blk = np.asarray(prep.blocks)[0, 0]
+        assert blk[1, 2] == 5.0 and blk[0, 0] == 1.0
+
+    def test_wide_row_guard(self):
+        from spsparse_tpu.ops.pallas_tiled import (PreparedTiledDense,
+                                                   spmm_tiled_dense_pallas)
+        import pytest as _pytest
+        Rt = 300  # 2*300*64KB = 37.5 MiB > the 32 MiB double-buffer budget
+        prep = PreparedTiledDense(
+            tcols=jnp.zeros((1, Rt), jnp.int32),
+            blocks=jnp.zeros((1, Rt, 128, 128), jnp.float32),
+            shape=(128, Rt * 128))
+        with _pytest.raises(ValueError):
+            spmm_tiled_dense_pallas(prep, jnp.zeros((Rt * 128, 8),
+                                                    jnp.float32),
+                                    interpret=True)

@@ -76,3 +76,22 @@ class TestCompiledBlockSort:
             assert np.array_equal(np.sort(k[b].ravel()), flat)
             np.testing.assert_array_equal(np.asarray(vs)[b].ravel(),
                                           flat % 997)
+
+
+class TestCompiledTiledDense:
+    def test_spmm_dense_blocks_compiled(self, rng):
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import spmm_tiled_dense_pallas
+        m, k, K, N = 1024, 2048, 20, 128
+        rr = np.repeat(np.arange(m), K)
+        cc = np.clip(rr * 2 + rng.integers(-100, 101, rr.size), 0, k - 1)
+        b = CooBuilder((m, k), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        A = b.build()
+        X = rng.uniform(-1, 1, (k, N)).astype(np.float32)
+        Y = np.asarray(jax.block_until_ready(
+            spmm_tiled_dense_pallas(to_tiled(A), jnp.asarray(X))))
+        ref = np.asarray(A.to_dense()) @ X
+        np.testing.assert_allclose(Y, ref, rtol=2e-5, atol=2e-4)
