@@ -122,10 +122,8 @@ def config1_reference_check() -> dict:
     from spsparse_tpu import CooBuilder
     from spsparse_tpu.ops import multiply
 
-    rng = np.random.default_rng(17)
     t0 = time.perf_counter()
-    checked = 0
-    max_err = 0.0
+    As, Bs, Ads, Bds = [], [], [], []
     for seed in range(1, 33):
         r = np.random.default_rng(seed)
         na = int(r.uniform(0, 1) * 25)
@@ -139,11 +137,25 @@ def config1_reference_check() -> dict:
             bb.add((int(r.integers(5)), int(r.integers(5))),
                    float(r.uniform(-1, 1)))
         A, B = ba.build(cap=32), bb.build(cap=32)
-        C = multiply(1.0, A, B, expand_cap=1024, cap=64)
-        err = np.abs(np.asarray(C.to_dense())
-                     - np.asarray(A.to_dense()) @ np.asarray(B.to_dense()))
-        max_err = max(max_err, float(err.max(initial=0)))
-        checked += 1
+        As.append(A)
+        Bs.append(B)
+        Ads.append(np.asarray(A.to_dense()))
+        Bds.append(np.asarray(B.to_dense()))
+
+    # All seeds share one compiled program (fixed caps + vmap) — the eager
+    # per-seed loop costs ~170 s through this rig's dispatch tunnel.
+    stackA = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *As)
+    stackB = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *Bs)
+
+    @jax.jit
+    @jax.vmap
+    def f(a, b):
+        return multiply(1.0, a, b, expand_cap=1024, cap=64).to_dense()
+
+    dense = np.asarray(jax.block_until_ready(f(stackA, stackB)))
+    expect = np.einsum("sij,sjk->sik", np.stack(Ads), np.stack(Bds))
+    max_err = float(np.abs(dense - expect).max(initial=0))
+    checked = len(As)
     # f64 oracles need jax x64 (the test suite enables it); without it the
     # values silently run in f32, so calibrate the tolerance to the dtype.
     tol = 1e-12 if jax.config.jax_enable_x64 else 1e-5
@@ -172,7 +184,7 @@ def config2b_multirhs(on_cpu: bool) -> dict | None:
     prep = prepare_dia(dia)
     X = jnp.asarray(rng.uniform(-1, 1, (8, n)).astype(np.float32))
     t = bench_slope(lambda Xv: spmm_dia_mrhs_pallas(prep, Xv), X,
-                    iters=6, reps=3, u_lo=1, u_hi=3)
+                    iters=8, reps=5, u_lo=2, u_hi=10)
     kind, bw = device_hbm_bandwidth()
     bytes_moved = nnz * 4 + 8 * 2 * n * 4
     agg = 8 * nnz / t
@@ -201,14 +213,18 @@ def _regrid_matrix(m: int, k: int, rng, spread: int = 128):
 
 
 def config3_spmm(on_cpu: bool) -> dict:
-    """Config 3: CSR (50 nnz/row) x dense 128-col block via the tiled
-    one-hot kernel. Pattern-aware roofline: A payload (6B/entry tiled) +
-    each occupied X tile fetched once (64KB) + Y written once."""
+    """Config 3: general sparse (50 nnz/row) x dense 128-col block via the
+    dense-block tiled kernel (avg fill 1603 >> DENSE_FILL_THRESHOLD).
+    Pattern-aware roofline: A payload (6B/entry tiled) + each occupied X
+    tile fetched once (64KB) + Y written once. Timed with bench_slope —
+    bench_fori charges this rig's ~7 ms fixed cost per loop iteration
+    containing a pallas_call, which swamps sub-ms kernels (measured,
+    probes/probe_tiled_dense_r2c.py)."""
     from spsparse_tpu.core.tiled import to_tiled, TILE
-    from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_rows,
-                                               spmm_tiled_pallas)
+    from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_dense,
+                                               spmm_tiled_dense_pallas)
     from spsparse_tpu.ops.tiled_ops import spmm_tiled
-    from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
     rng = np.random.default_rng(0)
@@ -217,21 +233,21 @@ def config3_spmm(on_cpu: bool) -> dict:
     A = _regrid_matrix(m, K, rng)
     tl = to_tiled(A)
     X = jnp.asarray(rng.uniform(-1, 1, (A.shape[1], N)).astype(np.float32))
-    # A is (m, 2m): the chain carries X (the wider operand) and feeds a
-    # negligible data-dependent eps back so iterations cannot be elided.
     if on_cpu:
         kernel = lambda Y: spmm_tiled(tl, Y)            # noqa: E731
         impl = "xla_tiled"
     else:
-        prep = prepare_tiled_rows(tl)
-        kernel = lambda Y: spmm_tiled_pallas(prep, Y)   # noqa: E731
-        impl = "pallas_tiled"
+        prep = prepare_tiled_dense(tl)
+        kernel = lambda Y: spmm_tiled_dense_pallas(prep, Y)  # noqa: E731
+        impl = "pallas_tiled_dense"
 
+    # The chain feeds a negligible data-dependent eps back into X so
+    # unrolled iterations cannot be elided or reordered.
     def step(Xc):
         Y = kernel(Xc)
-        return Xc + jnp.sum(Y) * jnp.float32(1e-38)
+        return Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38))
 
-    t = bench_fori(step, X, iters=3, reps=2)
+    t = bench_slope(step, X, iters=8, reps=5, u_lo=2, u_hi=10)
     nnz = m * K
     n_tiles = int(tl.n_tiles)
     fill = nnz / max(n_tiles, 1)
@@ -257,7 +273,7 @@ def config4_spgemm(on_cpu: bool) -> dict:
     import dataclasses
 
     from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
-    from spsparse_tpu.utils.benchtime import bench_fori
+    from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import (device_hbm_bandwidth,
                                              spgemm_esc_stats)
 
@@ -277,7 +293,7 @@ def config4_spgemm(on_cpu: bool) -> dict:
         eps = jnp.sum(res.vals) * jnp.float32(1e-38)
         return dataclasses.replace(a, vals=a.vals + eps)
 
-    t = bench_fori(step, A, iters=5, reps=2)
+    t = bench_slope(step, A, iters=8, reps=5, u_lo=2, u_hi=10)
     res = spgemm_aat(A, cap=out_cap, expand_cap=expand_cap)
     nnz_out = int(res.nnz)
     stats = spgemm_esc_stats(r.size, r.size, expand_cap, nnz_out)

@@ -51,16 +51,21 @@ def bench_slope(step: Callable[[Any], Any], init: Any, *, u_lo: int = 2,
     _force(run_lo(init))
     _force(run_hi(init))
 
-    slopes = []
+    # The tunnel injects large positive latency spikes (queueing), so a
+    # per-pair slope can even go negative. Median the lo and hi times
+    # separately across reps, then difference the medians — robust to
+    # spikes landing on either side of a pair.
+    t_los, t_his = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         _force(run_lo(init))
-        t_lo = time.perf_counter() - t0
+        t_los.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _force(run_hi(init))
-        t_hi = time.perf_counter() - t0
-        slopes.append((t_hi - t_lo) / (iters * (u_hi - u_lo)))
-    return max(float(np.median(slopes)), 1e-9)
+        t_his.append(time.perf_counter() - t0)
+    slope = (float(np.median(t_his)) - float(np.median(t_los))) \
+        / (iters * (u_hi - u_lo))
+    return max(slope, 1e-9)
 
 
 def bench_fori(step: Callable[[Any], Any], init: Any, *, iters: int = 20,
@@ -73,6 +78,14 @@ def bench_fori(step: Callable[[Any], Any], init: Any, *, iters: int = 20,
     ``step`` must be shape/dtype-preserving. The loop prevents any
     cross-iteration fusion less aggressively than real workloads would,
     but XLA cannot elide iterations because of the loop-carried dependency.
+
+    .. warning:: Do NOT use this for Pallas kernels on this rig: a loop
+       iteration whose body contains a ``pallas_call`` charges a ~7 ms
+       fixed cost (measured; an *empty* 256-step kernel times identically
+       to a real one — probes/probe_tiled_dense_r2c.py), which swamps
+       sub-ms kernels. The actual per-call overhead is ~13 us; use
+       :func:`bench_slope`, whose unroll difference cancels the
+       per-iteration term.
     """
     import jax.lax as lax
 
