@@ -16,6 +16,7 @@ from .core import (
     DuplicatePolicy,
     SpSparseError,
     set_error_handler,
+    set_dump_stack_on_error,
     isnone,
     ROW_MAJOR,
     COL_MAJOR,

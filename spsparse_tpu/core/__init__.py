@@ -4,6 +4,7 @@ from .errors import (
     DuplicatePolicy,
     SpSparseError,
     set_error_handler,
+    set_dump_stack_on_error,
     spsparse_error,
     isnone,
     ROW_MAJOR,
@@ -29,7 +30,8 @@ from .join import JoinResult, join2, join3, intersect_mask
 from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
 
 __all__ = [
-    "DuplicatePolicy", "SpSparseError", "set_error_handler", "spsparse_error",
+    "DuplicatePolicy", "SpSparseError", "set_error_handler",
+    "set_dump_stack_on_error", "spsparse_error",
     "isnone", "ROW_MAJOR", "COL_MAJOR",
     "SparseCOO", "CooBuilder", "coo_matrix", "coo_vector",
     "consolidate", "sorted_permutation", "merge_sorted_entries",

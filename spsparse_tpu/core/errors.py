@@ -32,6 +32,7 @@ __all__ = [
     "DuplicatePolicy",
     "SpSparseError",
     "set_error_handler",
+    "set_dump_stack_on_error",
     "spsparse_error",
     "isnone",
     "ROW_MAJOR",
@@ -64,9 +65,27 @@ class SpSparseError(Exception):
     """
 
 
+_dump_stack: bool = False
+
+
+def set_dump_stack_on_error(enabled: bool = True) -> None:
+    """Make the default handler dump the Python stack to stderr before
+    raising — the analogue of the reference's optional Everytrace hook,
+    which calls ``everytrace_exit(-1)`` for a stack dump when built with
+    ``-DUSE_EVERYTRACE`` (reference ``spsparse.cpp:21-23``,
+    ``CMakeLists.txt:7-16``). Unlike Everytrace this does not exit the
+    process; the structured exception still propagates."""
+    global _dump_stack
+    _dump_stack = enabled
+
+
 def _default_error(retcode: int, msg: str) -> None:
     """Default handler: log then raise (reference ``spsparse.cpp:12-28``)."""
     logger.error("spsparse error (retcode=%d): %s", retcode, msg)
+    if _dump_stack:
+        import sys
+        import traceback
+        traceback.print_stack(file=sys.stderr)
     raise SpSparseError(msg)
 
 

@@ -402,6 +402,24 @@ class TestUtils:
         finally:
             set_error_handler(None)
 
+    def test_dump_stack_on_error(self, capsys):
+        # Everytrace-hook analogue (reference spsparse.cpp:21-23): stack
+        # dump to stderr before the structured exception propagates.
+        from spsparse_tpu import set_dump_stack_on_error, SpSparseError
+        set_dump_stack_on_error(True)
+        try:
+            b = CooBuilder((2,))
+            with pytest.raises(SpSparseError):
+                b.add((5,), 1.0)
+            err = capsys.readouterr().err
+            assert "test_dump_stack_on_error" in err  # our frame is in it
+        finally:
+            set_dump_stack_on_error(False)
+        b = CooBuilder((2,))
+        with pytest.raises(SpSparseError):
+            b.add((5,), 1.0)
+        assert "test_dump_stack_on_error" not in capsys.readouterr().err
+
 
 class TestPropertyRandomized:
     """Randomized differential testing of consolidate against the numpy
