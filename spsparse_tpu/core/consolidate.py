@@ -277,13 +277,15 @@ def merge_sorted_entries(
 
     * ``"compact"`` (default, TPU-fast): run representatives are compacted
       to the front with one stable single-key sort
-      (:func:`compact_select`); ADD sums arrive as differences of the
-      inclusive prefix sum at run ends. ~10x over scatter on v5e (XLA
-      scatters execute per-element at ~0.09 Gelem/s). Note the ADD sums
-      are evaluated as ``cumsum[end] - cumsum[prev_end]`` — algebraically
-      the in-order run sum, but not bitwise-identical to a left-to-right
-      per-run accumulation in floating point (differences are O(n*eps)
-      relative to the prefix magnitude).
+      (:func:`compact_select`); ADD sums come from a *segmented* prefix
+      scan read at run ends. ~10x over scatter on v5e (XLA scatters
+      execute per-element at ~0.09 Gelem/s). Float sums are per-run
+      tree reductions — error O(run_len * eps) relative to the *run*
+      magnitude (not bitwise-identical to a left-to-right scan; integer
+      sums, via plain cumsum differences, are exact). Round-2 note: an
+      earlier version differenced one global cumsum, whose
+      O(total_sum * eps) cancellation error reached ~1e-4 absolute on
+      f32 inputs with ~1e4 total — the segmented scan fixed it.
     * ``"scatter"``: the round-1 formulation (XLA scatter-add/set). Run
       sums accumulate left-to-right per run — bitwise parity with the
       reference's sequential scan — at scatter speed.
@@ -355,30 +357,53 @@ def _run_last(is_new, valid):
     return valid & (next_new | ~next_valid)
 
 
+def _segmented_cumsum(x, is_start):
+    """Inclusive prefix sum restarting at every ``is_start`` position.
+
+    Classic segmented-scan operator under ``associative_scan`` (log-depth,
+    fully vectorized). Reading the result at a run's last position yields
+    the run's sum as a per-run tree reduction — no cancellation against
+    the global prefix (a global ``cumsum[end] - cumsum[prev_end]`` loses
+    O(total_sum * eps), which measured ~1e-4 absolute on f32 streams with
+    ~1e4 totals)."""
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return (vb + jnp.where(fb, jnp.zeros((), va.dtype), va), fa | fb)
+
+    v, _ = jax.lax.associative_scan(op, (x, is_start))
+    return v
+
+
 def _merge_compact(index_cols, vals, valid, is_new, *, shape,
                    duplicate_policy, cap, sort_order, index_dtype, n_out):
     """Scatter-free merge: pick one representative entry per run, compact
     representatives to the front with a stable sort."""
     floating = jnp.issubdtype(vals.dtype, jnp.floating)
+    add_needs_diff = False
     if duplicate_policy == DuplicatePolicy.ADD:
         select = _run_last(is_new, valid)
         if floating:
-            # A plain cumsum would poison every run after the first
-            # non-finite value. Prefix-sum the finite part and carry
-            # integer presence counts; the IEEE outcome of a sum depends
-            # only on which non-finite classes the run contains (any NaN
-            # -> NaN; +inf and -inf -> NaN; else the surviving inf). The
-            # counts ride the compaction sort only on the (rare) inputs
-            # that actually contain non-finite values — a runtime
-            # ``lax.cond`` picks the 3-fewer-operand sort otherwise.
+            # A plain scan would poison every run after the first
+            # non-finite value. Scan the finite part and carry integer
+            # presence counts; the IEEE outcome of a sum depends only on
+            # which non-finite classes the run contains (any NaN -> NaN;
+            # +inf and -inf -> NaN; else the surviving inf). The counts
+            # ride the compaction sort only on the (rare) inputs that
+            # actually contain non-finite values — a runtime ``lax.cond``
+            # picks the 3-fewer-operand sort otherwise.
             finite = jnp.isfinite(vals)
-            carry_val = jnp.cumsum(jnp.where(finite, vals, 0))
+            carry_val = _segmented_cumsum(jnp.where(finite, vals, 0),
+                                          is_new)
             extra = (jnp.cumsum(jnp.isnan(vals).astype(jnp.int32)),
                      jnp.cumsum((vals == jnp.inf).astype(jnp.int32)),
                      jnp.cumsum((vals == -jnp.inf).astype(jnp.int32)))
         else:
+            # Integer cumsum differences are exact — skip the segmented
+            # scan's second carried operand.
             carry_val = jnp.cumsum(vals)
             extra = ()
+            add_needs_diff = True
     elif duplicate_policy == DuplicatePolicy.LEAVE_ALONE:
         select = is_new
         carry_val = vals
@@ -429,9 +454,10 @@ def _merge_compact(index_cols, vals, valid, is_new, *, shape,
         return c - prev
 
     if duplicate_policy == DuplicatePolicy.ADD:
-        # Run sum = inclusive-prefix at this run's end minus at the
-        # previous run's end (runs tile the valid prefix contiguously).
-        out_vals = run_diff(cval)
+        # Float: the segmented scan read at the run's end IS the run sum.
+        # Int: inclusive-prefix at this run's end minus at the previous
+        # run's end (runs tile the valid prefix contiguously; exact).
+        out_vals = run_diff(cval) if add_needs_diff else cval
         if extra:
             n_nan, n_pos, n_neg = (run_diff(comp[len(words) + 1 + i])
                                    for i in range(3))

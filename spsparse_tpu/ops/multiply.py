@@ -301,9 +301,10 @@ def multiply(
     ``merge_method="scatter"`` keeps the reference's bitwise left-to-right
     accumulation of each output cell (``EXPECT_DOUBLE_EQ`` parity,
     test_multiply_sparse.cpp:126) at scatter speed; the default
-    ``"compact"`` evaluates cell sums as prefix-sum differences — same
-    ascending-k order algebraically, with O(n*eps) rounding differences —
-    and is ~10x faster on TPU (see core.consolidate.merge_sorted_entries).
+    ``"compact"`` evaluates cell sums as per-run segmented-scan tree
+    reductions — same ascending-k term set, O(run*eps) rounding
+    differences — and is ~10x faster on TPU (see
+    core.consolidate.merge_sorted_entries).
     """
     if A.rank != 2 or B.rank != 2:
         spsparse_error(-1, "multiply (MM) requires rank-2 operands")

@@ -242,9 +242,15 @@ class PreparedTiledDense:
         return -(-self.shape[1] // TILE)
 
 
-def prepare_tiled_dense(tl: SparseTiledCOO) -> PreparedTiledDense:
+def prepare_tiled_dense(tl: SparseTiledCOO,
+                        dtype=jnp.float32) -> PreparedTiledDense:
     """Densify a :class:`SparseTiledCOO` into per-block-row dense tiles
-    (host-side, eager)."""
+    (host-side, eager).
+
+    ``dtype=jnp.bfloat16`` halves the A-block and X-tile HBM traffic and
+    runs the MXU at full rate (f32 blocks use 6-pass HIGHEST); products
+    still accumulate in f32 (``preferred_element_type``) — the mixed
+    bf16/f32 mode BASELINE config 3 specifies."""
     nt = int(tl.n_tiles)
     tr = np.asarray(tl.tile_row)[:nt]
     tc = np.asarray(tl.tile_col)[:nt]
@@ -268,7 +274,8 @@ def prepare_tiled_dense(tl: SparseTiledCOO) -> PreparedTiledDense:
         np.add.at(blocks[b, s], (rows[t], cols[t]), vals[t])
         slot[b] += 1
     return PreparedTiledDense(tcols=jnp.asarray(tcols),
-                              blocks=jnp.asarray(blocks), shape=tl.shape)
+                              blocks=jnp.asarray(blocks).astype(dtype),
+                              shape=tl.shape)
 
 
 def _tiled_dense_kernel(tcols_ref, blocks_ref, x_hbm, y_ref, xtile, sem, *,
@@ -308,11 +315,14 @@ def _tiled_dense_kernel(tcols_ref, blocks_ref, x_hbm, y_ref, xtile, sem, *,
 
         @pl.when(tcols_ref[g] < nbc)
         def _():
+            prec = (jax.lax.Precision.DEFAULT
+                    if blocks_ref.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
             y_ref[...] += jax.lax.dot_general(
                 blocks_ref[0, t], xtile[g % 2],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
         return 0
 
     jax.lax.fori_loop(0, Rt, body, 0)
@@ -331,7 +341,8 @@ def _spmm_tiled_dense(prep_tcols, prep_blocks, Xp, *, n_block: int,
         ],
         out_specs=pl.BlockSpec((TILE, n_block), lambda b, t: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE, n_block), jnp.float32),
+            # X tiles stream at the block dtype (bf16 halves the traffic).
+            pltpu.VMEM((2, TILE, n_block), prep_blocks.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -362,7 +373,7 @@ def spmm_tiled_dense_pallas(prep: PreparedTiledDense | SparseTiledCOO,
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
-    Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
+    Xp = jnp.pad(X.astype(prep.blocks.dtype), ((0, nbc * TILE - K), (0, 0)))
     y = _spmm_tiled_dense(prep.tcols, prep.blocks, Xp, n_block=N, nbc=nbc,
                           interpret=interpret)
     return y[: prep.shape[0]]

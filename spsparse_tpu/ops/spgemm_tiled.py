@@ -1,0 +1,359 @@
+"""Tiled MXU SpGEMM — block-structured sparse x sparse on the matrix unit.
+
+The general ESC SpGEMM (:mod:`spsparse_tpu.ops.multiply`) is sort-bound on
+TPU: every elementary product goes through two stable ``lax.sort`` passes
+at ~0.3-0.5 Gelem/s, which caps it ~400x under the HBM roofline (measured,
+``docs/PERFORMANCE.md``).  For matrices whose nonzeros cluster into a
+sparse pattern of dense(ish) 128x128 tiles — regridding / conservative-
+interpolation operators, banded products, mesh couplings — the TPU-native
+formulation is *block Gustavson on the MXU*: match operand tiles on the
+contraction block index (host-side, static pattern), batch the matching
+128x128 tile products onto the systolic array, and segment-sum them into
+the (sparse) set of occupied output tiles.  No per-entry sort, no gather;
+the only data-dependent step is the final (optional) extraction of
+nonzero entries back to COO.
+
+    C = A @ B           pairs (ta, tb) with A.tile_col[ta] == B.tile_row[tb]
+    C = A @ B^T         pairs (ta, tb) with A.tile_col[ta] == B.tile_col[tb]
+    out tile of a pair: (A.tile_row, B.tile_col or B.tile_row)
+
+Two device paths with identical semantics:
+
+* :func:`spgemm_tiled_xla` — gathered batched matmul + ``segment_sum``
+  (runs anywhere; materializes the P x 128 x 128 product stream in HBM).
+* :func:`spgemm_tiled_pallas` — one grid step per pair, operand tiles
+  DMA'd by scalar-prefetched block ids, products accumulated in VMEM and
+  each output tile written exactly once (pairs are plan-sorted by output
+  tile).  HBM traffic = 2 operand tiles in per pair + 1 tile out per
+  output tile.
+
+Duplicate semantics are consolidate(ADD) — block accumulation sums
+everything — and exact zeros are dropped at COO extraction, matching the
+reference multiply contract (``multiply_sparse.hpp:238-243``: zero dot
+products are not emitted).  This module is this framework's own design;
+the reference has no tiled/blocked counterpart to cite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.coo import SparseCOO, round_up_pow2
+from ..core.errors import SpSparseError
+from ..core.tiled import SparseTiledCOO, TILE, to_tiled
+
+Array = Any
+
+__all__ = ["TiledBlocks", "densify_tiled", "TiledGemmPlan",
+           "plan_tiled_spgemm", "spgemm_tiled_xla", "spgemm_tiled_pallas",
+           "spgemm_tiled", "tiled_blocks_to_coo"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledBlocks:
+    """Sparse pattern of dense 128x128 blocks (flat layout).
+
+    ``tile_row/tile_col (T,)`` int32 block coordinates; ``blocks
+    (T, TILE, TILE)`` f32/bf16 dense blocks (zero-filled outside the
+    stored entries and outside ``shape``).  All ``T`` blocks are live.
+    """
+
+    tile_row: Array = dataclasses.field(metadata=dict(static=False))
+    tile_col: Array = dataclasses.field(metadata=dict(static=False))
+    blocks: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_tiles(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def nbrows(self) -> int:
+        return -(-self.shape[0] // TILE)
+
+    @property
+    def nbcols(self) -> int:
+        return -(-self.shape[1] // TILE)
+
+    def to_dense(self) -> Array:
+        nr, nc = self.nbrows * TILE, self.nbcols * TILE
+        dense = jnp.zeros((nr // TILE, nc // TILE, TILE, TILE),
+                          jnp.promote_types(self.blocks.dtype, jnp.float32))
+        dense = dense.at[self.tile_row, self.tile_col].add(
+            self.blocks.astype(dense.dtype))
+        dense = dense.transpose(0, 2, 1, 3).reshape(nr, nc)
+        return dense[: self.shape[0], : self.shape[1]]
+
+
+def densify_tiled(tl: SparseTiledCOO, *, dtype=jnp.float32) -> TiledBlocks:
+    """``SparseTiledCOO`` -> flat dense blocks (host-side, eager).
+
+    Duplicate in-tile offsets accumulate (consolidate(ADD) semantics,
+    same as :func:`to_tiled`'s contract).
+    """
+    nt = int(tl.n_tiles)
+    tr = np.asarray(tl.tile_row)[:nt]
+    tc = np.asarray(tl.tile_col)[:nt]
+    rows = np.asarray(tl.rows)[:nt].astype(np.int64)
+    cols = np.asarray(tl.cols)[:nt].astype(np.int64)
+    vals = np.asarray(tl.vals)[:nt].astype(np.float32)
+    blocks = np.zeros((max(nt, 1), TILE, TILE), np.float32)
+    t_of = np.repeat(np.arange(max(nt, 1))[:nt], rows.shape[1] if nt else 0)
+    np.add.at(blocks, (t_of, rows.reshape(-1), cols.reshape(-1)),
+              vals.reshape(-1))
+    if nt == 0:
+        tr = np.zeros(1, np.int32)
+        tc = np.zeros(1, np.int32)
+    return TiledBlocks(tile_row=jnp.asarray(tr, jnp.int32),
+                       tile_col=jnp.asarray(tc, jnp.int32),
+                       blocks=jnp.asarray(blocks, dtype), shape=tl.shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledGemmPlan:
+    """Static (host-side) pair plan for a tiled SpGEMM.
+
+    ``pa/pb (P,)`` operand block indices, ``oid (P,)`` output-block index
+    per pair (pairs sorted by ``oid``; each output block's pairs are
+    contiguous), ``out_tile_row/out_tile_col (T_out,)`` output block
+    coordinates (row-major sorted), ``transpose_b`` the contraction mode,
+    ``out_shape`` the result extents.
+    """
+
+    pa: np.ndarray
+    pb: np.ndarray
+    oid: np.ndarray
+    out_tile_row: np.ndarray
+    out_tile_col: np.ndarray
+    transpose_b: bool
+    out_shape: tuple
+
+    @property
+    def n_pairs(self) -> int:
+        return self.pa.shape[0]
+
+    @property
+    def n_out_tiles(self) -> int:
+        return self.out_tile_row.shape[0]
+
+
+def plan_tiled_spgemm(A: TiledBlocks, B: TiledBlocks, *,
+                      transpose_b: bool = False) -> TiledGemmPlan:
+    """Host-side pair matching on the static tile pattern.
+
+    The plan depends only on the *pattern* (tile coordinates), so one plan
+    serves any number of value updates under one compiled program.
+    """
+    atr = np.asarray(A.tile_row, np.int64)
+    atc = np.asarray(A.tile_col, np.int64)
+    btr = np.asarray(B.tile_row, np.int64)
+    btc = np.asarray(B.tile_col, np.int64)
+    if transpose_b:
+        k_b, j_b = btc, btr
+        inner_a, inner_b = A.shape[1], B.shape[1]
+        out_shape = (A.shape[0], B.shape[0])
+    else:
+        k_b, j_b = btr, btc
+        inner_a, inner_b = A.shape[1], B.shape[0]
+        out_shape = (A.shape[0], B.shape[1])
+    if inner_a != inner_b:
+        raise SpSparseError(
+            f"inner dimension mismatch: {inner_a} vs {inner_b} "
+            "(reference raises via spsparse_error, "
+            "multiply_sparse.hpp:172-174)")
+
+    # Match A.tile_col == k_b via sort + searchsorted (host, numpy).
+    order_b = np.argsort(k_b, kind="stable")
+    kb_s = k_b[order_b]
+    lo = np.searchsorted(kb_s, atc, side="left")
+    hi = np.searchsorted(kb_s, atc, side="right")
+    cnt = hi - lo
+    pa = np.repeat(np.arange(atr.shape[0]), cnt)
+    if pa.size:
+        within = np.arange(pa.size) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        pb = order_b[np.repeat(lo, cnt) + within]
+    else:
+        pb = np.zeros(0, np.int64)
+
+    nbc_out = -(-out_shape[1] // TILE)
+    out_key = atr[pa] * nbc_out + j_b[pb]
+    order = np.argsort(out_key, kind="stable")
+    pa, pb, out_key = pa[order], pb[order], out_key[order]
+    uniq, oid = np.unique(out_key, return_inverse=True)
+    return TiledGemmPlan(
+        pa=pa.astype(np.int32), pb=pb.astype(np.int32),
+        oid=oid.astype(np.int32),
+        out_tile_row=(uniq // nbc_out).astype(np.int32),
+        out_tile_col=(uniq % nbc_out).astype(np.int32),
+        transpose_b=transpose_b, out_shape=out_shape)
+
+
+def _pair_dot(a, b, transpose_b: bool):
+    # bf16 operands accumulate in f32 on the MXU (preferred_element_type);
+    # f32 operands use HIGHEST (6-pass) to keep oracle-level accuracy.
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    contract = ((1,), (1,)) if transpose_b else ((1,), (0,))
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose_b", "n_out"))
+def _spgemm_tiled_xla(a_blocks, b_blocks, pa, pb, oid, *,
+                      transpose_b: bool, n_out: int):
+    prods = jax.vmap(lambda i, j: _pair_dot(
+        a_blocks[i], b_blocks[j], transpose_b))(pa, pb)
+    return jax.ops.segment_sum(prods, oid, num_segments=n_out)
+
+
+def spgemm_tiled_xla(A: TiledBlocks, B: TiledBlocks,
+                     plan: TiledGemmPlan) -> TiledBlocks:
+    """Tiled SpGEMM via XLA batched matmul + block segment-sum."""
+    if plan.n_pairs == 0:
+        return TiledBlocks(tile_row=jnp.zeros(1, jnp.int32),
+                           tile_col=jnp.zeros(1, jnp.int32),
+                           blocks=jnp.zeros((1, TILE, TILE), jnp.float32),
+                           shape=plan.out_shape)
+    out = _spgemm_tiled_xla(A.blocks, B.blocks,
+                            jnp.asarray(plan.pa), jnp.asarray(plan.pb),
+                            jnp.asarray(plan.oid),
+                            transpose_b=plan.transpose_b,
+                            n_out=plan.n_out_tiles)
+    return TiledBlocks(tile_row=jnp.asarray(plan.out_tile_row),
+                       tile_col=jnp.asarray(plan.out_tile_col),
+                       blocks=out, shape=plan.out_shape)
+
+
+def _pairs_kernel(pa_ref, pb_ref, oid_ref, a_ref, b_ref, out_ref, acc, *,
+                  transpose_b: bool, n_pairs: int):
+    p = pl.program_id(0)
+    prev = oid_ref[jnp.maximum(p, 1) - 1]
+    first = jnp.logical_or(p == 0, oid_ref[p] != prev)
+
+    @pl.when(first)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += _pair_dot(a_ref[0], b_ref[0], transpose_b)
+
+    nxt = oid_ref[jnp.minimum(p + 1, n_pairs - 1)]
+    last = jnp.logical_or(p == n_pairs - 1, oid_ref[p] != nxt)
+
+    @pl.when(last)
+    def _():
+        out_ref[0] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("transpose_b", "n_out", "interpret"))
+def _spgemm_tiled_pallas(a_blocks, b_blocks, pa, pb, oid, *,
+                         transpose_b: bool, n_out: int, interpret: bool):
+    P = pa.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, TILE, TILE),
+                         lambda p, pa, pb, oid: (pa[p], 0, 0)),
+            pl.BlockSpec((1, TILE, TILE),
+                         lambda p, pa, pb, oid: (pb[p], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE),
+                               lambda p, pa, pb, oid: (oid[p], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_pairs_kernel, transpose_b=transpose_b,
+                          n_pairs=P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, TILE, TILE), jnp.float32),
+        interpret=interpret,
+    )(pa, pb, oid, a_blocks, b_blocks)
+
+
+def spgemm_tiled_pallas(A: TiledBlocks, B: TiledBlocks,
+                        plan: TiledGemmPlan, *,
+                        interpret: bool = False) -> TiledBlocks:
+    """Tiled SpGEMM via the Pallas pair-stream kernel.
+
+    Pairs are consumed in plan order (grouped by output tile); operand
+    tiles stream through double-buffered VMEM blocks, the running product
+    accumulates in a VMEM scratch tile, and each output tile is stored
+    once.  HBM traffic: ``P * 2`` operand tiles read + ``T_out`` tiles
+    written.
+    """
+    if plan.n_pairs == 0:
+        return spgemm_tiled_xla(A, B, plan)
+    out = _spgemm_tiled_pallas(A.blocks, B.blocks,
+                               jnp.asarray(plan.pa), jnp.asarray(plan.pb),
+                               jnp.asarray(plan.oid),
+                               transpose_b=plan.transpose_b,
+                               n_out=plan.n_out_tiles, interpret=interpret)
+    return TiledBlocks(tile_row=jnp.asarray(plan.out_tile_row),
+                       tile_col=jnp.asarray(plan.out_tile_col),
+                       blocks=out, shape=plan.out_shape)
+
+
+def tiled_blocks_to_coo(tb: TiledBlocks, *, cap: int | None = None,
+                        nnz_cap: int | None = None) -> SparseCOO:
+    """Extract nonzero entries of a block-tiled result into (unsorted) COO.
+
+    Exact zeros are dropped (reference contract: zero products are not
+    emitted, ``multiply_sparse.hpp:238-243``).  ``cap`` is the static
+    output capacity; when None it is computed eagerly from the concrete
+    nonzero count (host sync).
+    """
+    blocks = tb.blocks.astype(jnp.float32)
+    if cap is None and nnz_cap is not None:
+        cap = nnz_cap
+    if cap is None:
+        cap = round_up_pow2(max(int(jnp.sum(blocks != 0)), 1))
+    t, r, c = jnp.nonzero(blocks, size=cap,
+                          fill_value=(tb.n_tiles - 1, 0, 0))
+    nnz = jnp.sum(blocks != 0).astype(jnp.int32)
+    live = jnp.arange(cap) < nnz
+    idx_dtype = SparseCOO.empty(tb.shape, 1).index_dtype
+    rows = tb.tile_row[t].astype(idx_dtype) * TILE + r
+    cols = tb.tile_col[t].astype(idx_dtype) * TILE + c
+    sent = jnp.asarray(SparseCOO.sentinel_index(tb.shape, idx_dtype))
+    idx = jnp.stack([jnp.where(live, rows, sent[0]),
+                     jnp.where(live, cols, sent[1])], axis=1)
+    vals = jnp.where(live, blocks[t, r, c], 0)
+    return SparseCOO(indices=idx.astype(idx_dtype), vals=vals, nnz=nnz,
+                     shape=tb.shape)
+
+
+def spgemm_tiled(A: SparseCOO, B: SparseCOO, *, transpose_b: bool = False,
+                 dtype=jnp.float32, use_pallas: bool | None = None,
+                 cap: int | None = None,
+                 interpret: bool = False) -> SparseCOO:
+    """``C = A @ B^(T?)`` via the tiled MXU path (eager convenience).
+
+    Tiling, densification, and pair planning run host-side; the block
+    products run on device.  Result is an *unsorted* COO (consolidated
+    values, zeros dropped); call ``.consolidate()`` for a sorted result.
+    For matrices without block structure (entries scattered so each
+    128x128 tile holds only a few) prefer the ESC path
+    (:func:`spsparse_tpu.ops.spgemm.spgemm`) — densified tiles would
+    waste ``64KB/tile`` of traffic on mostly-zero blocks.
+    """
+    ta = densify_tiled(to_tiled(A), dtype=dtype)
+    tbk = densify_tiled(to_tiled(B), dtype=dtype)
+    plan = plan_tiled_spgemm(ta, tbk, transpose_b=transpose_b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    f = spgemm_tiled_pallas if use_pallas else spgemm_tiled_xla
+    kw = {"interpret": interpret} if f is spgemm_tiled_pallas else {}
+    out = f(ta, tbk, plan, **kw)
+    return tiled_blocks_to_coo(out, cap=cap)

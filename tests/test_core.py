@@ -531,6 +531,27 @@ class TestMergeMethods:
             np.testing.assert_array_equal(np.asarray(a.vals),
                                           np.asarray(b.vals))
 
+    def test_compact_add_precision_is_per_run(self):
+        # Regression (round 2): the compact ADD merge once differenced one
+        # global cumsum, losing O(total_sum * eps) per run — on this f32
+        # stream (total ~32k) single-value runs came back off by ~4e-3.
+        # The segmented scan returns untouched values bitwise for
+        # single-entry runs, regardless of the global prefix magnitude.
+        from spsparse_tpu.core.consolidate import merge_sorted_entries
+        n, ncols = 1 << 16, 1 << 8
+        idx0 = jnp.asarray(np.arange(n) // ncols, jnp.int32)
+        idx1 = jnp.asarray(np.arange(n) % ncols, jnp.int32)
+        vals = jnp.asarray(
+            np.random.default_rng(3).uniform(0.25, 0.75, n), jnp.float32)
+        out = merge_sorted_entries((idx0, idx1), vals,
+                                   jnp.ones((n,), bool),
+                                   shape=(n // ncols, ncols),
+                                   duplicate_policy=DuplicatePolicy.ADD,
+                                   cap=n, method="compact")
+        assert int(out.nnz) == n
+        np.testing.assert_array_equal(np.asarray(out.vals),
+                                      np.asarray(vals))
+
     def test_scatter_add_is_left_to_right_exact(self, rng):
         from spsparse_tpu.core.consolidate import merge_sorted_entries
         idx, vals, shape = self._sorted_stream(rng, n=300, nrows=3, ncols=2)

@@ -371,6 +371,23 @@ class TestTiledDenseKernel:
                                           interpret=True))
         np.testing.assert_allclose(Y1, Y2, atol=5e-5)
 
+    def test_bf16_blocks_f32_accumulate(self, rng):
+        # Mixed bf16/f32 mode (BASELINE config 3): blocks and X stream in
+        # bf16, products accumulate in f32.
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_dense,
+                                                   spmm_tiled_dense_pallas)
+        A = self._mat(rng, m=200, k=300, K=9)
+        prep = prepare_tiled_dense(to_tiled(A), dtype=jnp.bfloat16)
+        assert prep.blocks.dtype == jnp.bfloat16
+        X = rng.uniform(-1, 1, (300, 32)).astype(np.float32)
+        Y = np.asarray(spmm_tiled_dense_pallas(prep, jnp.asarray(X),
+                                               interpret=True))
+        assert Y.dtype == np.float32
+        ref = np.asarray(A.to_dense()) @ X
+        # bf16 inputs: ~3 decimal digits; 9-term dots stay within ~1%.
+        np.testing.assert_allclose(Y, ref, rtol=0.03, atol=0.03)
+
     def test_duplicate_offsets_accumulate(self):
         from spsparse_tpu.core.coo import SparseCOO
         from spsparse_tpu.core.tiled import to_tiled
