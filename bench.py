@@ -214,12 +214,13 @@ def _regrid_matrix(m: int, k: int, rng, spread: int = 128):
 
 def config3_spmm(on_cpu: bool) -> dict:
     """Config 3: general sparse (50 nnz/row) x dense 128-col block via the
-    dense-block tiled kernel (avg fill 1603 >> DENSE_FILL_THRESHOLD).
-    Pattern-aware roofline: A payload (6B/entry tiled) + each occupied X
-    tile fetched once (64KB) + Y written once. Timed with bench_slope —
-    bench_fori charges this rig's ~7 ms fixed cost per loop iteration
-    containing a pallas_call, which swamps sub-ms kernels (measured,
-    probes/probe_tiled_dense_r2c.py)."""
+    dense-block tiled kernel (avg fill 1603 >> DENSE_FILL_THRESHOLD), in
+    the BASELINE-specified mixed bf16/f32 mode (bf16 A blocks and X
+    stream, f32 accumulation). Pattern-aware roofline: A payload
+    (1+1+2 B/entry tiled) + each occupied X tile fetched once (bf16) + Y
+    written once (f32). Timed with bench_slope — bench_fori charges this
+    rig's ~7 ms fixed cost per loop iteration containing a pallas_call,
+    which swamps sub-ms kernels (probes/probe_tiled_dense_r2c.py)."""
     from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_dense,
                                                spmm_tiled_dense_pallas)
@@ -234,45 +235,66 @@ def config3_spmm(on_cpu: bool) -> dict:
     tl = to_tiled(A)
     X = jnp.asarray(rng.uniform(-1, 1, (A.shape[1], N)).astype(np.float32))
     if on_cpu:
-        kernel = lambda Y: spmm_tiled(tl, Y)            # noqa: E731
+        esize = 4
         impl = "xla_tiled"
+
+        def step(state):
+            _, Xc = state
+            Y = spmm_tiled(tl, Xc)
+            return (state[0], Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
+
+        init = (jnp.zeros(()), X)
     else:
-        prep = prepare_tiled_dense(tl)
-        kernel = lambda Y: spmm_tiled_dense_pallas(prep, Y)  # noqa: E731
-        impl = "pallas_tiled_dense"
+        esize = 2
+        impl = "pallas_tiled_dense_bf16"
+        prep = prepare_tiled_dense(tl, dtype=jnp.bfloat16)
 
-    # The chain feeds a negligible data-dependent eps back into X so
-    # unrolled iterations cannot be elided or reordered.
-    def step(Xc):
-        Y = kernel(Xc)
-        return Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38))
+        # prep rides through init (a jit argument): closures become HLO
+        # constants and overflow the axon tunnel's remote_compile body
+        # limit at large sizes (HTTP 413, probes/probe_cfg34_scale.py).
+        def step(state):
+            p, Xc = state
+            Y = spmm_tiled_dense_pallas(p, Xc)
+            return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
 
-    t = bench_slope(step, X, iters=8, reps=5, u_lo=2, u_hi=10)
+        init = (prep, X)
+
+    t = bench_slope(step, init, iters=8, reps=5, u_lo=2, u_hi=10)
     nnz = m * K
     n_tiles = int(tl.n_tiles)
     fill = nnz / max(n_tiles, 1)
     kind, bw = device_hbm_bandwidth()
-    bytes_moved = (n_tiles * tl.tile_cap * 6       # tile payloads (padded)
-                   + n_tiles * TILE * N * 4        # one X tile per stored tile
-                   + -(-m // TILE) * TILE * N * 4)  # Y
+    bytes_moved = (n_tiles * tl.tile_cap * (2 + esize)  # payloads (padded)
+                   + n_tiles * TILE * N * esize  # one X tile/stored tile
+                   + -(-m // TILE) * TILE * N * 4)  # Y (f32)
     sol_nnz = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {"config": 3, "name": "spmm_tiled_50nnz_128block", "impl": impl,
             "rows": m, "nnz": nnz, "n_tiles": n_tiles,
             "tile_fill": fill, "tile_cap": tl.tile_cap, "time_s": t,
             "nnz_per_s": achieved,
-            "bytes_model": "6B/entry tiles + 64KB/occupied X tile + Y once",
+            "bytes_model": f"{2 + esize}B/entry tiles + "
+                           f"{esize}B/elem occupied X tiles + Y once (f32)",
             "pct_of_roofline": 100.0 * achieved / sol_nnz,
             "matrix": "column-local regridding-style (spread 128)"}
 
 
 def config4_spgemm(on_cpu: bool) -> dict:
-    """Config 4: SpGEMM A A^T on the regridding-style matrix (ESC path).
-    Bytes model via spgemm_esc_stats (expansion-dominated, charged sort
-    passes stated explicitly)."""
+    """Config 4: SpGEMM A A^T on the regridding-style matrix.
+
+    Primary path (round 2): tiled MXU SpGEMM — host-planned 128x128
+    block-pair matmuls accumulated per output tile (no per-product sort).
+    Bytes model: 2 operand tiles per pair + each output tile once, f32.
+    ``extract_to_coo_s`` prices the optional block->COO extraction.
+    The general-purpose ESC path (sort-bound; the only option for
+    matrices without block structure) is reported alongside."""
     import dataclasses
 
+    from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
+    from spsparse_tpu.ops.spgemm_tiled import (
+        TiledBlocks, densify_tiled, plan_tiled_spgemm, spgemm_tiled_xla,
+        _spgemm_tiled_pallas, tiled_blocks_to_coo)
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import (device_hbm_bandwidth,
                                              spgemm_esc_stats)
@@ -288,24 +310,69 @@ def config4_spgemm(on_cpu: bool) -> dict:
     A = b.build()
     expand_cap, out_cap = plan_spgemm_caps(A, A, transpose_b=True)
 
-    def step(a):
+    # --- tiled MXU path (primary) ---
+    ta = densify_tiled(to_tiled(A))
+    plan = plan_tiled_spgemm(ta, ta, transpose_b=True)
+    P, Tout = plan.n_pairs, plan.n_out_tiles
+    pa, pb, oid = (jnp.asarray(plan.pa), jnp.asarray(plan.pb),
+                   jnp.asarray(plan.oid))
+
+    def gemm(blocks):
+        if on_cpu:
+            a = dataclasses.replace(ta, blocks=blocks)
+            return spgemm_tiled_xla(a, a, plan).blocks
+        return _spgemm_tiled_pallas(blocks, blocks, pa, pb, oid,
+                                    transpose_b=True, n_out=Tout,
+                                    interpret=False)
+
+    def step(blocks):
+        out = gemm(blocks)
+        eps = (out[0, 0, 0] * jnp.float32(1e-30)).astype(blocks.dtype)
+        return blocks.at[0, 0, 0].add(eps)
+
+    t = bench_slope(step, ta.blocks, iters=8, reps=5, u_lo=2, u_hi=10)
+    out_blocks = gemm(ta.blocks)
+    tb = TiledBlocks(tile_row=jnp.asarray(plan.out_tile_row),
+                     tile_col=jnp.asarray(plan.out_tile_col),
+                     blocks=out_blocks, shape=plan.out_shape)
+    nnz_out = int(jnp.sum(out_blocks != 0))
+    ex_cap = max(1, 1 << (nnz_out - 1).bit_length()) if nnz_out else 1
+
+    def step_ex(blocks):
+        tb2 = dataclasses.replace(tb, blocks=blocks)
+        coo = tiled_blocks_to_coo(tb2, cap=ex_cap)
+        eps = (coo.vals[0] * jnp.float32(1e-30)).astype(blocks.dtype)
+        return blocks.at[0, 0, 0].add(eps)
+
+    t_ex = bench_slope(step_ex, out_blocks, iters=8, reps=3, u_lo=2,
+                       u_hi=6)
+    tile_b = TILE * TILE * 4
+    bytes_tiled = P * 2 * tile_b + Tout * tile_b
+    kind, bw = device_hbm_bandwidth()
+    achieved = expand_cap / t
+    sol_tiled = expand_cap / (bytes_tiled / bw)
+
+    # --- ESC path (general-purpose; secondary) ---
+    def step_esc(a):
         res = spgemm_aat(a, cap=out_cap, expand_cap=expand_cap)
         eps = jnp.sum(res.vals) * jnp.float32(1e-38)
         return dataclasses.replace(a, vals=a.vals + eps)
 
-    t = bench_slope(step, A, iters=8, reps=5, u_lo=2, u_hi=10)
-    res = spgemm_aat(A, cap=out_cap, expand_cap=expand_cap)
-    nnz_out = int(res.nnz)
+    t_esc = bench_slope(step_esc, A, iters=8, reps=3, u_lo=2, u_hi=6)
     stats = spgemm_esc_stats(r.size, r.size, expand_cap, nnz_out)
-    kind, bw = device_hbm_bandwidth()
-    achieved = expand_cap / t
-    sol = stats.sol_nnz_per_s(bw)
+    sol_esc = stats.sol_nnz_per_s(bw)
+
     return {"config": 4, "name": "spgemm_aat_regrid", "nnz_a": r.size,
-            "products": expand_cap, "nnz_out": nnz_out, "time_s": t,
-            "products_per_s": achieved,
-            "bytes_model": "esc: operands + expansion*(1+2*4 sort passes) "
-                           "+ output",
-            "pct_of_roofline": 100.0 * achieved / sol}
+            "products": expand_cap, "nnz_out": nnz_out,
+            "impl": "tiled_mxu (xla)" if on_cpu else "tiled_mxu (pallas)",
+            "tile_pairs": P, "out_tiles": Tout,
+            "time_s": t, "products_per_s": achieved,
+            "bytes_model": "tiled: 2 operand tiles/pair + out tiles, f32",
+            "pct_of_roofline": 100.0 * achieved / sol_tiled,
+            "extract_to_coo_s": t_ex,
+            "esc_time_s": t_esc,
+            "esc_products_per_s": expand_cap / t_esc,
+            "esc_pct_of_roofline": 100.0 * (expand_cap / t_esc) / sol_esc}
 
 
 def config5_distributed(on_cpu: bool) -> dict:
@@ -360,13 +427,23 @@ def config5_distributed(on_cpu: bool) -> dict:
 
 
 def extra_configs(on_cpu: bool) -> list[dict]:
-    out = [config1_reference_check()]
-    c2b = config2b_multirhs(on_cpu)
-    if c2b:
-        out.append(c2b)
-    out.append(config3_spmm(on_cpu))
-    out.append(config4_spgemm(on_cpu))
-    out.append(config5_distributed(on_cpu))
+    import traceback
+
+    out = []
+    for name, fn in [("config1", config1_reference_check),
+                     ("config2b", lambda: config2b_multirhs(on_cpu)),
+                     ("config3", lambda: config3_spmm(on_cpu)),
+                     ("config4", lambda: config4_spgemm(on_cpu)),
+                     ("config5", lambda: config5_distributed(on_cpu))]:
+        # One config failing (e.g. a tunnel hiccup mid-compile) must not
+        # take down the remaining configs or the headline line.
+        try:
+            cfg = fn()
+        except Exception as e:  # pragma: no cover - defensive
+            traceback.print_exc(file=sys.stderr)
+            cfg = {"config": name, "error": f"{type(e).__name__}: {e}"}
+        if cfg:
+            out.append(cfg)
     return out
 
 

@@ -2,6 +2,7 @@
 
 from .multiply import multiply, multiply_mv, multiply_chain, expansion_size
 from .spgemm import spgemm, spgemm_aat, plan_spgemm_caps
+from .spgemm_tiled import spgemm_tiled, plan_tiled_spgemm, densify_tiled
 from .spmm import spmv, spmm, spmm_bsr
 from .spmv_kernels import spmv_dia, spmv_ell, best_spmv
 from .tiled_ops import spmv_tiled, spmm_tiled
@@ -9,6 +10,7 @@ from .tiled_ops import spmv_tiled, spmm_tiled
 __all__ = [
     "multiply", "multiply_mv", "multiply_chain", "expansion_size",
     "spgemm", "spgemm_aat", "plan_spgemm_caps",
+    "spgemm_tiled", "plan_tiled_spgemm", "densify_tiled",
     "spmv", "spmm", "spmm_bsr",
     "spmv_dia", "spmv_ell", "best_spmv",
     "spmv_tiled", "spmm_tiled",

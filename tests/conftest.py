@@ -15,8 +15,11 @@ import os
 
 import jax
 
+# CI matrix knob: virtual device count (>= 8; dist tests slice the first 8).
+_N_DEV = max(int(os.environ.get("SPSPARSE_TEST_DEVICES", "8")), 8)
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_N_DEV}"
 )
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
