@@ -95,3 +95,63 @@ class TestCompiledTiledDense:
             spmm_tiled_dense_pallas(to_tiled(A), jnp.asarray(X))))
         ref = np.asarray(A.to_dense()) @ X
         np.testing.assert_allclose(Y, ref, rtol=2e-5, atol=2e-4)
+
+
+class TestCompiledTiledDenseBf16:
+    def test_spmm_bf16_blocks_compiled(self, rng):
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_dense,
+                                                   spmm_tiled_dense_pallas)
+        m, k, K, N = 1024, 2048, 20, 128
+        rr = np.repeat(np.arange(m), K)
+        cc = np.clip(rr * 2 + rng.integers(-100, 101, rr.size), 0, k - 1)
+        b = CooBuilder((m, k), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        A = b.build()
+        prep = prepare_tiled_dense(to_tiled(A), dtype=jnp.bfloat16)
+        X = rng.uniform(-1, 1, (k, N)).astype(np.float32)
+        Y = np.asarray(jax.block_until_ready(
+            spmm_tiled_dense_pallas(prep, jnp.asarray(X))))
+        ref = np.asarray(A.to_dense()) @ X
+        np.testing.assert_allclose(Y, ref, rtol=0.03, atol=0.05)
+
+
+class TestCompiledTiledGemm:
+    def test_pairs_kernel_compiled(self, rng):
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.spgemm_tiled import (densify_tiled,
+                                                   plan_tiled_spgemm,
+                                                   spgemm_tiled_pallas)
+        n = 2048
+        r = np.repeat(np.arange(n), 4)
+        c = np.minimum(r * 2 + rng.integers(0, 3, r.size), 2 * n - 1)
+        b = CooBuilder((n, 2 * n), dtype=np.float32)
+        b.add_many(np.stack([r, c], 1),
+                   rng.uniform(0, 1, r.size).astype(np.float32))
+        A = b.build().consolidate((0, 1))
+        ta = densify_tiled(to_tiled(A))
+        plan = plan_tiled_spgemm(ta, ta, transpose_b=True)
+        out = spgemm_tiled_pallas(ta, ta, plan)
+        got = np.asarray(jax.block_until_ready(out.to_dense()))
+        dA = np.asarray(A.to_dense())
+        np.testing.assert_allclose(got, dA @ dA.T, rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledMrhsV2:
+    def test_mrhs_compiled_matches_single(self, rng):
+        from spsparse_tpu.ops.pallas_dia import prepare_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        from spsparse_tpu.ops.spmv_kernels import spmv_dia
+        n = 1 << 14
+        dia = _banded_dia(rng, n, [-3, -1, 0, 1, 5])
+        prep = prepare_dia(dia)
+        X = rng.uniform(-1, 1, (8, n)).astype(np.float32)
+        Y = np.asarray(jax.block_until_ready(
+            spmm_dia_mrhs_pallas(prep, jnp.asarray(X))))
+        for i in range(8):
+            y_ref = np.asarray(jax.block_until_ready(
+                spmv_dia(dia, jnp.asarray(X[i]))))
+            np.testing.assert_allclose(Y[i], y_ref, rtol=1e-5, atol=1e-5)
