@@ -6,6 +6,8 @@ from .ops import (dist_spmv, dist_spmv_bucketed, dist_spmv_halo, dist_spmm,
                   dist_spmm_bucketed, dist_spgemm, RowPartitionedCOO)
 from .spgemm_a2a import dist_spgemm_a2a
 from .spgemm_ring import dist_spgemm_ring
+from .spgemm_tiled import (dist_spgemm_tiled, plan_dist_spgemm_tiled,
+                           DistTiledGemmPlan)
 from .model import (RingModel, ring_weak_scaling_efficiency,
                     halo_weak_scaling_efficiency)
 
@@ -14,6 +16,7 @@ __all__ = [
     "partition_bucketed", "partition_vector",
     "dist_spmv", "dist_spmv_bucketed", "dist_spmm", "dist_spmm_bucketed",
     "dist_spgemm", "dist_spgemm_a2a", "dist_spgemm_ring",
+    "dist_spgemm_tiled", "plan_dist_spgemm_tiled", "DistTiledGemmPlan",
     "RowPartitionedCOO", "RingModel", "ring_weak_scaling_efficiency",
     "halo_weak_scaling_efficiency", "dist_spmv_halo",
 ]
