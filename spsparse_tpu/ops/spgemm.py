@@ -27,7 +27,14 @@ def spgemm(A: SparseCOO, B: SparseCOO, *, transpose_a: bool = False,
            expand_cap: int | None = None,
            duplicate_policy: DuplicatePolicy = DuplicatePolicy.ADD,
            zero_nan: bool = False) -> SparseCOO:
-    """``C = A^(T?) @ B^(T?)`` — the chain multiply without scales."""
+    """``C = A^(T?) @ B^(T?)`` — the chain multiply without scales.
+
+    This is the fully general (sort-based ESC) path. For operands whose
+    nonzeros cluster into dense-ish 128x128 tiles (regridding operators,
+    banded products), :func:`spsparse_tpu.ops.spgemm_tiled.spgemm_tiled`
+    computes the same product as batched MXU block matmuls with no
+    per-product sort — measured orders of magnitude faster on TPU.
+    """
     return multiply(1.0, A, B, transpose_a=transpose_a,
                     transpose_b=transpose_b, cap=cap, expand_cap=expand_cap,
                     duplicate_policy=duplicate_policy, zero_nan=zero_nan)
