@@ -93,6 +93,33 @@ class TiledBlocks:
         dense = dense.transpose(0, 2, 1, 3).reshape(nr, nc)
         return dense[: self.shape[0], : self.shape[1]]
 
+    def to_prepared_dense(self, dtype=None):
+        """Row-grouped layout for the dense-block SpMM kernel (host-side,
+        eager) — lets a tiled-SpGEMM result feed ``Y = C @ X`` directly
+        on the MXU without a COO round trip."""
+        from .pallas_tiled import PreparedTiledDense
+        tr = np.asarray(self.tile_row)
+        tc = np.asarray(self.tile_col)
+        blocks = np.asarray(self.blocks)
+        nbr, nbc = self.nbrows, self.nbcols
+        live = tr < nbr
+        counts = np.bincount(tr[live], minlength=nbr)
+        Rt = max(int(counts.max(initial=1)), 1)
+        tcols = np.full((nbr, Rt), nbc, np.int32)
+        out = np.zeros((nbr, Rt, TILE, TILE), blocks.dtype)
+        slot = np.zeros(nbr, np.int64)
+        for t in np.nonzero(live)[0]:
+            b = tr[t]
+            s = slot[b]
+            tcols[b, s] = tc[t]
+            out[b, s] += blocks[t]
+            slot[b] += 1
+        prep = PreparedTiledDense(tcols=jnp.asarray(tcols),
+                                  blocks=jnp.asarray(out),
+                                  shape=self.shape)
+        return prep if dtype is None else dataclasses.replace(
+            prep, blocks=prep.blocks.astype(dtype))
+
 
 def densify_tiled(tl: SparseTiledCOO, *, dtype=jnp.float32) -> TiledBlocks:
     """``SparseTiledCOO`` -> flat dense blocks (host-side, eager).

@@ -124,8 +124,7 @@ def test_tiled_blocks_roundtrip_to_coo():
     A = _rand_coo((130, 140), 120, 31)
     tbk = densify_tiled(to_tiled(A))
     back = tiled_blocks_to_coo(tbk)
-    # to_dense works on unsorted COO; consolidate's cumsum-difference ADD
-    # merge would perturb values by 1 ulp and break the exact comparison.
+    # to_dense works directly on the unsorted COO; no consolidate needed.
     np.testing.assert_allclose(np.asarray(back.to_dense()), _dense(A),
                                rtol=0, atol=0)
 
@@ -136,3 +135,22 @@ def test_tiled_blocks_to_dense_partial_edge_tiles():
     assert isinstance(tbk, TiledBlocks)
     np.testing.assert_allclose(np.asarray(tbk.to_dense()), _dense(A),
                                rtol=0, atol=0)
+
+
+def test_tiled_blocks_feed_spmm_kernel():
+    # C = A @ A^T (tiled) -> Y = C @ X via the dense-block SpMM kernel,
+    # all in block form (no COO round trip).
+    from spsparse_tpu.ops.pallas_tiled import spmm_tiled_dense_pallas
+    import jax.numpy as _jnp
+    A = _rand_coo((300, 400), 700, 51)
+    ta = densify_tiled(to_tiled(A))
+    plan = plan_tiled_spgemm(ta, ta, transpose_b=True)
+    C = spgemm_tiled_xla(ta, ta, plan)
+    prep = C.to_prepared_dense()
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-1, 1, (300, 32)).astype(np.float32)
+    Y = np.asarray(spmm_tiled_dense_pallas(prep, _jnp.asarray(X),
+                                           interpret=True))
+    dA = _dense(A)
+    want = (dA @ dA.T) @ X
+    np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
