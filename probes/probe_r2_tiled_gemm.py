@@ -147,6 +147,35 @@ def cfg3_bf16(m, dtype_name):
         "pct_of_roofline": 100.0 * achieved / sol_nnz}), flush=True)
 
 
+@section("cfg2b_mrhs_v2")
+def cfg2b_mrhs_v2():
+    from bench import build_banded_dia
+    from spsparse_tpu.ops.pallas_dia import prepare_dia
+    from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+    from spsparse_tpu.utils.benchtime import bench_slope
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    dia, nnz = build_banded_dia(n, 5)
+    prep = prepare_dia(dia)
+    X = jnp.asarray(rng.uniform(-1, 1, (8, n)).astype(np.float32))
+
+    def step(state):
+        p, Xc = state
+        Y = spmm_dia_mrhs_pallas(p, Xc)
+        return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
+
+    t = bench_slope(step, (prep, X), iters=8, reps=5, u_lo=2, u_hi=10)
+    kind, bw = device_hbm_bandwidth()
+    bytes_model = nnz * 4 + 8 * 2 * n * 4
+    agg = 8 * nnz / t
+    sol = bw / (bytes_model / (8 * nnz))
+    print(json.dumps({"cfg": "2b-v2", "nnz": nnz, "t": t,
+                      "agg_nnz_s": agg,
+                      "pct_of_roofline": 100.0 * agg / sol}), flush=True)
+
+
 @section("consolidate8M")
 def consolidate8M(n):
     from spsparse_tpu import CooBuilder
@@ -174,7 +203,8 @@ if __name__ == "__main__":
     print(jax.devices(), flush=True)
     cfg3_bf16(1 << 15, "bf16")
     cfg4_tiled(1 << 15, "f32")
+    cfg2b_mrhs_v2()
     cfg4_tiled(1 << 15, "bf16")
+    consolidate8M(1 << 23)
     cfg4_tiled(1 << 17, "bf16")
     cfg3_bf16(1 << 17, "bf16")
-    consolidate8M(1 << 23)
