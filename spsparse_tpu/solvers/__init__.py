@@ -1,9 +1,15 @@
-"""Iterative solvers built on the sparse ops — the framework's end-to-end
-"model" layer (conjugate gradients, power iteration) for single-chip and
-row-partitioned multi-chip execution."""
+"""Iterative solvers and preconditioners built on the sparse ops — the
+framework's end-to-end "model" layer (conjugate gradients, BiCGStab,
+Chebyshev, power iteration; Jacobi/block-Jacobi/Neumann preconditioning)
+for single-chip and row-partitioned multi-chip execution."""
 
-from .iterative import (cg_solve, cg_step, pcg_solve,
-                        jacobi_preconditioner, power_iteration, CGState)
+from .iterative import (cg_solve, cg_step, pcg_solve, bicgstab_solve,
+                        chebyshev_solve, jacobi_preconditioner,
+                        power_iteration, CGState)
+from .precond import (extract_diagonal, extract_diag_blocks,
+                      block_jacobi_preconditioner, neumann_preconditioner)
 
-__all__ = ["cg_solve", "cg_step", "pcg_solve", "jacobi_preconditioner",
-           "power_iteration", "CGState"]
+__all__ = ["cg_solve", "cg_step", "pcg_solve", "bicgstab_solve",
+           "chebyshev_solve", "jacobi_preconditioner", "power_iteration",
+           "CGState", "extract_diagonal", "extract_diag_blocks",
+           "block_jacobi_preconditioner", "neumann_preconditioner"]

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 Array = Any
 
 __all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
-           "jacobi_preconditioner", "power_iteration"]
+           "jacobi_preconditioner", "power_iteration", "bicgstab_solve",
+           "chebyshev_solve"]
 
 
 @jax.tree_util.register_dataclass
@@ -101,6 +102,83 @@ def jacobi_preconditioner(diag: Array, eps: float = 1e-12) -> Array:
     """Elementwise inverse-diagonal preconditioner vector for
     :func:`pcg_solve` (guards zero diagonal entries)."""
     return jnp.where(jnp.abs(diag) > eps, 1.0 / diag, 1.0)
+
+
+def bicgstab_solve(matvec: Callable[[Array], Array], b: Array, *,
+                   iters: int, minv: Array | Callable[[Array], Array]
+                   | None = None, x0: Array | None = None
+                   ) -> tuple[Array, Array]:
+    """BiCGStab for general (non-symmetric) ``A`` — CG covers only the SPD
+    case; regridding operators composed with their transposes are SPD, but
+    raw interpolation matrices are not. Fixed iteration count, scan-carried
+    state, optional (right-applied, van der Vorst form) preconditioner.
+    Returns ``(x, final_residual_norm_sq)``.
+
+    Breakdown guards: the rho/omega denominators are masked like
+    :func:`cg_step`'s; a converged/broken-down iterate carries unchanged
+    (alpha,beta become 0/finite), matching the fixed-iteration contract.
+    """
+    apply_m = ((lambda r: r) if minv is None
+               else minv if callable(minv) else (lambda r: minv * r))
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    rhat = r0
+
+    def safe_div(num, den):
+        ok = den != 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
+
+    def body(state, _):
+        x, r, p, v, rho, alpha, omega = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = safe_div(rho_new * alpha, rho * omega)
+        p = r + beta * (p - omega * v)
+        ph = apply_m(p)
+        v = matvec(ph)
+        alpha = safe_div(rho_new, jnp.vdot(rhat, v))
+        s = r - alpha * v
+        sh = apply_m(s)
+        t = matvec(sh)
+        omega = safe_div(jnp.vdot(t, s), jnp.vdot(t, t))
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega), None
+
+    one = jnp.ones((), b.dtype)
+    state = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one)
+    (x, r, *_), _ = jax.lax.scan(body, state, None, length=iters)
+    return x, jnp.vdot(r, r)
+
+
+def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,
+                    lam_min: float, lam_max: float, iters: int,
+                    x0: Array | None = None) -> tuple[Array, Array]:
+    """Chebyshev semi-iteration for SPD ``A`` with spectrum inside
+    ``[lam_min, lam_max]`` (e.g. from :func:`power_iteration` plus a
+    Gershgorin lower bound). Needs NO inner products — on a device mesh
+    that removes every per-iteration ``psum`` latency barrier that CG
+    pays, which is why it is the classic communication-avoiding smoother.
+    Returns ``(x, final_residual_norm_sq)`` (one reduction at the end)."""
+    theta = (lam_max + lam_min) / 2
+    delta = (lam_max - lam_min) / 2
+    sigma1 = theta / delta
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    d0 = r0 / theta
+
+    def body(state, _):
+        x, d, r, rho = state
+        x = x + d
+        r = r - matvec(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        return (x, d, r, rho_new), None
+
+    state = (x0, d0, r0, jnp.asarray(1.0 / sigma1, b.dtype))
+    (x, d, r, _), _ = jax.lax.scan(body, state, None, length=iters)
+    x = x + d
+    r = r - matvec(d)
+    return x, jnp.vdot(r, r)
 
 
 def power_iteration(matvec: Callable[[Array], Array], v0: Array, *,
