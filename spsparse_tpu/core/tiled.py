@@ -33,7 +33,7 @@ import numpy as np
 from .coo import SparseCOO, round_up_pow2
 from .errors import SpSparseError
 
-__all__ = ["SparseTiledCOO", "to_tiled"]
+__all__ = ["SparseTiledCOO", "to_tiled", "pack_columns"]
 
 Array = Any
 
@@ -90,6 +90,58 @@ class SparseTiledCOO:
         dense = dense.at[gr.reshape(-1), gc.reshape(-1)].add(
             jnp.where(live, self.vals, 0).reshape(-1), mode="drop")
         return dense[: self.shape[0], : self.shape[1]]
+
+
+def pack_columns(a: SparseCOO) -> tuple[SparseCOO, Array]:
+    """Column-permute ``a`` so each row block's columns cluster into few
+    128-wide tiles (SELL-style fill raising; host-side eager).
+
+    Low tile fill is the measured limiter of the tiled kernels on
+    scattered matrices (~25 entries per 128x128 tile means every X-tile
+    fetch moves ~5x the useful bytes). Each column is assigned to the row
+    block that references it most (its *modal* block); a stable sort by
+    owner block then packs every block's columns contiguously, so that
+    block's entries land in ``ceil(distinct_cols / 128)`` tiles — the
+    minimum a column permutation can achieve. Columns shared across
+    blocks stay owned by their heaviest user; untouched columns go last.
+
+    Returns ``(a_packed, order)`` where ``order`` maps new column -> old
+    column: ``a_packed[:, k] == a[:, order[k]]``. Products are preserved
+    by permuting the dense operand's rows once::
+
+        to_tiled(a_packed) @ X[order]  ==  a @ X
+
+    (``order`` is returned as a device array so ``X[order]`` is a single
+    XLA gather of whole rows — lane-contiguous, cheap.)
+    """
+    if a.rank != 2:
+        raise SpSparseError("pack_columns requires a rank-2 array")
+    n = int(a.nnz)
+    idx = np.asarray(a.indices)[:n].astype(np.int64)
+    vals = np.asarray(a.vals)[:n]
+    ncols = a.shape[1]
+    nbr = -(-a.shape[0] // TILE)
+    owner = np.full(ncols, nbr, np.int64)      # untouched columns last
+    if n:
+        rb = idx[:, 0] // TILE
+        key = idx[:, 1] * nbr + rb
+        uk, counts = np.unique(key, return_counts=True)
+        kc, krb = uk // nbr, uk % nbr
+        # Modal row block per column: heaviest (col, block) pair first.
+        sel = np.lexsort((krb, -counts, kc))
+        first = np.ones(sel.size, bool)
+        first[1:] = kc[sel][1:] != kc[sel][:-1]
+        owner[kc[sel][first]] = krb[sel][first]
+    order = np.argsort(owner, kind="stable")
+    inv = np.empty(ncols, np.int64)
+    inv[order] = np.arange(ncols)
+
+    new_idx = idx.copy()
+    new_idx[:, 1] = inv[idx[:, 1]]
+    from .coo import CooBuilder
+    b = CooBuilder(a.shape, dtype=vals.dtype, index_dtype=a.index_dtype)
+    b.add_many(new_idx, vals)
+    return b.build(cap=a.cap), jnp.asarray(order)
 
 
 def to_tiled(a: SparseCOO, *, tile_cap: int | None = None,

@@ -70,3 +70,64 @@ class TestTiledFormat:
         A = random_coo(rng, (100, 100), 500)
         with pytest.raises(SpSparseError):
             to_tiled(A, tile_cap=1)
+
+
+class TestPackColumns:
+    def test_reduces_tiles_and_preserves_products(self, rng):
+        from spsparse_tpu.core.tiled import pack_columns
+        # Scattered columns: each 128-row block touches ~64 random column
+        # blocks at fill ~16 -> packing must concentrate them.
+        m, k = 1024, 8
+        A = random_coo(rng, (m, 8192), m * k)
+        Ap, order = pack_columns(A)
+        tl0, tl1 = to_tiled(A), to_tiled(Ap)
+        # 512 -> ~300 on this distribution (entries in columns owned by
+        # another row block still scatter; a permutation cannot fix those).
+        assert int(tl1.n_tiles) <= int(tl0.n_tiles) * 0.65
+        X = rng.uniform(-1, 1, (8192, 4)).astype(np.float32)
+        Y = spmm_tiled(tl1, jnp.asarray(X)[order])
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_spmv_and_pallas_kernel_agree(self, rng):
+        from spsparse_tpu.core.tiled import pack_columns
+        from spsparse_tpu.ops.pallas_tiled import spmm_tiled_pallas
+        A = random_coo(rng, (256, 2048), 1500)
+        Ap, order = pack_columns(A)
+        tl = to_tiled(Ap)
+        x = rng.uniform(-1, 1, 2048).astype(np.float32)
+        y = spmv_tiled(tl, jnp.asarray(x)[order])
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(A.to_dense()) @ x,
+                                   rtol=1e-4, atol=1e-4)
+        X = rng.uniform(-1, 1, (2048, 128)).astype(np.float32)
+        Yk = spmm_tiled_pallas(tl, jnp.asarray(X)[order], interpret=True)
+        np.testing.assert_allclose(np.asarray(Yk),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_identity_on_already_local(self, rng):
+        from spsparse_tpu.core.tiled import pack_columns
+        # Block-diagonal matrix: already optimally packed; permutation must
+        # not increase the tile count.
+        b = CooBuilder((512, 512), dtype=np.float32)
+        i = np.arange(512)
+        b.add_many(np.stack([i, i], 1), np.ones(512, np.float32))
+        A = b.build()
+        Ap, order = pack_columns(A)
+        assert int(to_tiled(Ap).n_tiles) <= int(to_tiled(A).n_tiles)
+
+    def test_untouched_columns_and_empty(self, rng):
+        from spsparse_tpu.core.tiled import pack_columns
+        b = CooBuilder((64, 640), dtype=np.float32)
+        b.add((0, 639), 2.0)
+        A = b.build()
+        Ap, order = pack_columns(A)
+        assert np.asarray(order).shape == (640,)
+        # touched column moves to the front group
+        assert int(np.asarray(order)[0]) == 639
+        np.testing.assert_allclose(np.asarray(Ap.to_dense())[0, 0], 2.0)
+        empty = CooBuilder((16, 16), dtype=np.float32).build()
+        Ae, oe = pack_columns(empty)
+        np.testing.assert_array_equal(np.asarray(oe), np.arange(16))
