@@ -34,6 +34,9 @@ from .core import (
     SparseELL,
     to_csr,
     to_ell,
+    coo_concat,
+    coo_add,
+    coo_scale,
     join2,
     join3,
     scatter_to_dense,

@@ -26,6 +26,7 @@ from .structure import (
     to_csr,
     to_ell,
 )
+from .algebra import coo_concat, coo_add, coo_scale
 from .join import JoinResult, join2, join3, intersect_mask
 from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
 
@@ -38,6 +39,7 @@ __all__ = [
     "filter_compact", "Consolidated",
     "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
     "to_csr", "to_ell",
+    "coo_concat", "coo_add", "coo_scale",
     "JoinResult", "join2", "join3", "intersect_mask",
     "scatter_to_dense", "scalar_sum", "permute_output", "project_output",
 ]
