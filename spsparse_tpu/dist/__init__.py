@@ -10,6 +10,7 @@ from .spgemm_tiled import (dist_spgemm_tiled, plan_dist_spgemm_tiled,
                            DistTiledGemmPlan)
 from .model import (RingModel, ring_weak_scaling_efficiency,
                     halo_weak_scaling_efficiency)
+from .precond import DistBlockJacobi, dist_block_jacobi
 
 __all__ = [
     "RowPartitionedCSR", "RowPartitionedBucketed", "partition_rows",
@@ -19,4 +20,5 @@ __all__ = [
     "dist_spgemm_tiled", "plan_dist_spgemm_tiled", "DistTiledGemmPlan",
     "RowPartitionedCOO", "RingModel", "ring_weak_scaling_efficiency",
     "halo_weak_scaling_efficiency", "dist_spmv_halo",
+    "DistBlockJacobi", "dist_block_jacobi",
 ]

@@ -445,3 +445,68 @@ class TestDistSpmvHalo:
         xp = partition_vector(np.ones(16), 8)
         with pytest.raises(ValueError):
             dist_spmv_halo(part, xp, mesh, halo=64)
+
+
+class TestDistPreconditionedCG:
+    def _spd_banded(self, rng, n, band=2):
+        A = np.zeros((n, n))
+        for off in range(1, band + 1):
+            v = rng.uniform(-0.4, 0.4, n - off)
+            A[np.arange(n - off), np.arange(off, n)] = v
+            A[np.arange(off, n), np.arange(n - off)] = v
+        A[np.arange(n), np.arange(n)] = (np.abs(A).sum(1)
+                                         + rng.uniform(0.5, 1.5, n))
+        ii, jj = np.nonzero(A)
+        b = CooBuilder((n, n), dtype=np.float64)
+        b.add_many(np.stack([ii, jj], 1), A[ii, jj])
+        return A, b.build()
+
+    def test_dist_pcg_block_jacobi_converges(self, rng):
+        from spsparse_tpu.dist import dist_block_jacobi
+        from spsparse_tpu.solvers import cg_solve, pcg_solve
+
+        n, P = 128, 8
+        Ad, A = self._spd_banded(rng, n)
+        # Strongly varying diagonal scale so Jacobi-family preconditioning
+        # has something to fix.
+        s = 10.0 ** rng.uniform(-1.5, 1.5, n)
+        Ad = Ad * np.outer(s, s)
+        ii, jj = np.nonzero(Ad)
+        bld = CooBuilder((n, n), dtype=np.float64)
+        bld.add_many(np.stack([ii, jj], 1), Ad[ii, jj])
+        A = bld.build()
+
+        part = partition_rows(A, P)
+        mesh = make_mesh()
+        bvec = rng.uniform(-1, 1, n)
+        bp = partition_vector(bvec, P)
+        mv = lambda v: dist_spmv(part, v, mesh)  # noqa: E731
+
+        M = dist_block_jacobi(A, P, bs=16)
+        assert M.inv.shape == (P, 1, 16, 16)
+        x_cg, rs_cg = cg_solve(mv, bp, iters=30)
+        x_p, rs_p = pcg_solve(mv, bp, iters=30, minv=M)
+        assert float(rs_p) < float(rs_cg)
+        np.testing.assert_allclose(np.asarray(x_p).reshape(-1)[:n],
+                                   np.linalg.solve(Ad, bvec),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_application_is_local(self, rng):
+        # M(r) must equal per-partition application: no cross-partition
+        # coupling (zero collectives by construction).
+        from spsparse_tpu.dist import dist_block_jacobi
+        n, P = 64, 8
+        Ad, A = self._spd_banded(rng, n)
+        M = dist_block_jacobi(A, P, bs=8)
+        r = jnp.asarray(rng.uniform(-1, 1, (P, 8)))
+        z = M(r)
+        for p in range(P):
+            zp = M(r.at[(p + 1) % P].set(0.0))
+            np.testing.assert_allclose(np.asarray(zp[p]), np.asarray(z[p]))
+
+    def test_bs_must_divide_rows_local(self, rng):
+        from spsparse_tpu.dist import dist_block_jacobi
+        from spsparse_tpu import SpSparseError
+        _, A = self._spd_banded(rng, 96)
+        with pytest.raises(SpSparseError):
+            dist_block_jacobi(A, 8, bs=5)   # rows_local=12, 5 does not divide
