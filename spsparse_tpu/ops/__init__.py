@@ -3,6 +3,8 @@
 from .multiply import multiply, multiply_mv, multiply_chain, expansion_size
 from .spgemm import spgemm, spgemm_aat, plan_spgemm_caps
 from .spgemm_tiled import spgemm_tiled, plan_tiled_spgemm, densify_tiled
+from .general import (PreparedGeneral, prepare_general, spmm_general,
+                      spmv_general)
 from .spmm import spmv, spmm, spmm_bsr
 from .spmv_kernels import spmv_dia, spmv_ell, best_spmv
 from .tiled_ops import spmv_tiled, spmm_tiled
@@ -11,6 +13,7 @@ __all__ = [
     "multiply", "multiply_mv", "multiply_chain", "expansion_size",
     "spgemm", "spgemm_aat", "plan_spgemm_caps",
     "spgemm_tiled", "plan_tiled_spgemm", "densify_tiled",
+    "PreparedGeneral", "prepare_general", "spmm_general", "spmv_general",
     "spmv", "spmm", "spmm_bsr",
     "spmv_dia", "spmv_ell", "best_spmv",
     "spmv_tiled", "spmm_tiled",

@@ -1,0 +1,113 @@
+"""General (unstructured) sparse SpMV/SpMM: one prepared operand, best
+kernel.
+
+This is the user-facing entry for matrices with no exploitable structure
+(not banded -> DIA, not block -> BSR). Preparation is host-side and done
+once per matrix; it composes the round-2 pieces:
+
+1. :func:`spsparse_tpu.core.tiled.pack_columns` — SELL-style column
+   permutation clustering each row block's columns (fewer occupied
+   128x128 tiles; the dense X operand is permuted with one whole-row
+   gather at multiply time).
+2. tiling (:func:`spsparse_tpu.core.tiled.to_tiled`),
+3. a static kernel choice by measured fill:
+   >= ``DENSE_FILL_THRESHOLD`` entries/tile -> dense-block kernel
+   (HBM-bound, cost independent of fill), else the one-hot kernel
+   (payload-bound, cost scales with tile_cap). See
+   :mod:`spsparse_tpu.ops.pallas_tiled` for the measured crossover.
+
+The reference's counterpart is the generic ``multiply`` path
+(multiply_sparse.hpp:281-365) plus the ``#if 0``'d dense-vector sketch
+(multiply_dense.hpp:8-36); here the dense-operand case is first-class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.coo import SparseCOO
+from ..core.errors import spsparse_error
+from ..core.tiled import SparseTiledCOO, pack_columns, to_tiled
+from .pallas_tiled import (DENSE_FILL_THRESHOLD, PreparedTiledDense,
+                           PreparedTiledRows, prepare_tiled_dense,
+                           prepare_tiled_rows, spmm_tiled_dense_pallas,
+                           spmm_tiled_pallas)
+
+Array = Any
+
+__all__ = ["PreparedGeneral", "prepare_general", "spmm_general",
+           "spmv_general"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedGeneral:
+    """Kernel-ready general sparse operand: column order (new -> old) +
+    the prepared tile layout (dense-block or one-hot, chosen at prepare
+    time from the post-packing fill)."""
+
+    order: Array = dataclasses.field(metadata=dict(static=False))
+    prep: Any = dataclasses.field(metadata=dict(static=False))
+
+    @property
+    def shape(self) -> tuple:
+        return self.prep.shape
+
+    @property
+    def kernel(self) -> str:
+        return ("dense_block" if isinstance(self.prep, PreparedTiledDense)
+                else "one_hot")
+
+
+def prepare_general(a: SparseCOO | SparseTiledCOO, *, pack: bool = True,
+                    dtype=jnp.float32) -> PreparedGeneral:
+    """Prepare a rank-2 COO for repeated products (host-side, eager).
+
+    ``pack=False`` skips the column permutation (``order`` = identity) —
+    use when X cannot be permuted (e.g. it is itself an operand of other
+    unpermuted products). ``dtype=jnp.bfloat16`` selects the mixed
+    bf16/f32 dense-block mode (halved A/X traffic, f32 accumulation)."""
+    if isinstance(a, SparseTiledCOO):
+        tl, order = a, jnp.arange(a.shape[1])
+    else:
+        if a.rank != 2:
+            spsparse_error(-1, "prepare_general requires a rank-2 array")
+        if pack:
+            ap, order = pack_columns(a)
+        else:
+            ap, order = a, jnp.arange(a.shape[1])
+        tl = to_tiled(ap)
+    nnz = float(jnp.sum(tl.vals != 0))
+    fill = nnz / max(int(tl.n_tiles), 1)
+    if fill >= DENSE_FILL_THRESHOLD:
+        prep = prepare_tiled_dense(tl, dtype=dtype)
+    else:
+        prep = prepare_tiled_rows(tl)
+    return PreparedGeneral(order=order, prep=prep)
+
+
+def spmm_general(pg: PreparedGeneral, X: Array, *,
+                 interpret: bool = False) -> Array:
+    """``Y = A @ X`` through the prepared layout (rows of ``X`` are
+    permuted by the packing order — one whole-row XLA gather)."""
+    X = jnp.asarray(X)
+    if X.shape[0] != pg.shape[1]:
+        spsparse_error(-1,
+                       "Inner dimensions for A (%d) and X (%d) must match!",
+                       pg.shape[1], X.shape[0])
+    Xp = X[pg.order]
+    if isinstance(pg.prep, PreparedTiledDense):
+        return spmm_tiled_dense_pallas(pg.prep, Xp, interpret=interpret)
+    return spmm_tiled_pallas(pg.prep, Xp, interpret=interpret)
+
+
+def spmv_general(pg: PreparedGeneral, x: Array, *,
+                 interpret: bool = False) -> Array:
+    """``y = A @ x`` — the SpMM kernels at N=1 (the tiled kernels are
+    HBM/payload-bound, so the thin RHS costs the same A traffic)."""
+    x = jnp.asarray(x)
+    return spmm_general(pg, x[:, None], interpret=interpret)[:, 0]

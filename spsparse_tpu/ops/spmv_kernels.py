@@ -78,6 +78,10 @@ def best_spmv(a, x: Array) -> Array:
         from .pallas_dia import spmv_dia_pallas
 
         return spmv_dia_pallas(a, x, interpret=not _on_tpu())
+    from .general import PreparedGeneral, spmv_general
+
+    if isinstance(a, PreparedGeneral):
+        return spmv_general(a, x, interpret=not _on_tpu())
     if isinstance(a, SparseELL):
         return spmv_ell(a, x)
     if isinstance(a, SparseCSR):

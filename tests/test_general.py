@@ -1,0 +1,83 @@
+"""prepare_general / spmm_general / spmv_general — the packed, kernel-
+dispatched path for unstructured matrices (ops.general)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spsparse_tpu import CooBuilder, SpSparseError
+from spsparse_tpu.ops import (best_spmv, prepare_general, spmm_general,
+                              spmv_general)
+
+
+def random_coo(rng, shape, nnz):
+    b = CooBuilder(shape, dtype=np.float32)
+    idx = np.stack([rng.integers(0, s, size=nnz) for s in shape], axis=1)
+    b.add_many(idx, rng.uniform(-1, 1, size=nnz).astype(np.float32))
+    return b.build()
+
+
+def local_coo(rng, m, k, spread=64):
+    """Column-local (regridding-style) — lands on the dense-block kernel."""
+    b = CooBuilder((m, 2 * m), dtype=np.float32)
+    r = np.repeat(np.arange(m), k)
+    c = np.clip(r * 2 + rng.integers(-spread, spread + 1, r.size),
+                0, 2 * m - 1)
+    b.add_many(np.stack([r, c], 1),
+               rng.uniform(-1, 1, r.size).astype(np.float32))
+    return b.build()
+
+
+class TestPrepareGeneral:
+    def test_kernel_choice_by_fill(self, rng):
+        scattered = random_coo(rng, (512, 8192), 2000)     # fill ~few
+        assert prepare_general(scattered).kernel == "one_hot"
+        dense_ish = local_coo(rng, 512, 50)                # fill >> 64
+        assert prepare_general(dense_ish).kernel == "dense_block"
+
+    @pytest.mark.parametrize("maker,nnz", [("scattered", 2000),
+                                           ("local", None)])
+    def test_spmm_matches_dense(self, rng, maker, nnz):
+        A = (random_coo(rng, (384, 1024), nnz) if maker == "scattered"
+             else local_coo(rng, 384, 40))
+        pg = prepare_general(A)
+        X = rng.uniform(-1, 1, (A.shape[1], 128)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X), interpret=True)
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_spmv_and_best_spmv_dispatch(self, rng):
+        A = local_coo(rng, 256, 30)
+        pg = prepare_general(A)
+        x = rng.uniform(-1, 1, A.shape[1]).astype(np.float32)
+        y1 = spmv_general(pg, jnp.asarray(x), interpret=True)
+        y2 = best_spmv(pg, jnp.asarray(x))
+        ref = np.asarray(A.to_dense()) @ x
+        np.testing.assert_allclose(np.asarray(y1), ref, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_no_pack_identity_order(self, rng):
+        A = random_coo(rng, (128, 512), 400)
+        pg = prepare_general(A, pack=False)
+        np.testing.assert_array_equal(np.asarray(pg.order),
+                                      np.arange(512))
+
+    def test_bf16_mode(self, rng):
+        A = local_coo(rng, 256, 40)
+        pg = prepare_general(A, dtype=jnp.bfloat16)
+        assert pg.kernel == "dense_block"
+        X = rng.uniform(-1, 1, (A.shape[1], 64)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X), interpret=True)
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_inner_mismatch_raises(self, rng):
+        pg = prepare_general(random_coo(rng, (64, 128), 100))
+        with pytest.raises(SpSparseError):
+            spmm_general(pg, jnp.zeros((64, 4)))
