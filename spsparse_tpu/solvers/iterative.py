@@ -23,7 +23,7 @@ Array = Any
 
 __all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
            "jacobi_preconditioner", "power_iteration", "bicgstab_solve",
-           "chebyshev_solve"]
+           "chebyshev_solve", "gmres_solve"]
 
 
 @jax.tree_util.register_dataclass
@@ -178,6 +178,59 @@ def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,
     (x, d, r, _), _ = jax.lax.scan(body, state, None, length=iters)
     x = x + d
     r = r - matvec(d)
+    return x, jnp.vdot(r, r)
+
+
+def gmres_solve(matvec: Callable[[Array], Array], b: Array, *,
+                m: int = 20, restarts: int = 4,
+                minv: Array | Callable[[Array], Array] | None = None,
+                x0: Array | None = None) -> tuple[Array, Array]:
+    """Restarted GMRES(m) for general ``A`` — the robust non-symmetric
+    Krylov method (no BiCGStab-style breakdown). Fixed ``m`` and
+    ``restarts`` keep every shape static for ``jit``.
+
+    The Arnoldi basis ``V (m+1, n)`` is built with vectorized classical
+    Gram-Schmidt *reorthogonalized once* (CGS2 — one extra ``V @ w`` pair,
+    which on TPU is two skinny matmuls instead of MGS's ``m`` serial
+    dots; CGS2 restores MGS-level orthogonality loss). The small
+    ``(m+1, m)`` least-squares problem is solved densely per restart.
+    Right preconditioning (``x = M^{-1} u``), like :func:`bicgstab_solve`.
+    Returns ``(x, final_residual_norm_sq)``."""
+    apply_m = ((lambda r: r) if minv is None
+               else minv if callable(minv) else (lambda r: minv * r))
+    x = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    dt = b.dtype
+
+    def arnoldi_step(j, carry):
+        V, H = carry
+        w = matvec(apply_m(V[j]))
+        # CGS2: rows of V past j are zero, so the masked projections are
+        # exact; the second pass removes CGS's orthogonality loss.
+        mask = (jnp.arange(m + 1) <= j).astype(dt)
+        h1 = (V @ w) * mask
+        w = w - h1 @ V
+        h2 = (V @ w) * mask
+        w = w - h2 @ V
+        h = h1 + h2
+        nrm = jnp.sqrt(jnp.vdot(w, w))
+        H = H.at[:, j].set(h).at[j + 1, j].set(nrm)
+        V = V.at[j + 1].set(w / jnp.where(nrm == 0, 1, nrm))
+        return V, H
+
+    def restart(x, _):
+        r = b - matvec(x)
+        beta = jnp.sqrt(jnp.vdot(r, r))
+        V0 = jnp.zeros((m + 1, n), dt).at[0].set(
+            r / jnp.where(beta == 0, 1, beta))
+        V, H = jax.lax.fori_loop(0, m, arnoldi_step,
+                                 (V0, jnp.zeros((m + 1, m), dt)))
+        e1 = jnp.zeros(m + 1, dt).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + apply_m(y @ V[:m]), None
+
+    x, _ = jax.lax.scan(restart, x, None, length=restarts)
+    r = b - matvec(x)
     return x, jnp.vdot(r, r)
 
 

@@ -16,7 +16,7 @@ from spsparse_tpu.core.bsr import to_bsr
 from spsparse_tpu.core.dia import to_dia
 from spsparse_tpu.core.tiled import to_tiled
 from spsparse_tpu.ops.spmm import spmv
-from spsparse_tpu.solvers import (bicgstab_solve, block_jacobi_preconditioner,
+from spsparse_tpu.solvers import (bicgstab_solve, block_jacobi_preconditioner, gmres_solve,
                                   cg_solve, chebyshev_solve,
                                   extract_diag_blocks, extract_diagonal,
                                   jacobi_preconditioner,
@@ -226,3 +226,57 @@ class TestChebyshev:
                                 lam_min=lam_min, lam_max=lam_max, iters=80)
         np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
                                    rtol=1e-7, atol=1e-9)
+
+
+class TestGMRES:
+    def test_nonsymmetric_matches_dense_solve(self, rng):
+        n = 40
+        A = np.eye(n) * 3 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+        b = rng.uniform(-1, 1, n)
+        x, rs = gmres_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                            m=20, restarts=4)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-8, atol=1e-10)
+        assert float(rs) < 1e-20
+
+    def test_full_dimension_is_direct(self, rng):
+        # m = n makes a single restart exact (up to roundoff).
+        n = 12
+        A = np.eye(n) * 2 + rng.uniform(-1, 1, (n, n)) / 4
+        b = rng.uniform(-1, 1, n)
+        x, rs = gmres_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                            m=n, restarts=1)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_preconditioned_sparse_operator(self, rng):
+        # Right-preconditioned GMRES through the CSR SpMV path on an
+        # ill-scaled nonsymmetric banded operator.
+        n = 64
+        A = np.zeros((n, n))
+        A[np.arange(n), np.arange(n)] = 10.0 ** rng.uniform(-1.5, 1.5, n)
+        A[np.arange(n - 1), np.arange(1, n)] = rng.uniform(-0.3, 0.3, n - 1)
+        A[np.arange(3, n), np.arange(n - 3)] = rng.uniform(-0.3, 0.3, n - 3)
+        ii, jj = np.nonzero(A)
+        bld = CooBuilder((n, n), dtype=np.float64)
+        bld.add_many(np.stack([ii, jj], 1), A[ii, jj])
+        csr = to_csr(bld.build())
+        mv = lambda v: spmv(csr, v)
+        b = jnp.asarray(rng.uniform(-1, 1, n))
+        minv = jacobi_preconditioner(extract_diagonal(csr))
+        _, rs_plain = gmres_solve(mv, b, m=10, restarts=2)
+        _, rs_prec = gmres_solve(mv, b, m=10, restarts=2, minv=minv)
+        assert float(rs_prec) < float(rs_plain)
+        x, _ = gmres_solve(mv, b, m=16, restarts=8, minv=minv)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(A, np.asarray(b)),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_jittable_and_zero_rhs(self, rng):
+        n = 16
+        A = np.eye(n) * 2 + rng.uniform(-0.1, 0.1, (n, n))
+        x, rs = jax.jit(lambda bv: gmres_solve(
+            lambda v: jnp.asarray(A) @ v, bv, m=8, restarts=2))(
+            jnp.zeros(n))
+        assert np.all(np.isfinite(np.asarray(x)))
+        np.testing.assert_array_equal(np.asarray(x), np.zeros(n))
