@@ -23,7 +23,7 @@ Array = Any
 
 __all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
            "jacobi_preconditioner", "power_iteration", "bicgstab_solve",
-           "chebyshev_solve", "gmres_solve"]
+           "chebyshev_solve", "gmres_solve", "lanczos_bounds"]
 
 
 @jax.tree_util.register_dataclass
@@ -179,6 +179,44 @@ def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,
     x = x + d
     r = r - matvec(d)
     return x, jnp.vdot(r, r)
+
+
+def lanczos_bounds(matvec: Callable[[Array], Array], v0: Array, *,
+                   iters: int = 30,
+                   safety: float = 1.05) -> tuple[Array, Array]:
+    """Estimated ``(lam_min, lam_max)`` of an SPD operator by Lanczos with
+    full reorthogonalization — the natural input to
+    :func:`chebyshev_solve`. Ritz values of the ``iters x iters``
+    tridiagonal underestimate the extreme eigenvalues, so the returned
+    interval is widened by ``safety`` (max scaled up, min scaled down;
+    Chebyshev only needs an *enclosing* interval to converge).
+
+    Full reorthogonalization costs two skinny matmuls per step (same CGS2
+    pattern as :func:`gmres_solve`) and keeps the basis usable at the
+    small fixed ``iters`` this needs. Static shapes; jit-compatible."""
+    n = v0.shape[0]
+    dt = v0.dtype
+    nrm0 = jnp.sqrt(jnp.vdot(v0, v0))
+    V = jnp.zeros((iters + 1, n), dt).at[0].set(
+        v0 / jnp.where(nrm0 == 0, 1, nrm0))
+    alpha = jnp.zeros(iters, dt)
+    beta = jnp.zeros(iters, dt)          # beta[j] couples step j to j+1
+
+    def step(j, carry):
+        V, alpha, beta = carry
+        w = matvec(V[j])
+        a = jnp.vdot(V[j], w)
+        mask = (jnp.arange(iters + 1) <= j).astype(dt)
+        w = w - ((V @ w) * mask) @ V
+        w = w - ((V @ w) * mask) @ V     # second pass (CGS2)
+        b_ = jnp.sqrt(jnp.vdot(w, w))
+        V = V.at[j + 1].set(w / jnp.where(b_ == 0, 1, b_))
+        return V, alpha.at[j].set(a), beta.at[j].set(b_)
+
+    V, alpha, beta = jax.lax.fori_loop(0, iters, step, (V, alpha, beta))
+    T = (jnp.diag(alpha) + jnp.diag(beta[:-1], 1) + jnp.diag(beta[:-1], -1))
+    ritz = jnp.linalg.eigvalsh(T)
+    return ritz[0] / safety, ritz[-1] * safety
 
 
 def gmres_solve(matvec: Callable[[Array], Array], b: Array, *,

@@ -280,3 +280,31 @@ class TestGMRES:
             jnp.zeros(n))
         assert np.all(np.isfinite(np.asarray(x)))
         np.testing.assert_array_equal(np.asarray(x), np.zeros(n))
+
+
+class TestLanczosBounds:
+    def test_encloses_spectrum_and_feeds_chebyshev(self, rng):
+        from spsparse_tpu.solvers import lanczos_bounds
+        A, Acoo = spd_banded(rng, 100, band=3)
+        w = np.linalg.eigvalsh(A)
+        csr = to_csr(Acoo)
+        mv = lambda v: spmv(csr, v)
+        v0 = jnp.asarray(rng.uniform(-1, 1, 100))
+        lo, hi = lanczos_bounds(mv, v0, iters=30)
+        assert float(lo) <= w[0] * 1.001 and float(hi) >= w[-1] * 0.999
+        assert float(lo) > 0
+        b = jnp.asarray(rng.uniform(-1, 1, 100))
+        x, rs = chebyshev_solve(mv, b, lam_min=float(lo),
+                                lam_max=float(hi), iters=80)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(A, np.asarray(b)),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_jittable(self, rng):
+        from spsparse_tpu.solvers import lanczos_bounds
+        A, _ = spd_banded(rng, 32)
+        lo, hi = jax.jit(lambda v: lanczos_bounds(
+            lambda u: jnp.asarray(A) @ u, v, iters=16))(
+            jnp.asarray(rng.uniform(-1, 1, 32)))
+        w = np.linalg.eigvalsh(A)
+        assert float(lo) <= w[0] * 1.001 and float(hi) >= w[-1] * 0.999
