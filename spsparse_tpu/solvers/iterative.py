@@ -23,7 +23,8 @@ Array = Any
 
 __all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
            "jacobi_preconditioner", "power_iteration", "bicgstab_solve",
-           "chebyshev_solve", "gmres_solve", "lanczos_bounds"]
+           "chebyshev_solve", "gmres_solve", "lanczos_bounds",
+           "cg_solve_implicit"]
 
 
 @jax.tree_util.register_dataclass
@@ -179,6 +180,29 @@ def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,
     x = x + d
     r = r - matvec(d)
     return x, jnp.vdot(r, r)
+
+
+def cg_solve_implicit(matvec: Callable[[Array], Array], b: Array, *,
+                      iters: int,
+                      minv: Array | Callable[[Array], Array] | None = None
+                      ) -> Array:
+    """:func:`cg_solve`/:func:`pcg_solve` wrapped in
+    ``lax.custom_linear_solve`` — gradients flow by the implicit function
+    theorem (one more CG solve on the cotangent) instead of unrolling
+    ``iters`` SpMVs through autodiff.
+
+    Unrolled-CG backprop stores every iterate (O(iters * n) residency —
+    rematerialization pressure at the 1M-row scales this library targets)
+    and differentiates a long serial chain; the implicit form's backward
+    pass is a single solve with the *same* operator (SPD ⇒ symmetric), so
+    memory is O(n) and backward cost equals forward cost. Differentiable
+    w.r.t. ``b`` and any parameters closed over by ``matvec``.
+    Returns ``x`` only (residual monitoring belongs to the explicit
+    functions)."""
+    def solve(mv, rhs):
+        return pcg_solve(mv, rhs, iters=iters, minv=minv)[0]
+
+    return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)
 
 
 def lanczos_bounds(matvec: Callable[[Array], Array], v0: Array, *,
