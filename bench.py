@@ -279,6 +279,74 @@ def config3_spmm(on_cpu: bool) -> dict:
             "matrix": "column-local regridding-style (spread 128)"}
 
 
+def config3b_packed_general(on_cpu: bool) -> dict:
+    """Config 3b: the *scattered*-column companion to config 3 — random
+    columns (no locality), routed through ``ops.prepare_general``:
+    pack_columns raises tile fill, then the fill-chosen kernel runs. The
+    reported ``n_tiles_packed`` vs ``n_tiles_raw`` is the traffic
+    reduction the packing buys; the bytes model prices the *packed*
+    layout (X tiles fetched once per occupied tile)."""
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.core.tiled import to_tiled, TILE
+    from spsparse_tpu.ops import prepare_general
+    from spsparse_tpu.ops.general import spmm_general
+    from spsparse_tpu.ops.pallas_tiled import PreparedTiledDense
+    from spsparse_tpu.utils.benchtime import bench_slope
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
+
+    rng = np.random.default_rng(0)
+    m = 1 << 11 if on_cpu else 1 << 14
+    # Sparse-wide regime (ncols >> nnz per row block): each column is
+    # touched by ~1 row block, so a permutation CAN concentrate tiles.
+    # (In the tall config-3 regime every column is shared by ~20 row
+    # blocks and all tiles are occupied regardless — packing is a no-op
+    # there by construction, which config 3 already covers.)
+    K, N = 8, 128
+    ncols = 8 * m
+    rr = np.repeat(np.arange(m), K)
+    cc = rng.integers(0, ncols, rr.size)
+    b = CooBuilder((m, ncols), dtype=np.float32)
+    b.add_many(np.stack([rr, cc], 1),
+               rng.uniform(-1, 1, rr.size).astype(np.float32))
+    A = b.build()
+    n_tiles_raw = int(to_tiled(A).n_tiles)
+    pg = prepare_general(A)
+    interp = on_cpu
+    X = jnp.asarray(rng.uniform(-1, 1, (ncols, N)).astype(np.float32))
+
+    def step(state):
+        p, Xc = state
+        Y = spmm_general(p, Xc, interpret=interp)
+        return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
+
+    t = bench_slope(step, (pg, X), iters=4 if on_cpu else 8,
+                    reps=3 if on_cpu else 5, u_lo=2, u_hi=6 if on_cpu else 10)
+    nnz = rr.size
+    if isinstance(pg.prep, PreparedTiledDense):
+        n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
+        esize = np.dtype(pg.prep.blocks.dtype).itemsize
+        a_bytes = n_tiles * TILE * TILE * esize
+    else:
+        n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
+        esize = 4
+        a_bytes = n_tiles * pg.prep.tile_cap * (2 + esize)
+    kind, bw = device_hbm_bandwidth()
+    bytes_moved = (a_bytes + n_tiles * TILE * N * esize
+                   + -(-m // TILE) * TILE * N * 4)
+    sol_nnz = bw / (bytes_moved / nnz)
+    achieved = nnz / t
+    return {"config": "3b", "name": "spmm_packed_general_scattered",
+            "impl": f"prepare_general/{pg.kernel}"
+                    + (" (interpret)" if interp else ""),
+            "rows": m, "nnz": nnz,
+            "n_tiles_raw": n_tiles_raw, "n_tiles_packed": n_tiles,
+            "pack_tile_reduction": n_tiles_raw / max(n_tiles, 1),
+            "time_s": t, "nnz_per_s": achieved,
+            "bytes_model": "packed layout: A payload + X tiles once + Y (f32)",
+            "pct_of_roofline": 100.0 * achieved / sol_nnz,
+            "matrix": "uniform random columns (worst-case locality)"}
+
+
 def config4_spgemm(on_cpu: bool) -> dict:
     """Config 4: SpGEMM A A^T on the regridding-style matrix.
 
@@ -433,6 +501,7 @@ def extra_configs(on_cpu: bool) -> list[dict]:
     for name, fn in [("config1", config1_reference_check),
                      ("config2b", lambda: config2b_multirhs(on_cpu)),
                      ("config3", lambda: config3_spmm(on_cpu)),
+                     ("config3b", lambda: config3b_packed_general(on_cpu)),
                      ("config4", lambda: config4_spgemm(on_cpu)),
                      ("config5", lambda: config5_distributed(on_cpu))]:
         # One config failing (e.g. a tunnel hiccup mid-compile) must not

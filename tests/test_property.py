@@ -47,7 +47,12 @@ def scale_vector(draw_vals, n):
     return b.build()
 
 
+@pytest.mark.slow
 class TestMultiplyChainProperties:
+    """Marked slow: every hypothesis example has fresh shapes -> fresh XLA
+    compiles (~2 min for the class); the nightly lane runs it, the fast
+    lane keeps the consolidate-law properties below."""
+
     @PROP
     @given(a=coo_case(), b=coo_case(), ta=st.booleans(), tb=st.booleans(),
            cscale=st.floats(-3, 3, allow_nan=False),
