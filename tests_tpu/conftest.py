@@ -14,10 +14,33 @@ import pytest
 import jax
 
 
+def _axon_tunnel_alive() -> bool:
+    """When the platform is the axon relay, probe its port before touching
+    ``jax.devices()`` — with the relay dead, device init HANGS forever
+    (does not raise), which would wedge the whole pytest run."""
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True          # not the relay; jax.devices() is safe
+    for port in (8082, 8113):
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def pytest_collection_modifyitems(config, items):
     on_tpu = False
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        if _axon_tunnel_alive():
+            on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         pass
     if not on_tpu:

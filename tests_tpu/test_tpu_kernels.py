@@ -155,3 +155,35 @@ class TestCompiledMrhsV2:
             y_ref = np.asarray(jax.block_until_ready(
                 spmv_dia(dia, jnp.asarray(X[i]))))
             np.testing.assert_allclose(Y[i], y_ref, rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledPackedGeneral:
+    def _scattered(self, rng, m=1024, K=8):
+        from spsparse_tpu import CooBuilder
+        ncols = 8 * m
+        rr = np.repeat(np.arange(m), K)
+        cc = rng.integers(0, ncols, rr.size)
+        b = CooBuilder((m, ncols), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        return b.build()
+
+    def test_spmm_general_compiled_both_kernels(self, rng):
+        from spsparse_tpu.ops import prepare_general
+        from spsparse_tpu.ops.general import spmm_general
+        A = self._scattered(rng)                       # -> one_hot
+        X = rng.uniform(-1, 1, (A.shape[1], 128)).astype(np.float32)
+        for pg in (prepare_general(A), prepare_general(A, pack=False)):
+            Y = np.asarray(jax.block_until_ready(
+                spmm_general(pg, jnp.asarray(X))))
+            np.testing.assert_allclose(Y, np.asarray(A.to_dense()) @ X,
+                                       rtol=2e-5, atol=2e-4)
+
+    def test_best_spmv_routes_prepared_general(self, rng):
+        from spsparse_tpu.ops import best_spmv, prepare_general
+        A = self._scattered(rng, m=512)
+        pg = prepare_general(A)
+        x = rng.uniform(-1, 1, A.shape[1]).astype(np.float32)
+        y = np.asarray(jax.block_until_ready(best_spmv(pg, jnp.asarray(x))))
+        np.testing.assert_allclose(y, np.asarray(A.to_dense()) @ x,
+                                   rtol=2e-5, atol=2e-4)
