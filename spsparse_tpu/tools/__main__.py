@@ -6,6 +6,9 @@ Commands::
     python -m spsparse_tpu.tools convert SRC DST       # re-container
         [--version {1,2,4,5}]                          # target (default 5)
     python -m spsparse_tpu.tools stats FILE VNAME      # matrix statistics
+    python -m spsparse_tpu.tools solve FILE VNAME      # iterative solve
+        [--rhs FILE:VNAME] [--method cg|bicgstab|gmres]
+        [--precond none|jacobi|blockjacobi] [--iters N] [--out FILE]
 
 Works on classic NetCDF (CDF-1/2/5, in-tree codec) and NetCDF-4/HDF5
 (h5py) containers holding the reference spsparse schema.
@@ -103,6 +106,57 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_solve(args) -> int:
+    import jax.numpy as jnp
+
+    from ..core.structure import to_csr
+    from ..io.netcdf import load_netcdf, save_netcdf
+    from ..ops.spmm import spmv
+    from ..solvers import (bicgstab_solve, block_jacobi_preconditioner,
+                           extract_diagonal, gmres_solve,
+                           jacobi_preconditioner, pcg_solve)
+    from .. import CooBuilder
+
+    A = load_netcdf(args.file, args.vname)
+    if A.rank != 2 or A.shape[0] != A.shape[1]:
+        print("solve requires a square rank-2 array", file=sys.stderr)
+        return 1
+    n = A.shape[0]
+    if args.rhs:
+        path, _, vname = args.rhs.partition(":")
+        rhs = np.asarray(load_netcdf(path, vname or "b").to_dense())
+    else:
+        rhs = np.ones(n)
+    csr = to_csr(A)
+    mv = lambda v: spmv(csr, v)  # noqa: E731
+
+    minv = None
+    if args.precond == "jacobi":
+        minv = jacobi_preconditioner(extract_diagonal(csr))
+    elif args.precond == "blockjacobi":
+        minv = block_jacobi_preconditioner(A, bs=min(128, n))
+    b = jnp.asarray(rhs)
+    if args.method == "cg":
+        x, rs = pcg_solve(mv, b, iters=args.iters, minv=minv)
+    elif args.method == "bicgstab":
+        x, rs = bicgstab_solve(mv, b, iters=args.iters, minv=minv)
+    else:
+        x, rs = gmres_solve(mv, b, m=min(30, n),
+                            restarts=max(1, args.iters // 30), minv=minv)
+    x = np.asarray(x)
+    print(json.dumps({"method": args.method, "precond": args.precond,
+                      "n": n, "iters": args.iters,
+                      "residual_norm": float(np.sqrt(float(rs))),
+                      "x_min": float(x.min()), "x_max": float(x.max())},
+                     indent=1))
+    if args.out:
+        bx = CooBuilder((n,), dtype=np.float64)
+        bx.add_many(np.arange(n)[:, None], x.astype(np.float64))
+        save_netcdf(args.out, {"x": bx.build()})
+        print(f"wrote {args.out} (x as rank-1 spsparse array)")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m spsparse_tpu.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -118,6 +172,18 @@ def main(argv=None) -> int:
     p.add_argument("file")
     p.add_argument("vname")
     p.set_defaults(fn=cmd_stats)
+    p = sub.add_parser("solve", help="iterative solve A x = b")
+    p.add_argument("file")
+    p.add_argument("vname")
+    p.add_argument("--rhs", default=None,
+                   help="FILE:VNAME rank-1 rhs (default: ones)")
+    p.add_argument("--method", default="cg",
+                   choices=("cg", "bicgstab", "gmres"))
+    p.add_argument("--precond", default="jacobi",
+                   choices=("none", "jacobi", "blockjacobi"))
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_solve)
     args = ap.parse_args(argv)
     return args.fn(args)
 

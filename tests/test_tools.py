@@ -41,3 +41,32 @@ def test_convert_no_arrays(tmp_path, capsys):
     p = str(tmp_path / "empty.nc")
     write_cdf(p, NcFile(version=5))
     assert main(["convert", p, str(tmp_path / "o.nc")]) == 1
+
+
+def test_solve_cg_jacobi_and_output(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    n = 24
+    A = np.zeros((n, n))
+    off = rng.uniform(-0.3, 0.3, n - 1)
+    A[np.arange(n - 1), np.arange(1, n)] = off
+    A[np.arange(1, n), np.arange(n - 1)] = off
+    A[np.arange(n), np.arange(n)] = np.abs(A).sum(1) + rng.uniform(1, 2, n)
+    ii, jj = np.nonzero(A)
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([ii, jj], 1), A[ii, jj])
+    p = str(tmp_path / "spd.nc")
+    save_netcdf(p, {"A": b.build()})
+    xout = str(tmp_path / "x.nc")
+    assert main(["solve", p, "A", "--iters", "60", "--out", xout]) == 0
+    out = capsys.readouterr().out
+    res = json.loads(out[: out.index("wrote")])
+    assert res["residual_norm"] < 1e-8
+    from spsparse_tpu.io import load_netcdf
+    x = np.asarray(load_netcdf(xout, "x").to_dense())
+    np.testing.assert_allclose(x, np.linalg.solve(A, np.ones(n)),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_solve_gmres_nonsquare_guard(tmp_path, capsys):
+    p = _mk(tmp_path)        # 10x12 — not square
+    assert main(["solve", p, "M"]) == 1
