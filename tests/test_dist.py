@@ -159,6 +159,7 @@ class TestDistSpgemmA2A:
             np.asarray(C.to_coo().to_dense()),
             np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
 
+    @pytest.mark.slow
     def test_rectangular_and_agreement_with_allgather(self, rng):
         from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
         A = banded_coo(24, 2, rng, shape_cols=16)
@@ -174,6 +175,7 @@ class TestDistSpgemmA2A:
                                    np.asarray(C2.to_coo().to_dense()),
                                    rtol=1e-10)
 
+    @pytest.mark.slow
     def test_overflow_reported(self, rng):
         from spsparse_tpu.dist.spgemm_a2a import dist_spgemm_a2a
         n = 32
@@ -224,6 +226,7 @@ class TestBucketedRing:
 
 
 class TestDistSpgemmRing:
+    @pytest.mark.slow
     def test_matches_allgather_and_dense(self, rng):
         from spsparse_tpu.dist import partition_bucketed
         from spsparse_tpu.dist.spgemm_ring import dist_spgemm_ring
@@ -243,6 +246,7 @@ class TestDistSpgemmRing:
                                    np.asarray(C2.to_coo().to_dense()),
                                    rtol=1e-10)
 
+    @pytest.mark.slow
     def test_rectangular(self, rng):
         from spsparse_tpu.dist import partition_bucketed
         from spsparse_tpu.dist.spgemm_ring import dist_spgemm_ring

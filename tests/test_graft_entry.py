@@ -4,6 +4,8 @@ __graft_entry__ against library refactors between driver invocations)."""
 import importlib.util
 import os
 
+import pytest
+
 import jax
 
 
@@ -23,6 +25,7 @@ def test_entry_compiles():
     assert out.shape == (512, 128)
 
 
+@pytest.mark.slow
 def test_dryrun_two_devices():
     m = _load()
     m.dryrun_multichip(2)
