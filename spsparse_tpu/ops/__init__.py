@@ -6,7 +6,7 @@ from .spgemm_tiled import spgemm_tiled, plan_tiled_spgemm, densify_tiled
 from .general import (PreparedGeneral, prepare_general, spmm_general,
                       spmv_general)
 from .spmm import spmv, spmm, spmm_bsr
-from .spmv_kernels import spmv_dia, spmv_ell, best_spmv
+from .spmv_kernels import spmv_dia, spmv_ell, best_spmv, best_spmm
 from .tiled_ops import spmv_tiled, spmm_tiled
 
 __all__ = [
@@ -15,6 +15,6 @@ __all__ = [
     "spgemm_tiled", "plan_tiled_spgemm", "densify_tiled",
     "PreparedGeneral", "prepare_general", "spmm_general", "spmv_general",
     "spmv", "spmm", "spmm_bsr",
-    "spmv_dia", "spmv_ell", "best_spmv",
+    "spmv_dia", "spmv_ell", "best_spmv", "best_spmm",
     "spmv_tiled", "spmm_tiled",
 ]

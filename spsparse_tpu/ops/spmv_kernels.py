@@ -25,7 +25,7 @@ from .spmm import spmv as _spmv_generic
 
 Array = Any
 
-__all__ = ["spmv_dia", "spmv_ell", "best_spmv"]
+__all__ = ["spmv_dia", "spmv_ell", "best_spmv", "best_spmm"]
 
 
 def spmv_dia(dia: SparseDIA, x: Array) -> Array:
@@ -85,5 +85,42 @@ def best_spmv(a, x: Array) -> Array:
     if isinstance(a, SparseELL):
         return spmv_ell(a, x)
     if isinstance(a, SparseCSR):
+        # NB: on TPU the raw-CSR path is gather-bound (~0.1 Gnnz/s,
+        # docs/PERFORMANCE.md); for repeated products convert once with
+        # ops.prepare_general (host-side) and pass that instead.
         return _spmv_generic(a, x)
     return _spmv_generic(a, x)
+
+
+def best_spmm(a, X: Array, *, interpret: bool | None = None) -> Array:
+    """Format-dispatched SpMM ``Y = A @ X`` (dense ``X (K, N)``).
+
+    Routes: ``PreparedGeneral`` -> packed tiled kernels;
+    ``SparseTiledCOO``/``PreparedTiledDense``/``PreparedTiledRows`` ->
+    tiled kernels; ``SparseBSR`` -> block matmuls; ``SparseDIA`` with a
+    lane-shaped RHS stays on the XLA shifted-FMA (vmapped); CSR/ELL ->
+    the generic gather path (prepare once for the TPU-fast route)."""
+    from ..core.bsr import SparseBSR
+    from ..core.tiled import SparseTiledCOO
+    from .general import PreparedGeneral, spmm_general
+    from .pallas_tiled import (PreparedTiledDense, PreparedTiledRows,
+                               spmm_tiled_dense_pallas, spmm_tiled_pallas)
+    from .spmm import spmm as _spmm_generic, spmm_bsr
+
+    interp = (not _on_tpu()) if interpret is None else interpret
+    if isinstance(a, PreparedGeneral):
+        return spmm_general(a, X, interpret=interp)
+    if isinstance(a, PreparedTiledDense):
+        return spmm_tiled_dense_pallas(a, X, interpret=interp)
+    if isinstance(a, PreparedTiledRows):
+        return spmm_tiled_pallas(a, X, interpret=interp)
+    if isinstance(a, SparseTiledCOO):
+        from .tiled_ops import spmm_tiled
+
+        return spmm_tiled(a, X)
+    if isinstance(a, SparseBSR):
+        return spmm_bsr(a, X)
+    if isinstance(a, SparseDIA):
+        return jax.vmap(lambda col: spmv_dia(a, col), in_axes=1,
+                        out_axes=1)(jnp.asarray(X))
+    return _spmm_generic(a, X)

@@ -81,3 +81,29 @@ class TestPrepareGeneral:
         pg = prepare_general(random_coo(rng, (64, 128), 100))
         with pytest.raises(SpSparseError):
             spmm_general(pg, jnp.zeros((64, 4)))
+
+
+class TestBestSpmm:
+    def test_routes_every_format(self, rng):
+        from spsparse_tpu.core.bsr import to_bsr
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops import best_spmm
+        from spsparse_tpu import to_csr
+
+        # banded matrix representable in every format
+        n = 96
+        b = CooBuilder((n, n), dtype=np.float32)
+        for off in (-1, 0, 2):
+            r = np.arange(max(0, -off), min(n, n - off))
+            b.add_many(np.stack([r, r + off], 1),
+                       rng.uniform(-1, 1, r.size).astype(np.float32))
+        A = b.build()
+        X = rng.uniform(-1, 1, (n, 8)).astype(np.float32)
+        ref = np.asarray(A.to_dense()) @ X
+        for conv in (to_csr, to_dia, to_tiled,
+                     lambda a: to_bsr(a, (8, 8)),
+                     prepare_general):
+            Y = best_spmm(conv(A), jnp.asarray(X))
+            np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-4,
+                                       atol=1e-4, err_msg=str(conv))
