@@ -37,6 +37,14 @@ from .core import (
     coo_concat,
     coo_add,
     coo_scale,
+    coo_eye,
+    coo_diags,
+    coo_random,
+    coo_slice,
+    row_sums,
+    col_sums,
+    scale_rows,
+    scale_cols,
     join2,
     join3,
     scatter_to_dense,

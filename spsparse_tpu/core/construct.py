@@ -1,0 +1,146 @@
+"""Constructors and structural conveniences (eye/diags/random, slicing,
+row/col reductions and scaling).
+
+The reference builds everything through ``VectorCooArray::add`` loops;
+these are the vectorized constructors and manipulations users of any
+sparse library reach for (scipy.sparse naming where it fits). All
+manipulation ops are jit-compatible; constructors are host-side eager
+(they produce new static shapes by nature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .coo import CooBuilder, SparseCOO
+from .errors import SpSparseError
+
+Array = Any
+
+__all__ = ["coo_eye", "coo_diags", "coo_random", "coo_slice",
+           "row_sums", "col_sums", "scale_rows", "scale_cols"]
+
+
+def coo_eye(n: int, m: int | None = None, k: int = 0,
+            dtype=jnp.float32) -> SparseCOO:
+    """Identity / shifted-identity matrix (scipy.sparse.eye)."""
+    m = n if m is None else m
+    lo, hi = max(0, -k), min(n, m - k)
+    b = CooBuilder((n, m), dtype=dtype)
+    if hi > lo:
+        r = np.arange(lo, hi)
+        b.add_many(np.stack([r, r + k], 1), np.ones(hi - lo))
+    return b.build()
+
+
+def coo_diags(diagonals: Sequence, offsets: Sequence[int],
+              shape: tuple[int, int], dtype=jnp.float32) -> SparseCOO:
+    """Banded matrix from per-diagonal value arrays (scipy.sparse.diags).
+
+    ``diagonals[d]`` holds the values of diagonal ``offsets[d]``, length
+    equal to that diagonal's in-bounds extent (or a scalar to broadcast).
+    """
+    n, m = shape
+    b = CooBuilder(shape, dtype=dtype)
+    for vals, off in zip(diagonals, offsets):
+        lo, hi = max(0, -off), min(n, m - off)
+        if hi <= lo:
+            continue
+        r = np.arange(lo, hi)
+        v = np.broadcast_to(np.asarray(vals, np.float64), (hi - lo,))
+        b.add_many(np.stack([r, r + off], 1), v)
+    return b.build()
+
+
+def coo_random(shape: Sequence[int], density: float, *, seed: int = 0,
+               dtype=jnp.float32) -> SparseCOO:
+    """Uniform-random sparse array of approximate ``density``
+    (scipy.sparse.random; duplicate draws merge, so realized density can
+    be marginally lower)."""
+    rng = np.random.default_rng(seed)
+    total = int(np.prod(shape))
+    nnz = int(round(density * total))
+    b = CooBuilder(shape, dtype=dtype)
+    if nnz:
+        idx = np.stack([rng.integers(0, s, nnz) for s in shape], axis=1)
+        b.add_many(idx, rng.uniform(-1, 1, nnz))
+    return b.build().consolidate(tuple(range(len(shape))))
+
+
+def coo_slice(a: SparseCOO, starts: Sequence[int],
+              stops: Sequence[int]) -> SparseCOO:
+    """Rectangular submatrix ``a[starts[0]:stops[0], ...]`` (rank-N).
+
+    Bounds are static (they set the output shape); entry selection and
+    index shifting are vectorized and jit-compatible. Duplicates and
+    sortedness metadata survive (a slice of a sorted array is sorted)."""
+    if len(starts) != a.rank or len(stops) != a.rank:
+        raise SpSparseError("coo_slice bounds must match rank")
+    starts = tuple(int(s) for s in starts)
+    stops = tuple(min(int(e), ext) for e, ext in zip(stops, a.shape))
+    if any(s < 0 or s > e for s, e in zip(starts, stops)):
+        raise SpSparseError(f"bad slice bounds {starts}..{stops}")
+    new_shape = tuple(e - s for s, e in zip(starts, stops))
+    lo = jnp.asarray(starts, a.index_dtype)
+    hi = jnp.asarray(stops, a.index_dtype)
+    inside = (a.valid_mask()
+              & jnp.all((a.indices >= lo) & (a.indices < hi), axis=1))
+    sent = jnp.asarray(new_shape, a.index_dtype)
+    idx = jnp.where(inside[:, None], a.indices - lo, sent)
+    vals = jnp.where(inside, a.vals, 0)
+    # Compact live entries to the front (order-preserving single-key sort;
+    # see consolidate.compact_select) so nnz/valid_mask stay canonical.
+    from .consolidate import compact_select
+    cols = tuple(idx[:, d] for d in range(a.rank)) + (vals,)
+    carried, n = compact_select(inside, cols, cap_out=a.cap)
+    live = jnp.arange(a.cap, dtype=jnp.int32) < n
+    out_idx = jnp.stack([jnp.where(live, c, jnp.asarray(s, a.index_dtype))
+                         for c, s in zip(carried[:-1], new_shape)], axis=1)
+    out_vals = jnp.where(live, carried[-1], 0)
+    return SparseCOO(indices=out_idx, vals=out_vals, nnz=n,
+                     shape=new_shape, sort_order=a.sort_order)
+
+
+def _axis_sums(a: SparseCOO, axis: int) -> Array:
+    if a.rank != 2:
+        raise SpSparseError("row/col sums require a rank-2 array")
+    keep = 1 - axis
+    n = a.shape[keep]
+    ids = jnp.where(a.valid_mask(), a.indices[:, keep],
+                    jnp.asarray(n, a.index_dtype))
+    return jnp.zeros(n, a.dtype).at[ids].add(
+        jnp.where(a.valid_mask(), a.vals, 0), mode="drop")
+
+
+def row_sums(a: SparseCOO) -> Array:
+    """Dense ``(nrows,)`` vector of row sums (= ``A @ ones``)."""
+    return _axis_sums(a, axis=1)
+
+
+def col_sums(a: SparseCOO) -> Array:
+    """Dense ``(ncols,)`` vector of column sums (= ``ones @ A``)."""
+    return _axis_sums(a, axis=0)
+
+
+def scale_rows(a: SparseCOO, s: Array) -> SparseCOO:
+    """``diag(s) @ A`` for a dense ``s (nrows,)`` — structure preserved,
+    one gather + multiply on the values (the cheap special case of the
+    multiply chain's ``scalei`` for fully-dense scales)."""
+    if a.rank != 2:
+        raise SpSparseError("scale_rows requires a rank-2 array")
+    s = jnp.asarray(s)
+    g = jnp.take(s, a.indices[:, 0], mode="fill", fill_value=0)
+    return dataclasses.replace(a, vals=a.vals * g.astype(a.dtype))
+
+
+def scale_cols(a: SparseCOO, s: Array) -> SparseCOO:
+    """``A @ diag(s)`` for a dense ``s (ncols,)``."""
+    if a.rank != 2:
+        raise SpSparseError("scale_cols requires a rank-2 array")
+    s = jnp.asarray(s)
+    g = jnp.take(s, a.indices[:, 1], mode="fill", fill_value=0)
+    return dataclasses.replace(a, vals=a.vals * g.astype(a.dtype))

@@ -1,0 +1,119 @@
+"""Constructors and structural conveniences (core.construct) vs scipy /
+dense oracles."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+from spsparse_tpu import (CooBuilder, SpSparseError, coo_diags, coo_eye,
+                          coo_random, coo_slice, col_sums, row_sums,
+                          scale_cols, scale_rows)
+
+
+def random_coo(rng, shape, nnz, dtype=np.float64):
+    b = CooBuilder(shape, dtype=dtype)
+    idx = np.stack([rng.integers(0, s, size=nnz) for s in shape], axis=1)
+    b.add_many(idx, rng.uniform(-1, 1, size=nnz))
+    return b.build()
+
+
+class TestConstructors:
+    @pytest.mark.parametrize("n,m,k", [(5, None, 0), (5, 8, 2), (6, 4, -3)])
+    def test_eye_matches_scipy(self, n, m, k):
+        got = np.asarray(coo_eye(n, m, k).to_dense())
+        expect = sps.eye(n, m, k=k).toarray()
+        np.testing.assert_array_equal(got, expect)
+
+    def test_eye_fully_out_of_band_is_empty(self):
+        # scipy raises here; an empty matrix is the graceful answer.
+        A = coo_eye(3, 3, 5)
+        assert int(A.nnz) == 0
+        np.testing.assert_array_equal(np.asarray(A.to_dense()),
+                                      np.zeros((3, 3)))
+
+    def test_diags_matches_scipy(self, rng):
+        shape = (7, 9)
+        offs = [-2, 0, 3]
+        diags = [rng.uniform(-1, 1, min(7, 9 - o) - max(0, -o))
+                 for o in offs]
+        got = np.asarray(coo_diags(diags, offs, shape,
+                                   dtype=np.float64).to_dense())
+        expect = np.zeros(shape)
+        for v, o in zip(diags, offs):
+            lo = max(0, -o)
+            r = np.arange(lo, lo + len(v))
+            expect[r, r + o] = v
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+    def test_diags_scalar_broadcast(self):
+        got = np.asarray(coo_diags([2.0, -1.0], [0, 1], (4, 4),
+                                   dtype=np.float64).to_dense())
+        expect = 2 * np.eye(4) + np.diag([-1.0] * 3, 1)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_random_density_and_consolidated(self):
+        A = coo_random((50, 40), 0.05, seed=3)
+        d = np.asarray(A.to_dense())
+        realized = (d != 0).sum() / d.size
+        assert 0.03 <= realized <= 0.05
+        assert A.sort_order == (0, 1)
+
+
+class TestSlice:
+    def test_matches_dense_slice(self, rng):
+        A = random_coo(rng, (12, 15), 60)
+        S = coo_slice(A, (3, 5), (10, 14))
+        assert S.shape == (7, 9)
+        np.testing.assert_allclose(np.asarray(S.to_dense()),
+                                   np.asarray(A.to_dense())[3:10, 5:14],
+                                   rtol=1e-12)
+
+    def test_rank3_and_jit(self, rng):
+        A = random_coo(rng, (6, 7, 8), 80)
+        S = jax.jit(lambda a: coo_slice(a, (1, 0, 2), (5, 7, 8)))(A)
+        np.testing.assert_allclose(
+            np.asarray(S.to_dense()),
+            np.asarray(A.to_dense())[1:5, :, 2:], rtol=1e-12)
+
+    def test_stops_clamped_and_bad_bounds(self, rng):
+        A = random_coo(rng, (5, 5), 10)
+        S = coo_slice(A, (0, 0), (99, 99))
+        np.testing.assert_allclose(np.asarray(S.to_dense()),
+                                   np.asarray(A.to_dense()), rtol=1e-12)
+        with pytest.raises(SpSparseError):
+            coo_slice(A, (3,), (4,))
+        with pytest.raises(SpSparseError):
+            coo_slice(A, (4, 0), (2, 5))
+
+
+class TestReductionsAndScaling:
+    def test_row_col_sums(self, rng):
+        A = random_coo(rng, (9, 11), 50)
+        d = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(row_sums(A)), d.sum(1),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(col_sums(A)), d.sum(0),
+                                   rtol=1e-12)
+
+    def test_scale_rows_cols_match_dense(self, rng):
+        A = random_coo(rng, (8, 10), 40)
+        sr = rng.uniform(-2, 2, 8)
+        sc = rng.uniform(-2, 2, 10)
+        d = np.asarray(A.to_dense())
+        np.testing.assert_allclose(
+            np.asarray(scale_rows(A, jnp.asarray(sr)).to_dense()),
+            np.diag(sr) @ d, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(scale_cols(A, jnp.asarray(sc)).to_dense()),
+            d @ np.diag(sc), rtol=1e-12)
+
+    def test_scale_jittable_preserves_sort(self, rng):
+        A = random_coo(rng, (6, 6), 20).consolidate((0, 1))
+        S = jax.jit(scale_rows)(A, jnp.arange(6, dtype=A.dtype))
+        assert S.sort_order == (0, 1)
+        d = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(S.to_dense()),
+                                   np.diag(np.arange(6.0)) @ d, rtol=1e-12)
