@@ -41,6 +41,7 @@ from .core import (
     coo_diags,
     coo_random,
     coo_slice,
+    coo_kron,
     row_sums,
     col_sums,
     scale_rows,

@@ -27,7 +27,7 @@ from .structure import (
     to_ell,
 )
 from .algebra import coo_concat, coo_add, coo_scale
-from .construct import (coo_eye, coo_diags, coo_random, coo_slice,
+from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
                         row_sums, col_sums, scale_rows, scale_cols)
 from .join import JoinResult, join2, join3, intersect_mask
 from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
@@ -42,7 +42,7 @@ __all__ = [
     "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
     "to_csr", "to_ell",
     "coo_concat", "coo_add", "coo_scale",
-    "coo_eye", "coo_diags", "coo_random", "coo_slice",
+    "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
     "row_sums", "col_sums", "scale_rows", "scale_cols",
     "JoinResult", "join2", "join3", "intersect_mask",
     "scatter_to_dense", "scalar_sum", "permute_output", "project_output",

@@ -21,7 +21,7 @@ from .errors import SpSparseError
 
 Array = Any
 
-__all__ = ["coo_eye", "coo_diags", "coo_random", "coo_slice",
+__all__ = ["coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
            "row_sums", "col_sums", "scale_rows", "scale_cols"]
 
 
@@ -69,6 +69,30 @@ def coo_random(shape: Sequence[int], density: float, *, seed: int = 0,
         idx = np.stack([rng.integers(0, s, nnz) for s in shape], axis=1)
         b.add_many(idx, rng.uniform(-1, 1, nnz))
     return b.build().consolidate(tuple(range(len(shape))))
+
+
+def coo_kron(a: SparseCOO, b: SparseCOO) -> SparseCOO:
+    """Kronecker product ``A (x) B`` of rank-2 arrays (scipy.sparse.kron)
+    — how 2-/3-D stencil and graph-Laplacian operators are assembled from
+    1-D pieces. Host-side eager (output nnz = nnz_a * nnz_b sets a new
+    static capacity by nature); the outer product of the entry lists is
+    fully vectorized."""
+    if a.rank != 2 or b.rank != 2:
+        raise SpSparseError("coo_kron requires rank-2 operands")
+    ia, va = a.to_lists()
+    ib, vb = b.to_lists()
+    ia = np.asarray(ia, np.int64).reshape(len(va), 2)
+    ib = np.asarray(ib, np.int64).reshape(len(vb), 2)
+    va, vb = np.asarray(va), np.asarray(vb)
+    bn, bm = b.shape
+    shape = (a.shape[0] * bn, a.shape[1] * bm)
+    out = CooBuilder(shape, dtype=jnp.promote_types(a.dtype, b.dtype))
+    if len(va) and len(vb):
+        rows = (ia[:, 0][:, None] * bn + ib[:, 0][None, :]).ravel()
+        cols = (ia[:, 1][:, None] * bm + ib[:, 1][None, :]).ravel()
+        out.add_many(np.stack([rows, cols], 1),
+                     (va[:, None] * vb[None, :]).ravel())
+    return out.build()
 
 
 def coo_slice(a: SparseCOO, starts: Sequence[int],

@@ -117,3 +117,34 @@ class TestReductionsAndScaling:
         d = np.asarray(A.to_dense())
         np.testing.assert_allclose(np.asarray(S.to_dense()),
                                    np.diag(np.arange(6.0)) @ d, rtol=1e-12)
+
+
+class TestKron:
+    def test_matches_scipy(self, rng):
+        from spsparse_tpu import coo_kron
+        A = random_coo(rng, (4, 5), 8)
+        B = random_coo(rng, (3, 2), 4)
+        got = np.asarray(coo_kron(A, B).to_dense())
+        expect = sps.kron(sps.coo_matrix(np.asarray(A.to_dense())),
+                          sps.coo_matrix(np.asarray(B.to_dense()))).toarray()
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+    def test_laplacian_2d_assembly(self):
+        # The canonical use: L2 = L1 (x) I + I (x) L1.
+        from spsparse_tpu import coo_add, coo_eye, coo_kron
+        n = 6
+        L1 = coo_diags([-1.0, 2.0, -1.0], [-1, 0, 1], (n, n),
+                       dtype=np.float64)
+        I = coo_eye(n, dtype=np.float64)
+        L2 = coo_add(coo_kron(L1, I), coo_kron(I, L1))
+        d1 = np.asarray(L1.to_dense())
+        expect = np.kron(d1, np.eye(n)) + np.kron(np.eye(n), d1)
+        np.testing.assert_allclose(np.asarray(L2.to_dense()), expect,
+                                   rtol=1e-12)
+
+    def test_empty_operand(self, rng):
+        from spsparse_tpu import coo_kron
+        A = random_coo(rng, (3, 3), 5)
+        E = CooBuilder((2, 2), dtype=np.float64).build()
+        K = coo_kron(A, E)
+        assert K.shape == (6, 6) and int(K.nnz) == 0
