@@ -23,7 +23,7 @@ from typing import Any
 import jax.numpy as jnp
 
 from .consolidate import compact_select, consolidate
-from .coo import SparseCOO
+from .coo import SparseCOO, round_up_pow2
 from .errors import DuplicatePolicy, SpSparseError
 
 Array = Any
@@ -36,7 +36,10 @@ def coo_concat(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
     into one (unsorted) COO; duplicates are preserved, entry order is
     operand order (so a later consolidate's first/last policies see the
     reference's insertion-order semantics). ``cap`` defaults to the sum of
-    operand caps (static)."""
+    operand caps rounded up to a power of two (static). An explicit
+    ``cap`` smaller than the total live count raises when the counts are
+    concrete; under ``jit`` (traced counts) it cannot be checked and
+    would corrupt the output — pass the default there."""
     if not arrays:
         raise SpSparseError("coo_concat requires at least one operand")
     shape = arrays[0].shape
@@ -44,20 +47,35 @@ def coo_concat(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
         if x.shape != shape:
             raise SpSparseError(
                 f"coo_concat shape mismatch: {x.shape} vs {shape}")
-        if x.rank != arrays[0].rank:
-            raise SpSparseError("coo_concat rank mismatch")
-    cap = int(cap) if cap is not None else sum(x.cap for x in arrays)
+    if cap is None:
+        cap = round_up_pow2(sum(x.cap for x in arrays))
+    else:
+        cap = int(cap)
+        total = 0
+        for x in arrays:
+            try:
+                total += int(x.nnz)
+            except Exception:            # traced under jit: not checkable
+                total = None
+                break
+        if total is not None and cap < total:
+            raise SpSparseError(
+                f"coo_concat cap={cap} < total live entries {total}")
     idt = arrays[0].index_dtype
     vdt = arrays[0].dtype
     for x in arrays[1:]:
         idt = jnp.promote_types(idt, x.index_dtype)
         vdt = jnp.promote_types(vdt, x.dtype)
-    rank = arrays[0].rank
+    rank = arrays[0].rank  # ranks are equal: shape equality covers length
     cols = [jnp.concatenate([x.indices[:, d].astype(idt) for x in arrays])
             for d in range(rank)]
     vals = jnp.concatenate([x.vals.astype(vdt) for x in arrays], axis=0)
     valid = jnp.concatenate([x.valid_mask() for x in arrays], axis=0)
     carried, n = compact_select(valid, tuple(cols) + (vals,), cap_out=cap)
+    # Under jit an undersized explicit cap is unverifiable; clamping keeps
+    # the nnz <= cap container invariant (entries past cap are dropped in
+    # operand order — documented above).
+    n = jnp.minimum(n, jnp.asarray(cap, n.dtype))
     live = jnp.arange(cap, dtype=jnp.int32) < n
     idx_c = jnp.stack([jnp.where(live, c, jnp.asarray(s, idt))
                        for c, s in zip(carried[:rank], shape)], axis=1)

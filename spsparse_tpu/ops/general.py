@@ -46,11 +46,12 @@ __all__ = ["PreparedGeneral", "prepare_general", "spmm_general",
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PreparedGeneral:
-    """Kernel-ready general sparse operand: column order (new -> old) +
-    the prepared tile layout (dense-block or one-hot, chosen at prepare
-    time from the post-packing fill)."""
+    """Kernel-ready general sparse operand: column order (new -> old;
+    ``None`` = identity, skipping the X gather entirely) + the prepared
+    tile layout (dense-block or one-hot, chosen at prepare time from the
+    post-packing fill)."""
 
-    order: Array = dataclasses.field(metadata=dict(static=False))
+    order: Any = dataclasses.field(metadata=dict(static=False))
     prep: Any = dataclasses.field(metadata=dict(static=False))
 
     @property
@@ -72,20 +73,29 @@ def prepare_general(a: SparseCOO | SparseTiledCOO, *, pack: bool = True,
     unpermuted products). ``dtype=jnp.bfloat16`` selects the mixed
     bf16/f32 dense-block mode (halved A/X traffic, f32 accumulation)."""
     if isinstance(a, SparseTiledCOO):
-        tl, order = a, jnp.arange(a.shape[1])
+        tl, order = a, None
     else:
         if a.rank != 2:
             spsparse_error(-1, "prepare_general requires a rank-2 array")
         if pack:
             ap, order = pack_columns(a)
         else:
-            ap, order = a, jnp.arange(a.shape[1])
+            ap, order = a, None
         tl = to_tiled(ap)
     nnz = float(jnp.sum(tl.vals != 0))
     fill = nnz / max(int(tl.n_tiles), 1)
     if fill >= DENSE_FILL_THRESHOLD:
         prep = prepare_tiled_dense(tl, dtype=dtype)
     else:
+        if dtype not in (jnp.float32, None):
+            import warnings
+
+            warnings.warn(
+                f"prepare_general: fill {fill:.1f} < "
+                f"{DENSE_FILL_THRESHOLD} selects the one-hot kernel, "
+                "which streams f32 payloads only — the requested "
+                f"dtype={dtype} mixed mode does not apply here",
+                stacklevel=2)
         prep = prepare_tiled_rows(tl)
     return PreparedGeneral(order=order, prep=prep)
 
@@ -99,7 +109,7 @@ def spmm_general(pg: PreparedGeneral, X: Array, *,
         spsparse_error(-1,
                        "Inner dimensions for A (%d) and X (%d) must match!",
                        pg.shape[1], X.shape[0])
-    Xp = X[pg.order]
+    Xp = X if pg.order is None else X[pg.order]
     if isinstance(pg.prep, PreparedTiledDense):
         return spmm_tiled_dense_pallas(pg.prep, Xp, interpret=interpret)
     return spmm_tiled_pallas(pg.prep, Xp, interpret=interpret)

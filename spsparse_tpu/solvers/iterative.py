@@ -176,7 +176,12 @@ def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,
         return (x, d, r, rho_new), None
 
     state = (x0, d0, r0, jnp.asarray(1.0 / sigma1, b.dtype))
-    (x, d, r, _), _ = jax.lax.scan(body, state, None, length=iters)
+    # The scan body applies one update and prepares the next direction;
+    # the post-loop flush applies the last one, so `length=iters-1` gives
+    # exactly `iters` solution updates (matching every other solver's
+    # fixed-iteration contract).
+    (x, d, r, _), _ = jax.lax.scan(body, state, None,
+                                   length=max(iters - 1, 0))
     x = x + d
     r = r - matvec(d)
     return x, jnp.vdot(r, r)

@@ -144,13 +144,16 @@ def block_jacobi_preconditioner(a, bs: int = 128,
     # those rows — the same guard jacobi_preconditioner applies).
     d = jnp.diagonal(blocks, axis1=1, axis2=2)
     fix = (jnp.abs(d) <= eps).astype(blocks.dtype)
-    blocks = blocks + jax.vmap(jnp.diag)(fix)
-    inv = jnp.linalg.inv(blocks)
+    inv = jnp.linalg.inv(blocks + jax.vmap(jnp.diag)(fix))
+    # NB: close over `inv` ONLY — capturing `blocks` too would keep a
+    # second (nb, bs, bs) stack (512 MB at 1M rows / bs=128) alive for
+    # the preconditioner's lifetime.
+    dt = inv.dtype
 
     def apply(r: Array) -> Array:
         pad = nb * bs - r.shape[0]
         rp = jnp.pad(r, (0, pad)).reshape(nb, bs)
-        z = jnp.einsum("bij,bj->bi", inv, rp.astype(blocks.dtype))
+        z = jnp.einsum("bij,bj->bi", inv, rp.astype(dt))
         return z.reshape(-1)[:n].astype(r.dtype)
 
     return apply

@@ -32,7 +32,10 @@ class TestConcat:
         assert ic == ia + ib
         np.testing.assert_array_equal(vc, va + vb)
         assert C.sort_order is None
-        assert C.cap == A.cap + B.cap
+        # default cap: sum of operand caps rounded to a power of two
+        # (CLAUDE.md capacity convention — compile-cache reuse)
+        from spsparse_tpu.core.coo import round_up_pow2
+        assert C.cap == round_up_pow2(A.cap + B.cap)
 
     def test_three_way_and_empty(self, rng):
         A = random_coo(rng, (4, 4), 5)
@@ -121,3 +124,12 @@ class TestScale:
         np.testing.assert_allclose(np.asarray(S.to_dense()),
                                    -3.0 * np.asarray(A.to_dense()),
                                    rtol=1e-12)
+
+
+def test_concat_undersized_cap_raises(rng):
+    from spsparse_tpu import SpSparseError
+    A = random_coo(rng, (6, 6), 10)
+    B = random_coo(rng, (6, 6), 7)
+    import pytest as _pytest
+    with _pytest.raises(SpSparseError):
+        coo_concat(A, B, cap=8)

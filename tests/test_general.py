@@ -61,11 +61,23 @@ class TestPrepareGeneral:
         np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-4,
                                    atol=1e-4)
 
-    def test_no_pack_identity_order(self, rng):
+    def test_no_pack_skips_gather(self, rng):
         A = random_coo(rng, (128, 512), 400)
         pg = prepare_general(A, pack=False)
-        np.testing.assert_array_equal(np.asarray(pg.order),
-                                      np.arange(512))
+        assert pg.order is None      # identity: no X gather at all
+        X = rng.uniform(-1, 1, (512, 4)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X), interpret=True)
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_bf16_with_onehot_fill_warns(self, rng):
+        # Shared columns across many row blocks keep fill low even after
+        # packing -> one-hot kernel -> the bf16 request cannot apply.
+        A = random_coo(rng, (2048, 16384), 16384)
+        with pytest.warns(UserWarning, match="one-hot kernel"):
+            pg = prepare_general(A, dtype=jnp.bfloat16)
+        assert pg.kernel == "one_hot"
 
     def test_bf16_mode(self, rng):
         A = local_coo(rng, 256, 40)
