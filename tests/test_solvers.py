@@ -356,3 +356,37 @@ class TestImplicitCG:
         fd = (float(loss(jnp.asarray(s0 + eps)))
               - float(loss(jnp.asarray(s0 - eps)))) / (2 * eps)
         np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+class TestChebyshevIterationContract:
+    def test_exactly_iters_updates(self, rng):
+        # Pin against a step-by-step numpy reference doing exactly
+        # `iters` solution updates (the scan does iters-1, the flush 1).
+        n = 12
+        A = np.diag(rng.uniform(1, 50, n))
+        A[0, 1] = A[1, 0] = 0.7
+        b = rng.uniform(-1, 1, n)
+        w = np.linalg.eigvalsh(A)
+        lo, hi = float(w[0]), float(w[-1])
+
+        def cheb_np(iters):
+            theta, delta = (hi + lo) / 2, (hi - lo) / 2
+            sigma1 = theta / delta
+            x = np.zeros(n)
+            r = b - A @ x
+            d = r / theta
+            rho = 1 / sigma1
+            for _ in range(iters):
+                x = x + d
+                r = r - A @ d
+                rho_new = 1 / (2 * sigma1 - rho)
+                d = rho_new * rho * d + (2 * rho_new / delta) * r
+                rho = rho_new
+            return x
+
+        for iters in (1, 3, 17):
+            x, _ = chebyshev_solve(lambda v: jnp.asarray(A) @ v,
+                                   jnp.asarray(b), lam_min=lo, lam_max=hi,
+                                   iters=iters)
+            np.testing.assert_allclose(np.asarray(x), cheb_np(iters),
+                                       rtol=1e-12, err_msg=f"iters={iters}")
