@@ -31,6 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.errors import SpSparseError
 from ..core.tiled import SparseTiledCOO, TILE
 
 Array = Any
@@ -94,15 +95,15 @@ def prepare_tiled_rows(tl: SparseTiledCOO) -> PreparedTiledRows:
     r8 = np.zeros((nbr, Rt, cap), np.int32)
     c8 = np.zeros((nbr, Rt, cap), np.int32)
     v8 = np.zeros((nbr, Rt, cap), np.float32)
-    slot = np.zeros(nbr, np.int64)
-    for t in range(nt):
-        b = tr[t]
-        s = slot[b]
-        tcols[b, s] = tc[t]
-        r8[b, s] = rows[t]
-        c8[b, s] = cols[t]
-        v8[b, s] = vals[t]
-        slot[b] += 1
+    # tiles are row-major sorted, so the slot of tile t within its block
+    # row is t minus the first index of that row — vectorized (a Python
+    # per-tile loop here cost O(n_tiles) interpreter time; matters at the
+    # 1M-tile scale this targets).
+    slot = np.arange(nt) - np.searchsorted(tr, tr, side="left")
+    tcols[tr, slot] = tc
+    r8[tr, slot] = rows
+    c8[tr, slot] = cols
+    v8[tr, slot] = vals
     return PreparedTiledRows(
         tcols=jnp.asarray(tcols), rows=jnp.asarray(r8),
         cols=jnp.asarray(c8), vals=jnp.asarray(v8), shape=tl.shape)
@@ -261,18 +262,27 @@ def prepare_tiled_dense(tl: SparseTiledCOO,
 
     counts = np.bincount(tr, minlength=nbr)
     Rt = max(int(counts.max(initial=1)), 1)
+    est = nbr * Rt * TILE * TILE * 4
+    if est > 8 << 30:
+        raise SpSparseError(
+            f"prepare_tiled_dense would materialize {est >> 30} GiB of "
+            "dense blocks (nbr x Rt = {nbr} x {Rt}); this matrix belongs "
+            "on the one-hot kernel (prepare_tiled_rows / prepare_general "
+            "picks it automatically at low fill)".format(nbr=nbr, Rt=Rt))
     tcols = np.full((nbr, Rt), nbc, np.int32)
     blocks = np.zeros((nbr, Rt, TILE, TILE), np.float32)
-    slot = np.zeros(nbr, np.int64)
-    for t in range(nt):
-        b = tr[t]
-        s = slot[b]
-        tcols[b, s] = tc[t]
-        # Padding entries carry value 0 at offset (0,0); add.at folds them
-        # into block[0,0] harmlessly. Live duplicate offsets accumulate,
-        # matching consolidate(ADD).
-        np.add.at(blocks[b, s], (rows[t], cols[t]), vals[t])
-        slot[b] += 1
+    # Vectorized fill (see prepare_tiled_rows): slot within block row from
+    # the sorted tile-row stream, then ONE scatter-add over every entry of
+    # every tile. Padding entries carry value 0 at offset (0,0); add.at
+    # folds them into block[0,0] harmlessly. Live duplicate offsets
+    # accumulate, matching consolidate(ADD).
+    slot = np.arange(nt) - np.searchsorted(tr, tr, side="left")
+    tcols[tr, slot] = tc
+    cap = rows.shape[1] if rows.ndim == 2 else 0
+    if nt and cap:
+        bt = np.repeat(tr, cap).reshape(nt, cap)
+        st = np.repeat(slot, cap).reshape(nt, cap)
+        np.add.at(blocks, (bt, st, rows, cols), vals)
     return PreparedTiledDense(tcols=jnp.asarray(tcols),
                               blocks=jnp.asarray(blocks).astype(dtype),
                               shape=tl.shape)
