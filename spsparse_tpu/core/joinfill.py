@@ -87,8 +87,28 @@ def merge_fill_compact(keys_e, payloads_e: Sequence[Array],
     keys_q = jnp.asarray(keys_q)
     n_e = keys_e.shape[0]
     n_q = keys_q.shape[0]
-    if key_bound is not None and 2 * (key_bound + 1) >= jnp.iinfo(
-            jnp.int32).max:
+    if key_bound is None:
+        # No bound given: doubling must not wrap. Widen to int64 whenever
+        # the platform allows it (x64 on); otherwise int32 is all we
+        # have, so check concrete keys eagerly and demand a key_bound for
+        # traced ones (a silent 2k+1 wrap at keys >= 2^30 garbles the
+        # sort — every internal caller passes key_bound).
+        if jax.config.jax_enable_x64:
+            kdtype = jnp.int64
+        else:
+            kdtype = jnp.int32
+            lim = (jnp.iinfo(jnp.int32).max - 1) // 2
+            for ks in (keys_e, keys_q):
+                try:
+                    mx = int(ks.max()) if ks.size else 0
+                except Exception:
+                    continue      # traced: caller's responsibility
+                if mx > lim:
+                    raise ValueError(
+                        f"merge_fill_compact: key {mx} would overflow the "
+                        "doubled int32 key; pass key_bound (int64 keys "
+                        "need jax_enable_x64)")
+    elif 2 * (key_bound + 1) >= jnp.iinfo(jnp.int32).max:
         kdtype = jnp.int64
     else:
         kdtype = jnp.int32

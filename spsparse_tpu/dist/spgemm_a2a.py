@@ -116,10 +116,22 @@ def dist_spgemm_a2a(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
     """Row-partitioned ``C = A @ B`` with all_to_all B-row exchange.
 
     Returns ``(result, overflow)`` where ``overflow`` is a per-partition
-    count of request/reply entries that exceeded ``req_cap``/``reply_cap``
-    (and were dropped). Callers MUST check ``overflow.sum() == 0`` — a
-    nonzero value means the capacities were too small for this operand pair
-    and the result is incomplete."""
+    count covering EVERY static-capacity loss on that partition: request
+    slots past ``req_cap``, reply entries past ``reply_cap`` (attributed
+    to the *requesting* partition, whose output is the one missing them),
+    elementary products past ``expand_cap``, and distinct output cells
+    past ``out_cap``. Callers MUST check ``overflow.sum() == 0`` — a
+    nonzero value means the capacities were too small for this operand
+    pair and the result is incomplete (entries missing, never corrupted:
+    reply reads are clamped to each owner's region)."""
+    from ..core.errors import spsparse_error
+
+    if a_part.shape[1] != b_part.shape[0]:
+        # Reference contract: inner-dim mismatch raises through the error
+        # handler (multiply_sparse.hpp:172-174), same as local multiply.
+        spsparse_error(-1,
+                       "Inner dimensions for A (%d) and B (%d) must match!",
+                       a_part.shape[1], b_part.shape[0])
     n_parts = mesh.shape[axis]
     rows_local_a = a_part.rows_local
     b_rows_local = b_part.rows_local
@@ -143,21 +155,30 @@ def dist_spgemm_a2a(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
         # where row p is what peer p requested from us.
 
         # 3-4: replies out, replies in.
-        lens, rcols, rvals, _ov2 = _build_replies(
+        lens, rcols, rvals, _ov_owner = _build_replies(
             req_in, brp, bcols, bvals, me * b_rows_local, b_rows_local, J,
             reply_cap)
+        del _ov_owner  # counted requester-side below (right attribution)
         lens_in = jax.lax.all_to_all(lens, axis, 0, 0)
         rcols_in = jax.lax.all_to_all(rcols, axis, 0, 0)
         rvals_in = jax.lax.all_to_all(rvals, axis, 0, 0)
         # Row p of *_in = owner p's reply to OUR request table req[p].
 
-        # 5: mini-CSR over global k: start/len lookup tables.
+        # 5: mini-CSR over global k: start/len lookup tables. Owners
+        # truncate their packed replies at reply_cap but report FULL row
+        # lengths; clamp each row's effective length to what fits inside
+        # its owner's region, so an overflowing reply yields missing (not
+        # cross-owner-corrupted) entries — and count the loss HERE, on
+        # the requester whose output is incomplete.
         starts_within = jnp.concatenate([
             jnp.zeros((n_parts, 1), jnp.int32),
             jnp.cumsum(lens_in, axis=1)[:, :-1]], axis=1)
+        lens_eff = jnp.minimum(
+            lens_in, jnp.maximum(reply_cap - starts_within, 0))
+        _ov2 = jnp.sum(lens_in - lens_eff)
         owner_base = (jnp.arange(n_parts, dtype=jnp.int32) * reply_cap)[:, None]
         flat_start = (starts_within + owner_base).reshape(-1)
-        flat_len = lens_in.reshape(-1)
+        flat_len = lens_eff.reshape(-1)
         flat_k = req[:, :].reshape(-1)  # the k each request slot asked for
         row_start = jnp.zeros((K_pad + 1,), jnp.int32).at[flat_k].set(
             flat_start, mode="drop")[:-1]
@@ -170,15 +191,24 @@ def dist_spgemm_a2a(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
         a_rows = row_ids_from_row_ptr(arp, cap_a)
         a_rows = jnp.where(live, a_rows, rows_local_a)
 
+        # Expansion truncation: total products = sum of mini-CSR row
+        # lengths over live A entries.
+        cnt = jnp.take(row_len, jnp.where(live, acols, K_pad),
+                       mode="fill", fill_value=0)
+        total_products = jnp.sum(jnp.where(live, cnt, 0))
+        _ov3 = jnp.maximum(total_products - expand_cap, 0)
+
         i_t, j_t, v_t, valid_t = expand_products_raw(
             a_rows, acols, avals, live,
             row_start, row_len, flat_cols, flat_vals, J, K_pad,
             None, None, expand_cap)
-        merged = sort_and_merge_products(
-            i_t, j_t, v_t, valid_t, (rows_local_a, J), merge_cap=out_cap)
+        merged, n_runs = sort_and_merge_products(
+            i_t, j_t, v_t, valid_t, (rows_local_a, J), merge_cap=out_cap,
+            with_run_count=True)
+        _ov4 = jnp.maximum(n_runs - out_cap, 0)
         keep = merged.valid_mask() & (merged.vals != 0)
         out = filter_compact(merged, keep, cap=out_cap)
-        overflow = (_ov1 + _ov2).astype(jnp.int32)
+        overflow = (_ov1 + _ov2 + _ov3 + _ov4).astype(jnp.int32)
         return out.indices[None], out.vals[None], out.nnz[None], overflow[None]
 
     fn = jax.shard_map(

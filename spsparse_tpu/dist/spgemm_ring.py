@@ -40,9 +40,22 @@ Array = Any
 def dist_spgemm_ring(a_bkt: RowPartitionedBucketed,
                      b_part: RowPartitionedCSR, mesh: Mesh,
                      axis: str = "x", *, expand_cap_step: int,
-                     out_cap: int) -> RowPartitionedCOO:
-    """Row-partitioned ``C = A @ B`` with B ring-rotated block by block."""
+                     out_cap: int):
+    """Row-partitioned ``C = A @ B`` with B ring-rotated block by block.
+
+    Returns ``(result, overflow)``: like :func:`dist_spgemm_a2a`,
+    ``overflow`` counts per partition every product truncated by
+    ``expand_cap_step`` and every distinct output cell past ``out_cap``.
+    Callers MUST check ``overflow.sum() == 0`` before trusting the
+    result."""
+    from ..core.errors import spsparse_error
+
     nparts = mesh.shape[axis]
+    if a_bkt.shape[1] != b_part.shape[0]:
+        # Reference contract (multiply_sparse.hpp:172-174).
+        spsparse_error(-1,
+                       "Inner dimensions for A (%d) and B (%d) must match!",
+                       a_bkt.shape[1], b_part.shape[0])
     if a_bkt.n_buckets != nparts or a_bkt.blk_len != b_part.rows_local:
         raise ValueError(
             "A must be bucketed by B's row blocks: "
@@ -65,6 +78,7 @@ def dist_spgemm_ring(a_bkt: RowPartitionedBucketed,
         j_all = jnp.zeros((nparts * E,), jnp.int32)
         v_all = jnp.zeros((nparts * E,), av.dtype)
         ok_all = jnp.zeros((nparts * E,), bool)
+        ov_expand = jnp.zeros((), jnp.int32)
 
         for s in range(nparts):
             b = (me + s) % nparts
@@ -74,6 +88,13 @@ def dist_spgemm_ring(a_bkt: RowPartitionedBucketed,
             vals_b = jnp.take(av, b, axis=0)
             live = slot < jnp.take(an, b)
             k_local = jnp.clip(cols_b - b * blk, 0, blk - 1)
+            # Step truncation: products this step = sum of the resident
+            # block's row lengths over live bucket entries.
+            row_len_cur = rp_cur[1:] - rp_cur[:-1]
+            cnt = jnp.take(row_len_cur, jnp.where(live, k_local, blk),
+                           mode="fill", fill_value=0)
+            total_s = jnp.sum(jnp.where(live, cnt, 0)).astype(jnp.int32)
+            ov_expand = ov_expand + jnp.maximum(total_s - E, 0)
             i_t, j_t, v_t, valid_t = expand_products_raw(
                 rows_b, jnp.where(live, k_local, blk), vals_b, live,
                 rp_cur[:-1], rp_cur[1:] - rp_cur[:-1],
@@ -87,20 +108,24 @@ def dist_spgemm_ring(a_bkt: RowPartitionedBucketed,
                 b_state = tuple(
                     jax.lax.ppermute(t, axis, perm) for t in b_state)
 
-        merged = sort_and_merge_products(
+        merged, n_runs = sort_and_merge_products(
             i_all, j_all, v_all, ok_all, (rows_local_a, J),
-            merge_cap=out_cap)
+            merge_cap=out_cap, with_run_count=True)
+        overflow = (ov_expand
+                    + jnp.maximum(n_runs - out_cap, 0)).astype(jnp.int32)
         keep = merged.valid_mask() & (merged.vals != 0)
         out = filter_compact(merged, keep, cap=out_cap)
-        return out.indices[None], out.vals[None], out.nnz[None]
+        return (out.indices[None], out.vals[None], out.nnz[None],
+                overflow[None])
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis),) * 8,
-        out_specs=(P(axis), P(axis), P(axis)))
-    idx, vals, nnz = fn(a_bkt.rows, a_bkt.cols, a_bkt.vals, a_bkt.nnz,
-                        b_part.row_ptr, b_part.cols, b_part.vals,
-                        b_part.nnz)
-    return RowPartitionedCOO(indices=idx, vals=vals, nnz=nnz,
-                             shape=(a_bkt.shape[0], J),
-                             rows_local=rows_local_a)
+        out_specs=(P(axis), P(axis), P(axis), P(axis)))
+    idx, vals, nnz, overflow = fn(
+        a_bkt.rows, a_bkt.cols, a_bkt.vals, a_bkt.nnz,
+        b_part.row_ptr, b_part.cols, b_part.vals, b_part.nnz)
+    out = RowPartitionedCOO(indices=idx, vals=vals, nnz=nnz,
+                            shape=(a_bkt.shape[0], J),
+                            rows_local=rows_local_a)
+    return out, overflow

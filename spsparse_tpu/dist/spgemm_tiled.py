@@ -73,7 +73,8 @@ def _part_tiled(a: SparseCOO, n_parts: int) -> list[TiledBlocks]:
     """Split rows into ``n_parts`` blocks of whole 128-tiles and tile each
     part locally (host-side, eager)."""
     nrows = a.shape[0]
-    tiles_per_part = -(-(-(-nrows // TILE)) // n_parts)
+    n_block_tiles = -(-nrows // TILE)
+    tiles_per_part = -(-n_block_tiles // n_parts)
     rows_local = tiles_per_part * TILE
     idx, vals = a.to_lists()
     idx = np.asarray(idx, np.int64).reshape(len(vals), 2)
@@ -82,9 +83,8 @@ def _part_tiled(a: SparseCOO, n_parts: int) -> list[TiledBlocks]:
     for p in range(n_parts):
         r0, r1 = p * rows_local, min((p + 1) * rows_local, nrows)
         m = (idx[:, 0] >= r0) & (idx[:, 0] < r1)
-        from ..core.coo import SparseCOO as C
         li = np.stack([idx[m, 0] - r0, idx[m, 1]], 1)
-        part = C.from_arrays(
+        part = SparseCOO.from_arrays(
             li.astype(np.int64) if li.size else np.zeros((0, 2), np.int64),
             vals_np[m], (rows_local, a.shape[1]), check=False)
         parts.append(densify_tiled(to_tiled(part)))

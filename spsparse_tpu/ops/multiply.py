@@ -260,20 +260,32 @@ def _expand_products(acon: SparseCOO, b_csr: SparseCSR, sj_pres, sj_val,
 
 def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
                             merge_cap: int | None = None,
-                            merge_method: str = "compact") -> SparseCOO:
+                            merge_method: str = "compact",
+                            with_run_count: bool = False):
     """Compress an ESC product stream: stable (i, j) sort — which preserves
     ascending-k accumulation order within each output cell — then segmented
-    sum. Returns the unscaled, unfiltered merged COO (row-major sorted)."""
+    sum. Returns the unscaled, unfiltered merged COO (row-major sorted).
+
+    ``with_run_count=True`` additionally returns the TRUE number of
+    distinct output cells (before the ``merge_cap`` clamp) so callers with
+    a fixed output capacity can report truncation instead of silently
+    dropping runs (the distributed SpGEMM overflow contract)."""
     I, J = out_shape
     merge_cap = merge_cap if merge_cap is not None else i_t.shape[0]
     (si_, sj_), sv_, slive, _ = sort_entry_stream(
         (i_t.astype(jnp.int32), j_t.astype(jnp.int32)), v_t, valid_t,
         extents=(I, J))
-    return merge_sorted_entries(
+    merged = merge_sorted_entries(
         (si_, sj_), sv_, slive,
         shape=out_shape, duplicate_policy=DuplicatePolicy.ADD,
         cap=merge_cap, sort_order=(0, 1), index_dtype=jnp.int32,
         method=merge_method)
+    if not with_run_count:
+        return merged
+    same = (si_ == jnp.roll(si_, 1)) & (sj_ == jnp.roll(sj_, 1))
+    same = same.at[0].set(False)
+    n_runs = jnp.sum(slive & ~same).astype(jnp.int32)
+    return merged, n_runs
 
 
 @traced("spsparse.multiply_mm")

@@ -64,7 +64,11 @@ class TiledBlocks:
 
     ``tile_row/tile_col (T,)`` int32 block coordinates; ``blocks
     (T, TILE, TILE)`` f32/bf16 dense blocks (zero-filled outside the
-    stored entries and outside ``shape``).  All ``T`` blocks are live.
+    stored entries and outside ``shape``). All ``T`` blocks are live,
+    with one exception: an EMPTY input is represented as a single zero
+    block at sentinel coordinates (= extents) so shapes stay static —
+    consumers drop it (OOB scatters drop; the pair planner masks
+    sentinels; to_prepared_dense filters ``tile_row < nbrows``).
     """
 
     tile_row: Array = dataclasses.field(metadata=dict(static=False))
@@ -97,6 +101,7 @@ class TiledBlocks:
         """Row-grouped layout for the dense-block SpMM kernel (host-side,
         eager) — lets a tiled-SpGEMM result feed ``Y = C @ X`` directly
         on the MXU without a COO round trip."""
+        from ..core.errors import SpSparseError
         from .pallas_tiled import PreparedTiledDense
         tr = np.asarray(self.tile_row)
         tc = np.asarray(self.tile_col)
@@ -105,15 +110,23 @@ class TiledBlocks:
         live = tr < nbr
         counts = np.bincount(tr[live], minlength=nbr)
         Rt = max(int(counts.max(initial=1)), 1)
+        est = nbr * Rt * TILE * TILE * blocks.dtype.itemsize
+        if est > 8 << 30:
+            raise SpSparseError(
+                f"to_prepared_dense would materialize {est >> 30} GiB of "
+                f"row-grouped blocks (nbr x Rt = {nbr} x {Rt}); extract "
+                "to COO and use the one-hot kernel for such layouts")
         tcols = np.full((nbr, Rt), nbc, np.int32)
         out = np.zeros((nbr, Rt, TILE, TILE), blocks.dtype)
-        slot = np.zeros(nbr, np.int64)
-        for t in np.nonzero(live)[0]:
-            b = tr[t]
-            s = slot[b]
-            tcols[b, s] = tc[t]
-            out[b, s] += blocks[t]
-            slot[b] += 1
+        # Vectorized fill (same slot-from-sorted-rows trick as
+        # prepare_tiled_rows): group live tiles by block row with one
+        # stable sort, then one fancy-indexed write per array.
+        order = np.argsort(np.where(live, tr, nbr), kind="stable")
+        order = order[: int(live.sum())]
+        trs = tr[order]
+        slot = np.arange(trs.size) - np.searchsorted(trs, trs, side="left")
+        tcols[trs, slot] = tc[order]
+        np.add.at(out, (trs, slot), blocks[order])
         prep = PreparedTiledDense(tcols=jnp.asarray(tcols),
                                   blocks=jnp.asarray(out),
                                   shape=self.shape)
@@ -138,8 +151,13 @@ def densify_tiled(tl: SparseTiledCOO, *, dtype=jnp.float32) -> TiledBlocks:
     np.add.at(blocks, (t_of, rows.reshape(-1), cols.reshape(-1)),
               vals.reshape(-1))
     if nt == 0:
-        tr = np.zeros(1, np.int32)
-        tc = np.zeros(1, np.int32)
+        # Empty input still needs one (zero) block for static shapes; give
+        # it SENTINEL coordinates (= extents) so plan_tiled_spgemm never
+        # pairs it (a live-looking (0,0) filler used to generate spurious
+        # pairs and register junk output tiles in the distributed
+        # planner) and to_dense's scatter drops it (OOB indices drop).
+        tr = np.asarray([tl.nbrows], np.int32)
+        tc = np.asarray([tl.nbcols], np.int32)
     return TiledBlocks(tile_row=jnp.asarray(tr, jnp.int32),
                        tile_col=jnp.asarray(tc, jnp.int32),
                        blocks=jnp.asarray(blocks, dtype), shape=tl.shape)
@@ -199,6 +217,12 @@ def plan_tiled_spgemm(A: TiledBlocks, B: TiledBlocks, *,
             "multiply_sparse.hpp:172-174)")
 
     # Match A.tile_col == k_b via sort + searchsorted (host, numpy).
+    # Sentinel-coordinate tiles (the empty-input fillers from
+    # densify_tiled, coords = extents) must never pair — even with each
+    # other — so mask them out of both sides of the join.
+    nb_inner = -(-inner_a // TILE)
+    atc = np.where(atc < nb_inner, atc, nb_inner + 1)
+    k_b = np.where(k_b < nb_inner, k_b, nb_inner + 2)
     order_b = np.argsort(k_b, kind="stable")
     kb_s = k_b[order_b]
     lo = np.searchsorted(kb_s, atc, side="left")
@@ -348,7 +372,11 @@ def tiled_blocks_to_coo(tb: TiledBlocks, *, cap: int | None = None,
         cap = round_up_pow2(max(int(jnp.sum(blocks != 0)), 1))
     t, r, c = jnp.nonzero(blocks, size=cap,
                           fill_value=(tb.n_tiles - 1, 0, 0))
-    nnz = jnp.sum(blocks != 0).astype(jnp.int32)
+    # Clamp so nnz <= cap always holds even when an explicit static cap
+    # undercounts (jnp.nonzero(size=...) truncates the entry list; an
+    # unclamped count would mark padding slots live downstream).
+    nnz = jnp.minimum(jnp.sum(blocks != 0),
+                      jnp.asarray(cap)).astype(jnp.int32)
     live = jnp.arange(cap) < nnz
     idx_dtype = SparseCOO.empty(tb.shape, 1).index_dtype
     rows = tb.tile_row[t].astype(idx_dtype) * TILE + r

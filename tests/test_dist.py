@@ -236,7 +236,9 @@ class TestDistSpgemmRing:
         mesh = make_mesh()
         bp = partition_rows(B, 8)
         abkt = partition_bucketed(A, 8, blk_len=bp.rows_local)
-        C = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256, out_cap=256)
+        C, ov = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256,
+                                 out_cap=256)
+        assert int(np.asarray(ov).sum()) == 0
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),
             np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
@@ -255,7 +257,9 @@ class TestDistSpgemmRing:
         mesh = make_mesh()
         bp = partition_rows(B, 8)
         abkt = partition_bucketed(A, 8, blk_len=bp.rows_local)
-        C = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256, out_cap=256)
+        C, ov = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=256,
+                                 out_cap=256)
+        assert int(np.asarray(ov).sum()) == 0
         assert C.shape == (24, 40)
         np.testing.assert_allclose(
             np.asarray(C.to_coo().to_dense()),

@@ -83,3 +83,76 @@ def test_mesh_size_mismatch_rejected():
     plan = plan_dist_spgemm_tiled(A, A, 2)
     with pytest.raises(SpSparseError):
         dist_spgemm_tiled(plan, _mesh(4))
+
+
+def test_empty_trailing_partitions_no_junk_tiles():
+    # B rows stop well short of the padded extent: the last partitions are
+    # EMPTY. Their filler blocks must not generate pairs or register junk
+    # output tiles (they used to, as live-looking (0,0) tiles).
+    import numpy as np
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.dist import plan_dist_spgemm_tiled, dist_spgemm_tiled
+    from jax.sharding import Mesh
+    import jax
+
+    rng = np.random.default_rng(0)
+    n, m = 200, 300                     # 300 rows over 4 parts of 256 pad
+    b = CooBuilder((n, m), dtype=np.float32)
+    r = rng.integers(0, n, 400)
+    c = rng.integers(0, m, 400)
+    b.add_many(np.stack([r, c], 1),
+               rng.uniform(-1, 1, 400).astype(np.float32))
+    A = b.build()
+    bb = CooBuilder((128, m), dtype=np.float32)   # only 1 block row lives
+    rb = rng.integers(0, 128, 300)
+    cb = rng.integers(0, m, 300)
+    bb.add_many(np.stack([rb, cb], 1),
+                rng.uniform(-1, 1, 300).astype(np.float32))
+    B = b.build(), bb.build()
+    plan = plan_dist_spgemm_tiled(A, B[1], 4, transpose_b=True)
+    nbr_c = -(-A.shape[0] // 128)
+    nbc_c = plan.out_tile_col.max()   # sentinel included
+    # every REGISTERED (non-sentinel) out tile must be in range
+    otr, otc = plan.out_tile_row, plan.out_tile_col
+    live = otr < np.full_like(otr, -(-plan.out_shape[0] // 128))
+    assert (otc[live] < -(-plan.out_shape[1] // 128)).all()
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    C = dist_spgemm_tiled(plan, mesh)
+    np.testing.assert_allclose(
+        np.asarray(C.to_dense()),
+        np.asarray(A.to_dense()) @ np.asarray(B[1].to_dense()).T,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_ring_overflow_reported(rng):
+    # Undersized expand_cap_step must be REPORTED, not silently truncated.
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.dist import (dist_spgemm_ring, partition_bucketed,
+                                   partition_rows)
+
+    n = 32
+    b = CooBuilder((n, n), dtype=np.float64)
+    r = np.repeat(np.arange(n), 8)
+    c = np.tile(np.arange(8), n)
+    b.add_many(np.stack([r, c], 1), rng.uniform(1, 2, r.size))
+    A = b.build()
+    d = CooBuilder((n, n), dtype=np.float64)
+    rd = np.repeat(np.arange(8), n)
+    cd = np.tile(np.arange(n), 8)
+    d.add_many(np.stack([rd, cd], 1), rng.uniform(1, 2, rd.size))
+    B = d.build()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("x",))
+    bp = partition_rows(B, 8)
+    abkt = partition_bucketed(A, 8, blk_len=bp.rows_local)
+    C_ok, ov_ok = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=2048,
+                                   out_cap=2048)
+    assert int(np.asarray(ov_ok).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(C_ok.to_coo().to_dense()),
+        np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
+    _, ov_bad = dist_spgemm_ring(abkt, bp, mesh, expand_cap_step=16,
+                                 out_cap=2048)
+    assert int(np.asarray(ov_bad).sum()) > 0
