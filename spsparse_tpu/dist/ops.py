@@ -338,7 +338,7 @@ def dist_spmm(part: RowPartitionedCSR, x_parts, mesh: Mesh, axis: str = "x"):
 # ----------------------------------------------------------------------
 def dist_spgemm(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
                 mesh: Mesh, axis: str = "x", *, expand_cap: int,
-                out_cap: int) -> RowPartitionedCOO:
+                out_cap: int, with_overflow: bool = False):
     """Row-partitioned SpGEMM ``C = A @ B``.
 
     ``A`` is partitioned by output rows; ``B`` by inner-dimension rows. Each
@@ -346,7 +346,21 @@ def dist_spgemm(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
     gathered row map (global row k lives at ``blk * cap_local + local_ptr``),
     and runs the ESC expansion + merge locally. Static ``expand_cap`` /
     ``out_cap`` bound the per-device product count and output nnz.
+
+    ``with_overflow=True`` returns ``(result, overflow)`` where
+    ``overflow`` counts per partition the products truncated by
+    ``expand_cap`` and the distinct output cells past ``out_cap`` — the
+    same completeness contract as :func:`dist_spgemm_a2a` /
+    :func:`dist_spgemm_ring`. Prefer it whenever the caps were not
+    derived from an exact plan.
     """
+    from ..core.errors import spsparse_error
+
+    if a_part.shape[1] != b_part.shape[0]:
+        # Reference contract (multiply_sparse.hpp:172-174).
+        spsparse_error(-1,
+                       "Inner dimensions for A (%d) and B (%d) must match!",
+                       a_part.shape[1], b_part.shape[0])
     nparts = mesh.shape[axis]
     b_rows_local = b_part.rows_local
     b_cap_local = b_part.cap_local
@@ -376,23 +390,34 @@ def dist_spgemm(a_part: RowPartitionedCSR, b_part: RowPartitionedCSR,
         a_rows = row_ids_from_row_ptr(arp, cap_a)
         a_rows = jnp.where(live, a_rows, rows_local_a)
 
+        cnt = jnp.take(lens, jnp.where(live, acols, k_rows),
+                       mode="fill", fill_value=0)
+        ov_expand = jnp.maximum(
+            jnp.sum(jnp.where(live, cnt, 0)) - expand_cap, 0)
+
         i_t, j_t, v_t, valid_t = expand_products_raw(
             a_rows, acols, avals, live,
             starts, lens, flat_cols, flat_vals, J, k_rows,
             None, None, expand_cap)
-        merged = sort_and_merge_products(
-            i_t, j_t, v_t, valid_t, (rows_local_a, J), merge_cap=out_cap)
+        merged, n_runs = sort_and_merge_products(
+            i_t, j_t, v_t, valid_t, (rows_local_a, J), merge_cap=out_cap,
+            with_run_count=True)
+        overflow = (ov_expand
+                    + jnp.maximum(n_runs - out_cap, 0)).astype(jnp.int32)
         keep = merged.valid_mask() & (merged.vals != 0)
         from ..core.consolidate import filter_compact
         out = filter_compact(merged, keep, cap=out_cap)
-        return out.indices[None], out.vals[None], out.nnz[None]
+        return (out.indices[None], out.vals[None], out.nnz[None],
+                overflow[None])
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis),) * 8,
-        out_specs=(P(axis), P(axis), P(axis)))
-    idx, vals, nnz = fn(a_part.row_ptr, a_part.cols, a_part.vals, a_part.nnz,
-                        b_part.row_ptr, b_part.cols, b_part.vals, b_part.nnz)
-    return RowPartitionedCOO(indices=idx, vals=vals, nnz=nnz,
-                             shape=(a_part.shape[0], J),
-                             rows_local=rows_local_a)
+        out_specs=(P(axis), P(axis), P(axis), P(axis)))
+    idx, vals, nnz, overflow = fn(
+        a_part.row_ptr, a_part.cols, a_part.vals, a_part.nnz,
+        b_part.row_ptr, b_part.cols, b_part.vals, b_part.nnz)
+    out = RowPartitionedCOO(indices=idx, vals=vals, nnz=nnz,
+                            shape=(a_part.shape[0], J),
+                            rows_local=rows_local_a)
+    return (out, overflow) if with_overflow else out

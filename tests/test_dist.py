@@ -518,3 +518,30 @@ class TestDistPreconditionedCG:
         _, A = self._spd_banded(rng, 96)
         with pytest.raises(SpSparseError):
             dist_block_jacobi(A, 8, bs=5)   # rows_local=12, 5 does not divide
+
+
+class TestDistSpgemmOverflowContract:
+    def test_allgather_variant_reports_overflow(self, rng):
+        n = 24
+        A = banded_coo(n, 2, rng)
+        B = banded_coo(n, 2, rng)
+        mesh = make_mesh()
+        pa, pb = partition_rows(A, 8), partition_rows(B, 8)
+        C, ov = dist_spgemm(pa, pb, mesh, expand_cap=512, out_cap=512,
+                            with_overflow=True)
+        assert int(np.asarray(ov).sum()) == 0
+        np.testing.assert_allclose(
+            np.asarray(C.to_coo().to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()), rtol=1e-10)
+        _, ov_bad = dist_spgemm(pa, pb, mesh, expand_cap=4, out_cap=512,
+                                with_overflow=True)
+        assert int(np.asarray(ov_bad).sum()) > 0
+
+    def test_inner_dim_mismatch_raises(self, rng):
+        from spsparse_tpu import SpSparseError
+        A = banded_coo(24, 1, rng, shape_cols=16)
+        B = banded_coo(24, 1, rng)       # 16 != 24
+        mesh = make_mesh()
+        with pytest.raises(SpSparseError):
+            dist_spgemm(partition_rows(A, 8), partition_rows(B, 8), mesh,
+                        expand_cap=64, out_cap=64)
