@@ -163,3 +163,31 @@ class TestPreconditionedCG:
         x1, _ = cg_solve(mv, b, iters=15)
         x2, _ = pcg_solve(mv, b, iters=15, minv=None)
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+class TestGradThroughMultiplyChain:
+    def test_grad_wrt_operand_vals_matches_fd(self, rng):
+        # The ESC pipeline (sorts, segmented scans, compactions) is
+        # differentiable end-to-end: d/dA.vals of a functional of
+        # multiply(A, B) matches finite differences.
+        from spsparse_tpu.ops import multiply
+
+        def rand(shape, n):
+            b = CooBuilder(shape, dtype=np.float64)
+            idx = np.stack([rng.integers(0, s, n) for s in shape], 1)
+            b.add_many(idx, rng.uniform(0.5, 1.5, n))
+            return b.build()
+
+        A, B = rand((6, 5), 12), rand((5, 7), 14)
+
+        def loss(avals):
+            A2 = dataclasses.replace(A, vals=avals)
+            C = multiply(1.0, A2, B, expand_cap=256, cap=128)
+            return jnp.sum(C.vals ** 2)
+
+        g = jax.grad(loss)(A.vals)
+        eps = 1e-6
+        for k in (0, 3, 7):
+            fd = (loss(A.vals.at[k].add(eps))
+                  - loss(A.vals.at[k].add(-eps))) / (2 * eps)
+            np.testing.assert_allclose(float(g[k]), float(fd), rtol=1e-5)
