@@ -54,4 +54,9 @@ from .core import (
     project_output,
 )
 
+# Subpackages as attributes (sp.ops.multiply, sp.solvers.pcg_solve, ...)
+# — the natural spelling for users coming from scipy.sparse.
+from . import core, io, ops, solvers, utils  # noqa: E402
+from . import dist  # noqa: E402
+
 __version__ = "0.1.0"

@@ -232,17 +232,30 @@ def lanczos_bounds(matvec: Callable[[Array], Array], v0: Array, *,
     beta = jnp.zeros(iters, dt)          # beta[j] couples step j to j+1
 
     def step(j, carry):
-        V, alpha, beta = carry
+        V, alpha, beta, alive, last_a = carry
         w = matvec(V[j])
         a = jnp.vdot(V[j], w)
         mask = (jnp.arange(iters + 1) <= j).astype(dt)
         w = w - ((V @ w) * mask) @ V
         w = w - ((V @ w) * mask) @ V     # second pass (CGS2)
         b_ = jnp.sqrt(jnp.vdot(w, w))
-        V = V.at[j + 1].set(w / jnp.where(b_ == 0, 1, b_))
-        return V, alpha.at[j].set(a), beta.at[j].set(b_)
+        # Lanczos BREAKDOWN (b_ ~ 0: the Krylov space is exhausted — v0
+        # touched an invariant subspace) must not write zero rows into T:
+        # a zero diagonal entry injects a spurious Ritz value 0 that
+        # wrecks lam_min. Dead steps repeat the last valid Rayleigh
+        # quotient (inside the true spectrum) with zero coupling.
+        tiny = jnp.asarray(1e-12, dt) * jnp.maximum(jnp.abs(a), 1)
+        alive_next = alive & (b_ > tiny)
+        a_eff = jnp.where(alive, a, last_a)
+        b_eff = jnp.where(alive_next, b_, 0)
+        V = V.at[j + 1].set(
+            jnp.where(alive_next, w / jnp.where(b_ == 0, 1, b_), 0))
+        return (V, alpha.at[j].set(a_eff), beta.at[j].set(b_eff),
+                alive_next, jnp.where(alive, a, last_a))
 
-    V, alpha, beta = jax.lax.fori_loop(0, iters, step, (V, alpha, beta))
+    V, alpha, beta, _, _ = jax.lax.fori_loop(
+        0, iters, step,
+        (V, alpha, beta, jnp.asarray(nrm0 > 0), jnp.zeros((), dt)))
     T = (jnp.diag(alpha) + jnp.diag(beta[:-1], 1) + jnp.diag(beta[:-1], -1))
     ritz = jnp.linalg.eigvalsh(T)
     return ritz[0] / safety, ritz[-1] * safety

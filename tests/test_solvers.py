@@ -358,6 +358,22 @@ class TestImplicitCG:
         np.testing.assert_allclose(g, fd, rtol=1e-5)
 
 
+    def test_breakdown_safe(self, rng):
+        # v0 = ones on a constant-row-sum-ish operator exhausts the Krylov
+        # space early; dead Lanczos steps must not inject spurious Ritz
+        # value 0 (they used to: lam_min came back ~0).
+        from spsparse_tpu.solvers import lanczos_bounds
+        n = 16
+        M = np.diag(np.full(n, 4.0))
+        M[np.arange(n - 1), np.arange(1, n)] = -1
+        M[np.arange(1, n), np.arange(n - 1)] = -1
+        w = np.linalg.eigvalsh(M)
+        lo, hi = lanczos_bounds(lambda v: jnp.asarray(M) @ v,
+                                jnp.ones(n), iters=10)
+        assert 0 < float(lo) <= w[0] * 1.001
+        assert float(hi) >= w[-1] * 0.999
+
+
 class TestChebyshevIterationContract:
     def test_exactly_iters_updates(self, rng):
         # Pin against a step-by-step numpy reference doing exactly
