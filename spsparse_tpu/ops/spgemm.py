@@ -17,7 +17,7 @@ from ..core.errors import DuplicatePolicy
 from ..core.structure import to_csr
 from .multiply import multiply
 
-__all__ = ["spgemm", "spgemm_aat", "plan_spgemm_caps"]
+__all__ = ["spgemm", "spgemm_aat", "plan_spgemm_caps", "best_spgemm"]
 
 Array = Any
 
@@ -45,6 +45,35 @@ def spgemm_aat(A: SparseCOO, *, cap: int | None = None,
     """Gram product ``A @ A^T`` (the regridding/conservative-interpolation
     pattern — BASELINE config 4)."""
     return spgemm(A, A, transpose_b=True, cap=cap, expand_cap=expand_cap)
+
+
+def best_spgemm(A: SparseCOO, B: SparseCOO, *, transpose_b: bool = False,
+                cap: int | None = None) -> SparseCOO:
+    """Eager structure-dispatched plain product ``C = A @ B^(T?)``.
+
+    Host-side analysis picks the engine: when BOTH operands' average
+    128x128 tile fill reaches the dense-block crossover
+    (:data:`spsparse_tpu.ops.pallas_tiled.DENSE_FILL_THRESHOLD`), the
+    tiled MXU path runs batched block matmuls with no per-product sort;
+    otherwise the general sort-based ESC path. Either way the result is
+    row-major consolidated (ADD), zeros dropped — the plain-``spgemm``
+    contract. Scales, policies, ``transpose_a``, and jit use stay on
+    :func:`spgemm` / :func:`spsparse_tpu.ops.multiply.multiply`."""
+    from ..core.tiled import to_tiled
+    from .pallas_tiled import DENSE_FILL_THRESHOLD
+    from .spgemm_tiled import spgemm_tiled
+
+    def fill(x):
+        tl = to_tiled(x)
+        live = int(np.sum(np.asarray(tl.vals) != 0))
+        return live / max(int(tl.n_tiles), 1)
+
+    if min(fill(A), fill(B)) >= DENSE_FILL_THRESHOLD:
+        # use_pallas=None: the pair-stream kernel on TPU, the XLA batched
+        # matmul elsewhere.
+        out = spgemm_tiled(A, B, transpose_b=transpose_b, cap=cap)
+        return out.consolidate((0, 1))
+    return spgemm(A, B, transpose_b=transpose_b, cap=cap)
 
 
 def plan_spgemm_caps(A: SparseCOO, B: SparseCOO, *,

@@ -272,10 +272,14 @@ def spgemm_tiled_xla(A: TiledBlocks, B: TiledBlocks,
                      plan: TiledGemmPlan) -> TiledBlocks:
     """Tiled SpGEMM via XLA batched matmul + block segment-sum."""
     if plan.n_pairs == 0:
-        return TiledBlocks(tile_row=jnp.zeros(1, jnp.int32),
-                           tile_col=jnp.zeros(1, jnp.int32),
-                           blocks=jnp.zeros((1, TILE, TILE), jnp.float32),
-                           shape=plan.out_shape)
+        # Empty result: sentinel-coordinate filler block (see TiledBlocks
+        # docstring) — a live-looking (0,0) zero tile would pollute the
+        # pattern of downstream plans.
+        return TiledBlocks(
+            tile_row=jnp.asarray([-(-plan.out_shape[0] // TILE)], jnp.int32),
+            tile_col=jnp.asarray([-(-plan.out_shape[1] // TILE)], jnp.int32),
+            blocks=jnp.zeros((1, TILE, TILE), jnp.float32),
+            shape=plan.out_shape)
     out = _spgemm_tiled_xla(A.blocks, B.blocks,
                             jnp.asarray(plan.pa), jnp.asarray(plan.pb),
                             jnp.asarray(plan.oid),

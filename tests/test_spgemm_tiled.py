@@ -154,3 +154,55 @@ def test_tiled_blocks_feed_spmm_kernel():
     dA = _dense(A)
     want = (dA @ dA.T) @ X
     np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
+
+
+class TestBestSpgemm:
+    def test_routes_and_matches_on_both_structures(self, rng):
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.ops import best_spgemm, spgemm
+
+        # Blocky (regrid-style) operands -> tiled path.
+        n = 512
+        r = np.repeat(np.arange(n), 4)
+        c = np.minimum(r * 2 + rng.integers(0, 3, r.size), 2 * n - 1)
+        b = CooBuilder((n, 2 * n), dtype=np.float32)
+        b.add_many(np.stack([r, c], 1),
+                   rng.uniform(0, 1, r.size).astype(np.float32))
+        A = b.build()
+        C = best_spgemm(A, A, transpose_b=True)
+        ref = np.asarray(A.to_dense()) @ np.asarray(A.to_dense()).T
+        np.testing.assert_allclose(np.asarray(C.to_dense()), ref,
+                                   rtol=1e-4, atol=1e-4)
+        assert C.sort_order == (0, 1)
+
+        # Scattered operands -> ESC path; same contract.
+        s1 = CooBuilder((60, 80), dtype=np.float32)
+        idx = np.stack([rng.integers(0, 60, 90), rng.integers(0, 80, 90)], 1)
+        s1.add_many(idx, rng.uniform(-1, 1, 90).astype(np.float32))
+        S = s1.build()
+        C2 = best_spgemm(S, S, transpose_b=True)
+        ref2 = np.asarray(S.to_dense()) @ np.asarray(S.to_dense()).T
+        np.testing.assert_allclose(np.asarray(C2.to_dense()), ref2,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_empty_plan_filler_is_sentinel(rng):
+    # Disjoint patterns: no pairs -> the empty-result filler block must
+    # carry sentinel coordinates, not a live-looking (0, 0).
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.core.tiled import to_tiled
+    from spsparse_tpu.ops.spgemm_tiled import (densify_tiled,
+                                               plan_tiled_spgemm,
+                                               spgemm_tiled_xla)
+    a = CooBuilder((128, 256), dtype=np.float32)
+    a.add((0, 0), 1.0)                      # A touches inner tile 0
+    bm = CooBuilder((256, 128), dtype=np.float32)
+    bm.add((200, 0), 1.0)                   # B touches inner tile 1 only
+    ta, tb = densify_tiled(to_tiled(a.build())), densify_tiled(
+        to_tiled(bm.build()))
+    plan = plan_tiled_spgemm(ta, tb)
+    assert plan.n_pairs == 0
+    out = spgemm_tiled_xla(ta, tb, plan)
+    assert int(out.tile_row[0]) >= -(-out.shape[0] // 128)
+    np.testing.assert_array_equal(np.asarray(out.to_dense()),
+                                  np.zeros(out.shape, np.float32))
