@@ -150,7 +150,13 @@ int64_t spsparse_consolidate_f64(
 // Returns number of present rows.
 int64_t spsparse_dim_beginnings_i64(const int64_t* lead, int64_t n,
                                     int64_t* out_begins, int64_t* out_rows) {
-  if (n <= 0) return 0;
+  // Empty input still owes the end sentinel: begins = {0}, zero rows.
+  // (Returning without writing left begins[0] as uninitialized memory
+  // on the caller's np.empty buffer.)
+  if (n <= 0) {
+    out_begins[0] = 0;
+    return 0;
+  }
   int64_t r = 0;
   out_begins[0] = 0;
   out_rows[0] = lead[0];

@@ -50,6 +50,8 @@ def from_bcoo(m, *, check: bool = True) -> SparseCOO:
     # data; normalize to our sentinel form by masking on in-bounds.
     in_bounds = jnp.all(
         (idx >= 0) & (idx < jnp.asarray(shape, idx.dtype)), axis=1)
+    from .coo import default_index_dtype
+    idt = jnp.dtype(default_index_dtype(shape))
     try:
         concrete = np.asarray(in_bounds)
         nnz_guess = int(concrete.sum())
@@ -57,13 +59,15 @@ def from_bcoo(m, *, check: bool = True) -> SparseCOO:
             # padding already at the tail: cheap path
             return SparseCOO.from_arrays(
                 np.asarray(idx), np.asarray(vals), shape,
-                nnz=nnz_guess, cap=idx.shape[0], check=False)
+                nnz=nnz_guess, cap=idx.shape[0], check=check)
     except Exception:
         pass
-    # general path: compact in-bounds entries to the front
+    # general path: compact in-bounds entries to the front. Index dtype
+    # follows the extents (an unconditional int32 cast would wrap
+    # indices of >=2^31 extents — default_index_dtype exists for this).
     from .consolidate import filter_compact
 
-    base = SparseCOO(indices=idx.astype(jnp.int32), vals=vals,
+    base = SparseCOO(indices=idx.astype(idt), vals=vals,
                      nnz=jnp.asarray(idx.shape[0], jnp.int32),
                      shape=shape, sort_order=None)
     return filter_compact(base, in_bounds)
@@ -71,8 +75,11 @@ def from_bcoo(m, *, check: bool = True) -> SparseCOO:
 
 def from_scipy(m, *, cap: int | None = None, dtype=None) -> SparseCOO:
     """scipy.sparse matrix → :class:`SparseCOO` (host-side eager)."""
+    from .coo import default_index_dtype
+
     coo = m.tocoo()
-    idx = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
+    idt = np.dtype(default_index_dtype(coo.shape))
+    idx = np.stack([coo.row, coo.col], axis=1).astype(idt)
     vals = coo.data if dtype is None else coo.data.astype(dtype)
     return SparseCOO.from_arrays(idx, vals, coo.shape, cap=cap, check=False)
 

@@ -194,12 +194,13 @@ def read_cdf(path_or_file) -> NcFile:
     close = not hasattr(path_or_file, "read")
     try:
         magic = f.read(4)
-        if magic[:3] != _MAGIC or magic[3] not in (1, 2, 5):
+        if (len(magic) < 4 or magic[:3] != _MAGIC
+                or magic[3] not in (1, 2, 5)):
             raise ValueError(f"not a classic NetCDF file (magic={magic!r})")
         r = _Reader(f)
         r.version = magic[3]
         out = NcFile(version=r.version)
-        numrecs = r.nonneg()  # noqa: F841 — record vars unsupported
+        numrecs = r.nonneg()
         ndims = r.tagged_list(_NC_DIMENSION)
         for _ in range(ndims):
             nm = r.name()
@@ -219,6 +220,16 @@ def read_cdf(path_or_file) -> NcFile:
             _vsize = r.nonneg()
             begin = r.offset()
             metas.append((nm, dimids, attrs, nc_type, begin))
+        # Classic-format record vars (a size-0 dim = THE record dimension)
+        # are supported only at numrecs == 0 — the case the spsparse
+        # schema produces for an EMPTY array. Nonzero-record files need
+        # the interleaved record-section layout this codec does not
+        # implement; refuse loudly rather than misparse.
+        if numrecs not in (0, 0xFFFFFFFF) and any(
+                d.size == 0 for d in out.dims):
+            raise NotImplementedError(
+                f"record variables with numrecs={numrecs} are not "
+                "supported (only empty record dims, numrecs=0)")
         for nm, dimids, attrs, nc_type, begin in metas:
             shape = tuple(out.dims[d].size for d in dimids)
             dt = NC_TYPES[nc_type]
@@ -287,7 +298,12 @@ def _name_bytes(s: str, v: int) -> int:
 def _attr_bytes(a: NcAttr, v: int) -> int:
     w = 8 if v == 5 else 4
     if isinstance(a.values, (bytes, str)):
-        n = len(a.values)
+        # Size by ENCODED bytes — str values with non-ASCII characters
+        # have len(str) < len(utf-8 bytes), which used to desync the
+        # computed header size from what _Writer.attr emits (silently
+        # corrupt begin offsets under python -O).
+        n = (len(a.values) if isinstance(a.values, bytes)
+             else len(a.values.encode("utf-8")))
         item = 1
     else:
         arr = np.asarray(a.values)
@@ -309,6 +325,23 @@ def write_cdf(path_or_file, nc: NcFile) -> None:
             raise ValueError(
                 f"variable {var.name}: nc_type {var.nc_type} needs CDF-5")
 
+    # Classic-format rule: a dimension of size 0 IS the (single) record
+    # dimension. The spsparse schema hits this exactly when an array is
+    # empty; we emit a correct 0-record file for that case (netCDF-C and
+    # scipy read it back as zero records). Two empty arrays would need
+    # two record dims — invalid classic; netCDF-4 has no such limit.
+    rec_dims = [i for i, d in enumerate(nc.dims) if d.size == 0]
+    if len(rec_dims) > 1:
+        raise ValueError(
+            "classic NetCDF allows a single record (size-0) dimension; "
+            f"got {len(rec_dims)} — write with version=4 instead")
+    rec_dim = rec_dims[0] if rec_dims else None
+    for var in nc.vars:
+        if rec_dim is not None and rec_dim in var.dimids[1:]:
+            raise ValueError(
+                f"variable {var.name}: the record dimension must be the "
+                "first dimension (classic format)")
+
     w_nonneg = 8 if v == 5 else 4
     w_off = 8 if v >= 2 else 4
 
@@ -329,9 +362,22 @@ def write_cdf(path_or_file, nc: NcFile) -> None:
             hdr += _attr_bytes(a, v)
         hdr += 4 + w_nonneg + w_off          # nc_type + vsize + begin
 
-    begins, sizes = [], []
+    begins, sizes, is_rec = [], [], []
     pos = hdr
-    for var in nc.vars:
+    for var in nc.vars:                      # fixed variables first
+        rec = rec_dim is not None and bool(var.dimids) \
+            and var.dimids[0] == rec_dim
+        is_rec.append(rec)
+        if rec:
+            begins.append(None)
+            # vsize of a record var = bytes of ONE record (padded).
+            dt = NC_TYPES[var.nc_type]
+            per_rec = int(np.prod([nc.dims[d].size
+                                   for d in var.dimids[1:]],
+                                  dtype=np.int64))
+            raw = per_rec * dt.itemsize
+            sizes.append(raw + ((4 - raw % 4) % 4))
+            continue
         dt = NC_TYPES[var.nc_type]
         count = int(np.prod([nc.dims[d].size for d in var.dimids],
                             dtype=np.int64)) if var.dimids else 1
@@ -340,6 +386,13 @@ def write_cdf(path_or_file, nc: NcFile) -> None:
         begins.append(pos)
         sizes.append(padded)
         pos += padded
+    # Record section begins after the fixed data; with numrecs = 0 it is
+    # empty, but the begins must still be laid out interleaved.
+    rec_pos = pos
+    for k, var in enumerate(nc.vars):
+        if is_rec[k]:
+            begins[k] = rec_pos
+            rec_pos += sizes[k]
 
     f = (open(path_or_file, "wb")
          if not hasattr(path_or_file, "write") else path_or_file)
@@ -388,7 +441,11 @@ def write_cdf(path_or_file, nc: NcFile) -> None:
             w.u4(_ABSENT)
             w.nonneg(0)
         assert f.tell() == hdr, (f.tell(), hdr)
-        for var, begin in zip(nc.vars, begins):
+        for k, (var, begin) in enumerate(zip(nc.vars, begins)):
+            if is_rec[k]:
+                # numrecs = 0: the record section holds no bytes; the
+                # data (shape has a 0 extent) is necessarily empty.
+                continue
             dt = NC_TYPES[var.nc_type]
             shape = tuple(nc.dims[d].size for d in var.dimids)
             data = np.asarray(var.data).reshape(shape).astype(dt)

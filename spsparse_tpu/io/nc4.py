@@ -25,8 +25,18 @@ _MAGIC_HDF5 = b"\x89HDF\r\n\x1a\n"
 
 
 def is_hdf5(path) -> bool:
+    # The HDF5 superblock may sit at offset 0 OR at 512, 1024, 2048, ...
+    # (user-block files); scan the sequence like h5py.is_hdf5 does.
     with open(path, "rb") as f:
-        return f.read(8) == _MAGIC_HDF5
+        f.seek(0, 2)
+        size = f.tell()
+        off = 0
+        while off < size:
+            f.seek(off)
+            if f.read(8) == _MAGIC_HDF5:
+                return True
+            off = 512 if off == 0 else off * 2
+    return False
 
 
 def _h5py():
@@ -109,15 +119,21 @@ def write_nc4(path, nc: NcFile) -> None:
             if not has_var:
                 ds = f.create_dataset(d.name, shape=(d.size,),
                                       dtype=np.float32)
-                ds.attrs["NAME"] = np.bytes_(
-                    b"This is a netCDF dimension but not a netCDF variable."
-                    b" %10d" % d.size)
+                stub = (b"This is a netCDF dimension but not a netCDF "
+                        b"variable. %10d" % d.size)
             else:
                 var = nc.var(d.name)
                 ds = f.create_dataset(d.name, data=np.asarray(var.data))
+                stub = None
             ds.attrs["CLASS"] = np.bytes_(b"DIMENSION_SCALE")
             ds.attrs["_Netcdf4Dimid"] = np.int32(i)
             ds.make_scale(d.name)
+            if stub is not None:
+                # AFTER make_scale — it overwrites NAME with the scale
+                # name, which used to erase the stub marker and make
+                # readers surface phantom float32 variables for pure
+                # dimensions.
+                ds.attrs["NAME"] = np.bytes_(stub)
             scales.append(ds)
         for a in nc.gattrs:
             _write_attr(f, a)

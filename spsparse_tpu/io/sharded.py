@@ -14,14 +14,13 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.coo import SparseCOO
+from ..core.coo import SparseCOO, round_up_pow2
 from ..core.errors import SpSparseError
-from ..dist.partition import RowPartitionedCSR, partition_rows
+from ..dist.partition import RowPartitionedCSR
 from .netcdf import load_netcdf, save_netcdf
 
 __all__ = ["save_netcdf_sharded", "load_netcdf_sharded"]
@@ -85,7 +84,7 @@ def load_netcdf_sharded(prefix: str, *, parts=None,
         blocks[p] = coo
         max_nnz = max(max_nnz, int(coo.nnz))
     if cap_local is None:
-        cap_local = 1 << (max_nnz - 1).bit_length() if max_nnz > 1 else 1
+        cap_local = round_up_pow2(max(max_nnz, 1))
 
     ncols = shape[1]
     row_ptr = np.zeros((n_parts, rows_local + 1), np.int32)

@@ -298,3 +298,79 @@ class TestNc4Container:
             ncio = NcIO(p, "r")
             ncio_spsparse(ncio, None, True, "A", rank=2)
             assert ncio.flush()["A"].to_lists() == A.to_lists()
+
+
+class TestEmptyArraysAndCodecEdges:
+    def test_empty_array_classic_round_trip_and_scipy(self, tmp_path):
+        # nnz = 0 -> the size dim is the classic-format RECORD dimension;
+        # the codec must emit a valid 0-record file (it used to write an
+        # invalid fixed dim of size 0 that scipy crashed on).
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.io import load_netcdf, save_netcdf
+        E = CooBuilder((5, 6), dtype=np.float64).build()
+        p = str(tmp_path / "empty.nc")
+        save_netcdf(p, {"A": E}, version=5)
+        A2 = load_netcdf(p, "A")
+        assert int(A2.nnz) == 0 and A2.shape == (5, 6)
+        # scipy reads CDF-1/2 only; check the 0-record encoding there.
+        from spsparse_tpu.io.cdf import NcFile, write_cdf
+        from scipy.io import netcdf_file
+        nc = NcFile(version=2)
+        d0 = nc.add_dim("n", 0)
+        dr = nc.add_dim("r", 2)
+        v = nc.add_var("idx", [d0, dr], np.zeros((0, 2), np.int32))
+        v.nc_type = 4
+        nc.add_var("fix", [dr], np.asarray([7.0, 8.0]))
+        p2 = str(tmp_path / "rec0.nc")
+        write_cdf(p2, nc)
+        with netcdf_file(p2, "r") as nf:
+            assert nf.variables["idx"].shape[0] == 0
+            np.testing.assert_array_equal(nf.variables["fix"][:],
+                                          [7.0, 8.0])
+
+    def test_two_empty_arrays_classic_refused_nc4_ok(self, tmp_path):
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.io import load_netcdf, save_netcdf
+        E = CooBuilder((3, 3), dtype=np.float64).build()
+        with pytest.raises(ValueError, match="record"):
+            save_netcdf(str(tmp_path / "x.nc"), {"A": E, "B": E}, version=5)
+        p4 = str(tmp_path / "x4.nc")
+        save_netcdf(p4, {"A": E, "B": E}, version=4)
+        assert int(load_netcdf(p4, "B").nnz) == 0
+
+    def test_nc4_stub_dims_not_phantom_vars(self, tmp_path):
+        # make_scale used to clobber the NAME stub marker, surfacing
+        # A.size/A.rank as phantom float32 variables on read.
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.io import save_netcdf
+        from spsparse_tpu.io.nc4 import read_nc4
+        b = CooBuilder((4, 4), dtype=np.float64)
+        b.add((1, 2), 3.0)
+        p = str(tmp_path / "m4.nc")
+        save_netcdf(p, {"A": b.build()}, version=4)
+        names = {v.name for v in read_nc4(p).vars}
+        assert "A.size" not in names and "A.rank" not in names
+        assert {"A.info", "A.indices", "A.vals"} <= names
+
+    def test_utf8_attr_and_truncated_magic(self, tmp_path):
+        from spsparse_tpu.io.cdf import (NcAttr, NcDim, NcFile, NcVar,
+                                         read_cdf, write_cdf)
+        nc = NcFile(version=2)
+        nc.dims.append(NcDim("n", 3))
+        nc.gattrs.append(NcAttr("units", "µµµ"))   # 3 chars, 6 bytes
+        nc.vars.append(NcVar("x", [0], 6, [], np.arange(3.0)))
+        p = str(tmp_path / "u.nc")
+        write_cdf(p, nc)
+        rt = read_cdf(p)
+        np.testing.assert_array_equal(np.asarray(rt.vars[0].data),
+                                      np.arange(3.0))
+        pt = str(tmp_path / "t.nc")
+        open(pt, "wb").write(b"CDF")
+        with pytest.raises(ValueError):
+            read_cdf(pt)
+
+    def test_native_dim_beginnings_empty(self):
+        from spsparse_tpu import native
+        b, r = native.dim_beginnings_host(np.array([], np.int64))
+        np.testing.assert_array_equal(b, [0])
+        assert r.size == 0
