@@ -59,6 +59,14 @@ def compact_select(select, carried, *, cap_out: int):
     tail is unselected-class data that callers must mask via
     ``n_selected``).
     """
+    for arr in carried:
+        if jnp.ndim(arr) != 1:
+            # lax.sort requires every operand to share ONE shape, so a
+            # (n, k) payload cannot ride a (n,) key — reshape/split it
+            # into per-column 1-D arrays at the call site.
+            raise ValueError(
+                "compact_select carries 1-D arrays only; got shape "
+                f"{jnp.shape(arr)}")
     key = jnp.where(select, jnp.int32(0), jnp.int32(1))
     n_sel = jnp.sum(select).astype(jnp.int32)
     out = jax.lax.sort((key,) + tuple(carried), num_keys=1, is_stable=True)
@@ -68,8 +76,7 @@ def compact_select(select, carried, *, cap_out: int):
         if cap_out <= n:
             comp.append(arr[:cap_out])
         else:
-            pad = [(0, cap_out - n)] + [(0, 0)] * (arr.ndim - 1)
-            comp.append(jnp.pad(arr, pad))
+            comp.append(jnp.pad(arr, (0, cap_out - n)))
     return tuple(comp), n_sel
 
 
@@ -498,19 +505,26 @@ def consolidate(
     if sort_order is None:
         sort_order = tuple(range(a.rank))
     sort_order = tuple(int(d) for d in sort_order)
+    # A PARTIAL sort order is completed with the remaining dims (ascending)
+    # as minor keys: merging is by FULL index-tuple equality, so duplicate
+    # tuples must end up adjacent — sorting by the listed dims alone can
+    # interleave them with other-dim entries and leave duplicates unmerged
+    # (while still stamping the result "sorted").
+    full_order = sort_order + tuple(
+        d for d in range(a.rank) if d not in sort_order)
     cap_out = a.cap if cap is None else int(cap)
 
     # Structurally-zero entries (0, NaN iff zero_nan) are dropped up front —
     # they get sentinel keys and sort behind every real entry.
     live = a.valid_mask() & ~isnone(a.vals, zero_nan)
-    cols, svals, slive, _ = _sort_operands(a, sort_order, live=live)
+    cols, svals, slive, _ = _sort_operands(a, full_order, live=live)
 
     return merge_sorted_entries(
         cols, svals, slive,
         shape=a.shape,
         duplicate_policy=duplicate_policy,
         cap=cap_out,
-        sort_order=sort_order,
+        sort_order=full_order,
         index_dtype=a.index_dtype,
         method=method,
     )

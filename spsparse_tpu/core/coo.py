@@ -211,8 +211,15 @@ class SparseCOO:
         # (gather/searchsorted on zero-length axes is an error).
         cap = max(int(cap), 1)
         if n == 0:
-            return cls.empty(shape, cap, dtype=vals.dtype,
-                             index_dtype=indices.dtype)
+            out = cls.empty(shape, cap, dtype=vals.dtype,
+                            index_dtype=indices.dtype)
+            # An empty array is trivially sorted — keep the caller's
+            # metadata so downstream no-op checks (Consolidated, to_csr)
+            # don't pay a sort pipeline on nothing.
+            if sort_order is not None:
+                out = dataclasses.replace(
+                    out, sort_order=tuple(int(d) for d in sort_order))
+            return out
         out = cls(indices=indices, vals=vals, nnz=nnz, shape=shape,
                   sort_order=tuple(sort_order) if sort_order is not None else None)
         out = out.with_capacity(cap)
@@ -235,7 +242,11 @@ class SparseCOO:
             return cls.from_arrays(idx, vals, np_arr.shape, check=False)
         nz = jnp.nonzero(arr, size=cap, fill_value=tuple(arr.shape))
         idx = jnp.stack(nz, axis=1).astype(default_index_dtype(arr.shape))
-        nnz = jnp.sum(arr != 0).astype(jnp.int32)
+        # Clamp: jnp.nonzero(size=cap) truncates the entry list, so an
+        # undersized cap must not report nnz > cap (it would mark padding
+        # slots live and break the container invariant).
+        nnz = jnp.minimum(jnp.sum(arr != 0),
+                          jnp.asarray(cap)).astype(jnp.int32)
         vals = jnp.where(jnp.arange(cap) < nnz, arr[nz], 0)
         return cls(indices=idx, vals=vals, nnz=nnz, shape=arr.shape)
 
@@ -346,13 +357,21 @@ class SparseCOO:
         Functional version of reference ``transpose`` (``algorithm.hpp:46-57``).
         Unlike the reference's in-place member quirk (which leaves ``shape``
         unpermuted, ``VectorCooArray.hpp:144-148``), the documented semantics
-        are implemented: shape is permuted and sortedness is invalidated.
+        are implemented: shape is permuted, and sortedness metadata is
+        RELABELED (not dropped — the entry order never changes).
         """
         perm = tuple(int(p) for p in perm)
         indices = self.indices[:, list(perm)]
         shape = tuple(self.shape[p] for p in perm)
+        # Sortedness survives relabeling: the data order is untouched, so
+        # an array sorted by old dims (o0, o1, ...) is sorted by the same
+        # columns under their new names, new_k = perm.index(o_k). This is
+        # what makes to_csr(transpose=True) on a (1,0)-sorted array free
+        # (the reference's sort-order trick, multiply_sparse.hpp:167-168).
+        new_order = (tuple(perm.index(d) for d in self.sort_order)
+                     if self.sort_order is not None else None)
         return SparseCOO(indices=indices, vals=self.vals, nnz=self.nnz,
-                         shape=shape, sort_order=None)
+                         shape=shape, sort_order=new_order)
 
     def transpose_indices_only(self, perm: Sequence[int]) -> "SparseCOO":
         """Reference-quirk-compatible in-place-style transpose: permutes each
@@ -416,10 +435,11 @@ class CooBuilder:
     per-entry bounds checks raising through the error handler, plus
     ``clear``/``reserve`` (``VectorCooArray.hpp:222-235``).
 
-    Entries accumulate in amortized-O(1) numpy buffers; ``build()`` produces
-    an immutable device :class:`SparseCOO`. A faster C++ bulk path is used
-    automatically for large arrays when the native extension is built
-    (see ``spsparse_tpu/native``).
+    Entries accumulate in amortized-O(1) numpy buffers with vectorized
+    bulk bounds checks; ``build()`` produces an immutable device
+    :class:`SparseCOO`. (Host-side *consolidation* has a C++ fast path —
+    ``spsparse_tpu.native.consolidate_host`` — but ingest itself is
+    numpy-vectorized and needs none.)
     """
 
     def __init__(self, shape: Sequence[int], dtype=jnp.float32,

@@ -35,8 +35,10 @@ class JoinResult:
     """Matched positions of a k-way sorted join, compacted to the front.
 
     ``pos[s][m]`` is the position in input stream ``s`` of the ``m``-th
-    common key (for ``m < n_match``); padding positions are ``cap`` (one
-    past the end) so out-of-bounds-gather modes drop them cleanly.
+    common key (for ``m < n_match``); padding positions equal the
+    RESPECTIVE stream's buffer length (one past its end), so gathering
+    any stream's data with an out-of-bounds fill mode drops them cleanly.
+    ``n_match`` is clamped to ``cap``.
     """
 
     pos: tuple = dataclasses.field(metadata=dict(static=False))
@@ -67,27 +69,31 @@ def intersect_mask(keys1, n1, keys2, n2, sentinel):
     return match, p2
 
 
-def _compact(match, positions, cap):
-    """Scatter matched positions to the front; padding = cap."""
-    new_pos = jnp.cumsum(match.astype(jnp.int32)) - 1
-    tgt = jnp.where(match, new_pos, jnp.asarray(cap, jnp.int32))
-    outs = []
-    for p in positions:
-        out = jnp.full((cap,), p.shape[0], jnp.int32).at[tgt].set(
-            p.astype(jnp.int32), mode="drop")
-        outs.append(out)
-    return tuple(outs), jnp.sum(match).astype(jnp.int32)
+def _compact(match, positions, pads, cap):
+    """Compact matched positions to the front (stable single-key sort —
+    not an XLA scatter, which runs per-element on TPU; see
+    consolidate.compact_select). ``pads[s]`` is stream ``s``'s buffer
+    length, written into padding slots so OOB-gather modes drop them."""
+    from .consolidate import compact_select
+
+    carried, n = compact_select(
+        match, tuple(p.astype(jnp.int32) for p in positions), cap_out=cap)
+    n = jnp.minimum(n, jnp.asarray(cap, n.dtype))
+    live = jnp.arange(cap, dtype=jnp.int32) < n
+    outs = tuple(jnp.where(live, c, jnp.asarray(pad, jnp.int32))
+                 for c, pad in zip(carried, pads))
+    return outs, n
 
 
 def join2(keys1, n1, keys2, n2, *, sentinel, cap: int | None = None) -> JoinResult:
     """2-way sorted-unique-key join (reference ``Join2Xiter``,
     ``xiter.hpp:236-282``). ``sentinel`` must compare greater than any live
     key (use the dimension extent)."""
-    cap = cap if cap is not None else min(
-        jnp.shape(keys1)[0], jnp.shape(keys2)[0])
+    l1, l2 = jnp.shape(keys1)[0], jnp.shape(keys2)[0]
+    cap = cap if cap is not None else min(l1, l2)
     match, p2 = intersect_mask(keys1, n1, keys2, n2, sentinel)
-    p1 = jnp.arange(jnp.shape(keys1)[0], dtype=jnp.int32)
-    pos, n_match = _compact(match, (p1, p2), cap)
+    p1 = jnp.arange(l1, dtype=jnp.int32)
+    pos, n_match = _compact(match, (p1, p2), (l1, l2), cap)
     return JoinResult(pos=pos, n_match=n_match)
 
 
@@ -95,11 +101,12 @@ def join3(keys1, n1, keys2, n2, keys3, n3, *, sentinel,
           cap: int | None = None) -> JoinResult:
     """3-way sorted-unique-key join (reference ``Join3Xiter``,
     ``xiter.hpp:149-198``): keys present in all three streams."""
-    cap = cap if cap is not None else min(
-        jnp.shape(keys1)[0], jnp.shape(keys2)[0], jnp.shape(keys3)[0])
+    l1, l2, l3 = (jnp.shape(keys1)[0], jnp.shape(keys2)[0],
+                  jnp.shape(keys3)[0])
+    cap = cap if cap is not None else min(l1, l2, l3)
     m12, p2 = intersect_mask(keys1, n1, keys2, n2, sentinel)
     m13, p3 = intersect_mask(keys1, n1, keys3, n3, sentinel)
     match = m12 & m13
-    p1 = jnp.arange(jnp.shape(keys1)[0], dtype=jnp.int32)
-    pos, n_match = _compact(match, (p1, p2, p3), cap)
+    p1 = jnp.arange(l1, dtype=jnp.int32)
+    pos, n_match = _compact(match, (p1, p2, p3), (l1, l2, l3), cap)
     return JoinResult(pos=pos, n_match=n_match)

@@ -129,9 +129,14 @@ class SparseCSR:
         return row_ids_from_row_ptr(self.row_ptr, self.cap)
 
     def to_coo(self, sort_order=(0, 1)) -> SparseCOO:
-        rows = jnp.where(self.valid_mask(), self.row_ids(),
-                         jnp.asarray(self.nrows, jnp.int32))
-        idx = jnp.stack([rows, self.cols.astype(jnp.int32)], axis=1)
+        # Index dtype follows the extents (unconditional int32 would wrap
+        # column indices of >= 2^31 extents).
+        from .coo import default_index_dtype
+        idt = jnp.dtype(default_index_dtype(self.shape))
+        rows = jnp.where(self.valid_mask(),
+                         self.row_ids().astype(idt),
+                         jnp.asarray(self.nrows, idt))
+        idx = jnp.stack([rows, self.cols.astype(idt)], axis=1)
         return SparseCOO(indices=idx, vals=self.vals, nnz=self.nnz,
                          shape=self.shape, sort_order=tuple(sort_order))
 

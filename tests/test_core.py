@@ -591,3 +591,64 @@ class TestMergeMethods:
         assert v[1] == np.inf
         assert np.isnan(v[2])
         assert v[3] == 5.0
+
+
+class TestCoreReviewRegressions:
+    def test_join_padding_positions_drop_cleanly(self):
+        # pos padding must be each stream's OWN length: gathering stream-2
+        # data at padded slots used to read live entries when stream 2's
+        # buffer was longer than stream 1's.
+        from spsparse_tpu import join2
+        k1 = jnp.asarray([1, 3, 5, 9])
+        k2 = jnp.asarray([1, 2, 3, 5, 6, 7, 8, 9])
+        r = join2(k1, 4, k2, 8, sentinel=100)
+        vals2 = jnp.asarray([10., 20., 30., 40., 50., 60., 70., 80.])
+        got = jnp.take(vals2, r.pos[1], mode="fill", fill_value=-1.0)
+        live = np.asarray(r.valid_mask())
+        assert int(r.n_match) == 4
+        np.testing.assert_array_equal(np.asarray(got)[live],
+                                      [10., 30., 40., 80.])
+        assert (np.asarray(got)[~live] == -1.0).all()
+
+    def test_join_cap_clamps_n_match(self):
+        from spsparse_tpu import join2
+        k = jnp.asarray([1, 2, 3, 4])
+        r = join2(k, 4, k, 4, sentinel=9, cap=2)
+        assert int(r.n_match) == 2 and r.pos[0].shape == (2,)
+
+    def test_partial_sort_order_still_merges_full_tuples(self):
+        # Sorting by dim 0 alone used to leave duplicate (0,5) entries
+        # separated by (0,3) and unmerged — yet stamped "sorted".
+        b = CooBuilder((2, 8), dtype=np.float64)
+        b.add((0, 5), 1.0)
+        b.add((0, 3), 2.0)
+        b.add((0, 5), 4.0)
+        got = consolidate(b.build(), (0,))
+        gi, gv = got.to_lists()
+        assert gi == [(0, 3), (0, 5)]
+        np.testing.assert_array_equal(gv, [2.0, 5.0])
+        assert got.sort_order == (0, 1)   # completed order, truthful
+
+    def test_from_dense_undersized_cap_clamps(self):
+        d = jnp.asarray([[1., 2., 3.], [4., 5., 6.]])
+        A = SparseCOO.from_dense(d, cap=4)
+        assert int(A.nnz) == 4 <= A.cap
+
+    def test_from_arrays_empty_keeps_sort_order(self):
+        A = SparseCOO.from_arrays(np.zeros((0, 2), np.int32),
+                                  np.zeros(0), (2, 2), sort_order=(0, 1))
+        assert A.sort_order == (0, 1)
+
+    def test_transpose_relabels_sort_order(self):
+        from spsparse_tpu import to_csr
+        b = CooBuilder((4, 6), dtype=np.float64)
+        b.add((1, 2), 3.0)
+        b.add((0, 4), 1.0)
+        A = b.build().consolidate((1, 0))   # CSC-ready
+        T = A.transposed((1, 0))
+        assert T.sort_order == (0, 1)       # relabeled, still sorted
+        # ... so CSR of A^T costs no consolidate and matches the oracle.
+        csr = to_csr(A, transpose=True)
+        np.testing.assert_allclose(
+            np.asarray(csr.to_coo().to_dense()),
+            np.asarray(A.to_dense()).T, rtol=1e-12)
