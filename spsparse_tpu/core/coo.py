@@ -373,6 +373,33 @@ class SparseCOO:
         return SparseCOO(indices=indices, vals=self.vals, nnz=self.nnz,
                          shape=shape, sort_order=new_order)
 
+    @property
+    def T(self) -> "SparseCOO":
+        """Rank-2 transpose sugar: ``A.T == A.transposed((1, 0))``."""
+        if self.rank != 2:
+            raise SpSparseError(".T requires a rank-2 array; use "
+                                "transposed(perm)")
+        return self.transposed((1, 0))
+
+    def __matmul__(self, other):
+        """``A @ B``: sparse-sparse product for another :class:`SparseCOO`
+        (eager, auto-planned caps via :func:`spsparse_tpu.ops.spgemm`),
+        sparse-dense SpMV/SpMM for an array operand (via the CSR view).
+        Operator sugar for interactive use — jitted code should call the
+        explicit ops with static capacities."""
+        if isinstance(other, SparseCOO):
+            from ..ops.spgemm import spgemm
+
+            return spgemm(self, other)
+        import jax.numpy as _jnp
+
+        from ..ops.spmm import spmm, spmv
+        from .structure import to_csr
+
+        other = _jnp.asarray(other)
+        csr = to_csr(self)
+        return spmv(csr, other) if other.ndim == 1 else spmm(csr, other)
+
     def transpose_indices_only(self, perm: Sequence[int]) -> "SparseCOO":
         """Reference-quirk-compatible in-place-style transpose: permutes each
         index tuple but *not* ``shape`` (``VectorCooArray.hpp:144-148``,

@@ -652,3 +652,31 @@ class TestCoreReviewRegressions:
         np.testing.assert_allclose(
             np.asarray(csr.to_coo().to_dense()),
             np.asarray(A.to_dense()).T, rtol=1e-12)
+
+
+class TestOperatorSugar:
+    def test_T_and_matmul(self, rng):
+        b = CooBuilder((4, 6), dtype=np.float64)
+        idx = np.stack([rng.integers(0, 4, 9), rng.integers(0, 6, 9)], 1)
+        b.add_many(idx, rng.uniform(-1, 1, 9))
+        A = b.build()
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(A.T.to_dense()), Ad.T,
+                                   rtol=1e-12)
+        # sparse @ sparse
+        G = A @ A.T
+        np.testing.assert_allclose(np.asarray(G.to_dense()), Ad @ Ad.T,
+                                   rtol=1e-12)
+        # sparse @ dense vector / block
+        x = rng.uniform(-1, 1, 6)
+        np.testing.assert_allclose(np.asarray(A @ jnp.asarray(x)), Ad @ x,
+                                   rtol=1e-12)
+        X = rng.uniform(-1, 1, (6, 3))
+        np.testing.assert_allclose(np.asarray(A @ jnp.asarray(X)), Ad @ X,
+                                   rtol=1e-12)
+
+    def test_T_requires_rank2(self):
+        b = CooBuilder((4,), dtype=np.float64)
+        b.add((1,), 1.0)
+        with pytest.raises(SpSparseError):
+            _ = b.build().T
