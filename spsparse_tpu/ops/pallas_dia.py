@@ -112,6 +112,56 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
     return y.reshape(-1)[:n]
 
 
+# --- autodiff -------------------------------------------------------------
+# pallas_call has no reverse-mode rule, so the kernel gets an explicit VJP.
+# Forward math (see _dia_stream_kernel):
+#     y[j] = sum_k data_flat[k, j] * x_pad[0, pad + j + off_k],  j < npad
+# hence
+#     d_x_pad[0, pad+off_k+j] += data_flat[k, j] * g[j]      (A^T g, shifted)
+#     d_data_flat[k, j]        = g[j] * x_pad[0, pad+off_k+j]
+# Both are static-offset shifted products — one streaming XLA pass each, the
+# same traffic order as the forward kernel.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _spmv_dia_ad(data3, x_pad, offsets: tuple, n: int, block: int,
+                 interpret: bool):
+    return _spmv_dia_pallas(data3, x_pad, offsets=offsets, n=n,
+                            block=block, interpret=interpret)
+
+
+def _spmv_dia_ad_fwd(data3, x_pad, offsets, n, block, interpret):
+    y = _spmv_dia_ad(data3, x_pad, offsets, n, block, interpret)
+    return y, (data3, x_pad)
+
+
+def _spmv_dia_ad_bwd(offsets, n, block, interpret, res, g):
+    data3, x_pad = res
+    nblocks, K_pad, _ = data3.shape
+    npad = nblocks * block
+    pad = (x_pad.shape[1] - npad) // 2
+    data = jnp.swapaxes(data3, 0, 1).reshape(K_pad, npad).astype(jnp.float32)
+    g_pad = jnp.zeros((npad,), jnp.float32).at[:n].set(
+        g.astype(jnp.float32))
+    x_flat = x_pad[0]
+    d_x = jnp.zeros((x_pad.shape[1],), jnp.float32)
+    d_rows = []
+    for k, off in enumerate(offsets):
+        s = pad + off  # static, >= 0 (pad >= max|offset|)
+        d_x = d_x.at[s:s + npad].add(data[k] * g_pad)
+        d_rows.append(g_pad * jax.lax.slice_in_dim(x_flat, s, s + npad))
+    if len(offsets) < K_pad:  # zero-padded diagonal rows (sublane align)
+        d_rows.extend([jnp.zeros((npad,), jnp.float32)]
+                      * (K_pad - len(offsets)))
+    d_data = jnp.stack(d_rows)                                 # (K_pad, npad)
+    d_data3 = jnp.swapaxes(d_data.reshape(K_pad, nblocks, block),
+                           0, 1).astype(data3.dtype)
+    return d_data3, d_x[None, :].astype(x_pad.dtype)
+
+
+_spmv_dia_ad.defvjp(_spmv_dia_ad_fwd, _spmv_dia_ad_bwd)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PreparedDIA:
@@ -169,5 +219,4 @@ def spmv_dia_pallas(dia, x: Array, *, block: int = 4096,
     npad = dia.data3.shape[0] * block
     x_pad = jnp.zeros((1, npad + 2 * pad), jnp.float32)
     x_pad = x_pad.at[0, pad:pad + m].set(x.astype(jnp.float32))
-    return _spmv_dia_pallas(dia.data3, x_pad, offsets=offsets, n=n,
-                            block=block, interpret=interpret)
+    return _spmv_dia_ad(dia.data3, x_pad, offsets, n, block, interpret)

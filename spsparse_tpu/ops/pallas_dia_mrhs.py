@@ -81,6 +81,62 @@ def _spmm_mrhs(data3, xmain, halos, *, offsets: tuple, n: int, block: int,
     return y[:, :n]
 
 
+# --- autodiff -------------------------------------------------------------
+# Forward math in padded-x coordinates (window assembly in _mrhs_kernel):
+#     y[r, j] = sum_k data_flat[k, j] * Xp[r, pad + j + off_k],  j < npad
+# so the VJP is the same pair of static-shift streaming passes as the
+# single-RHS kernel (pallas_dia._spmv_dia_ad_bwd), summed over the RHS axis
+# for d_data. Defined over the flat padded Xp so the halo/main slicing
+# inside the primal needs no separate cotangent plumbing.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _spmm_mrhs_ad(data3, Xp, offsets: tuple, n: int, block: int,
+                  interpret: bool):
+    nblocks = data3.shape[0]
+    npad = nblocks * block
+    pad = (Xp.shape[1] - npad - block) // 2
+    xmain = Xp[:, pad:pad + npad]
+    lefts = Xp[:, :npad].reshape(RHS_BLOCK, nblocks, block)[:, :, :pad]
+    rights = (Xp[:, block + pad:block + pad + npad]
+              .reshape(RHS_BLOCK, nblocks, block)[:, :, :pad])
+    halos = jnp.concatenate([lefts, rights], axis=2).transpose(1, 0, 2)
+    return _spmm_mrhs(data3, xmain, halos, offsets=offsets, n=n,
+                      block=block, pad=pad, interpret=interpret)
+
+
+def _spmm_mrhs_ad_fwd(data3, Xp, offsets, n, block, interpret):
+    y = _spmm_mrhs_ad(data3, Xp, offsets, n, block, interpret)
+    return y, (data3, Xp)
+
+
+def _spmm_mrhs_ad_bwd(offsets, n, block, interpret, res, g):
+    data3, Xp = res
+    nblocks, K_pad, _ = data3.shape
+    npad = nblocks * block
+    pad = (Xp.shape[1] - npad - block) // 2
+    data = jnp.swapaxes(data3, 0, 1).reshape(K_pad, npad).astype(jnp.float32)
+    g_pad = jnp.zeros((RHS_BLOCK, npad), jnp.float32)
+    g_pad = g_pad.at[:, :n].set(g.astype(jnp.float32))
+    d_Xp = jnp.zeros_like(Xp)
+    d_rows = []
+    for k, off in enumerate(offsets):
+        s = pad + off  # static, >= 0
+        d_Xp = d_Xp.at[:, s:s + npad].add(data[k][None, :] * g_pad)
+        d_rows.append(jnp.sum(
+            g_pad * jax.lax.slice_in_dim(Xp, s, s + npad, axis=1), axis=0))
+    if len(offsets) < K_pad:
+        d_rows.extend([jnp.zeros((npad,), jnp.float32)]
+                      * (K_pad - len(offsets)))
+    d_data = jnp.stack(d_rows)
+    d_data3 = jnp.swapaxes(d_data.reshape(K_pad, nblocks, block),
+                           0, 1).astype(data3.dtype)
+    return d_data3, d_Xp
+
+
+_spmm_mrhs_ad.defvjp(_spmm_mrhs_ad_fwd, _spmm_mrhs_ad_bwd)
+
+
 def spmm_dia_mrhs_pallas(dia, X: Array, *, block: int = 4096,
                          interpret: bool = False) -> Array:
     """``Y = A @ X`` for diagonal storage with ``X (R, n)`` (R right-hand
@@ -107,15 +163,10 @@ def spmm_dia_mrhs_pallas(dia, X: Array, *, block: int = 4096,
     # halo reshape below stays in bounds.
     Xp = jnp.zeros((RHS_BLOCK, npad + 2 * pad + block), jnp.float32)
     Xp = Xp.at[:R, pad:pad + m].set(X.astype(jnp.float32))
-    xmain = Xp[:, pad:pad + npad]
-    # Halo strips: left = Xp[:, b*block : b*block+pad], right =
-    # Xp[:, (b+1)*block+pad : (b+1)*block+2*pad] — strided views via
-    # reshape, ~2*pad/block of X in extra traffic.
-    lefts = Xp[:, :npad].reshape(RHS_BLOCK, nblocks, block)[:, :, :pad]
-    rights = (Xp[:, block + pad:block + pad + npad]
-              .reshape(RHS_BLOCK, nblocks, block)[:, :, :pad])
-    halos = jnp.concatenate([lefts, rights], axis=2).transpose(1, 0, 2)
-    y = _spmm_mrhs(dia.data3, xmain, halos, offsets=offsets, n=n,
-                   block=block, pad=pad, interpret=interpret)
+    # Halo/main slicing happens inside _spmm_mrhs_ad (left strip =
+    # Xp[:, b*block : b*block+pad], right = Xp[:, (b+1)*block+pad :
+    # (b+1)*block+2*pad] — strided views via reshape, ~2*pad/block of X in
+    # extra traffic) so the custom VJP covers it.
+    y = _spmm_mrhs_ad(dia.data3, Xp, offsets, n, block, interpret)
     y = y[:R]
     return y[0] if squeeze else y

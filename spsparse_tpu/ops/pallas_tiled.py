@@ -119,24 +119,38 @@ def _tiled_kernel(tcols_ref, rows_ref, cols_ref, vals_ref, x_hbm, y_ref,
     iot = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE), 1)
 
     def tcol(t):
-        return tcols_ref[b * Rt + t]
+        # Clamp: the t+1 prefetch condition evaluates tcol(Rt) on the last
+        # slot; the clamped read keeps it in bounds (its value is masked
+        # by the `t + 1 < Rt` conjunct).
+        return tcols_ref[jnp.minimum(b * Rt + t, tcols_ref.shape[0] - 1)]
 
     def get_dma(slot, t):
         tc = jnp.minimum(tcol(t), nbc - 1)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(tc * TILE, TILE)], xtile.at[slot], sem.at[slot])
 
-    get_dma(0, 0).start()
+    # Sentinel (padding) slots get NO DMA at all — a block row's tcols are
+    # padded to the global max Rt, and fetching a clamped X tile for every
+    # padding slot made the kernel's traffic scale with nbr*Rt instead of
+    # n_tiles (measured 2.7x fewer tiles -> only 1.2x faster before this;
+    # probes/probe_r2_packed.py). Start/wait conditions are identical per
+    # slot, so the semaphores stay balanced.
+    @pl.when(tcol(0) < nbc)
+    def _():
+        get_dma(0, 0).start()
+
     y_ref[...] = jnp.zeros_like(y_ref)
 
     def body(t, _):
         cur = t % 2
 
-        @pl.when(t + 1 < Rt)
+        @pl.when(jnp.logical_and(t + 1 < Rt, tcol(t + 1) < nbc))
         def _():
             get_dma((t + 1) % 2, t + 1).start()
 
-        get_dma(cur, t).wait()
+        @pl.when(tcol(t) < nbc)
+        def _():
+            get_dma(cur, t).wait()
 
         @pl.when(tcol(t) < nbc)
         def _():
@@ -188,18 +202,66 @@ def _spmm_tiled_pallas(prep_tcols, prep_rows, prep_cols, prep_vals, Xp, *,
     return y
 
 
+# --- autodiff (one-hot kernel) ---------------------------------------------
+# Kernel math per valid tile (b, t):  y3[b, i, :] += sum_e [rows==i] *
+# vals[b,t,e] * Xp[tc*TILE + cols[b,t,e], :].  The VJP is exact for that
+# padded form (padding slots at (0,0) with val 0 get the corresponding —
+# harmless — cotangent, matching what the forward actually computes).
+# NB the backward is per-entry gather/scatter at the XLA level — correct
+# everywhere but gather-bound on TPU (docs/PERFORMANCE.md); differentiate
+# through the dense-block kernel when the fill allows it.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _spmm_tiled_ad(tcols, rows, cols, vals, Xp, n_block: int, nbc: int,
+                   interpret: bool):
+    return _spmm_tiled_pallas(tcols, rows, cols, vals, Xp, n_block=n_block,
+                              nbc=nbc, interpret=interpret)
+
+
+def _spmm_tiled_ad_fwd(tcols, rows, cols, vals, Xp, n_block, nbc, interpret):
+    y = _spmm_tiled_ad(tcols, rows, cols, vals, Xp, n_block, nbc, interpret)
+    return y, (tcols, rows, cols, vals, Xp)
+
+
+def _spmm_tiled_ad_bwd(n_block, nbc, interpret, res, g):
+    tcols, rows, cols, vals, Xp = res
+    nbr, Rt = tcols.shape
+    cap = rows.shape[2]
+    gf = g.astype(jnp.float32)                              # (nbr*TILE, N)
+    valid = (tcols < nbc)[:, :, None]                       # (nbr, Rt, 1)
+    tcc = jnp.minimum(tcols, nbc - 1)[:, :, None]
+    brow = jax.lax.broadcasted_iota(jnp.int32, (nbr, Rt, cap), 0)
+    grow = (brow * TILE + rows).reshape(-1)                 # global y rows
+    gcol = (tcc * TILE + cols).reshape(-1)                  # global X rows
+    vmask = valid.astype(jnp.float32)
+    gr = jnp.take(gf, grow, axis=0)                         # (E, N)
+    xc = jnp.take(Xp.astype(jnp.float32), gcol, axis=0)     # (E, N)
+    d_vals = (jnp.sum(gr * xc, axis=-1).reshape(nbr, Rt, cap)
+              * vmask if cap else jnp.zeros_like(vals))
+    w = (vals.astype(jnp.float32) * vmask).reshape(-1, 1)
+    d_Xp = jnp.zeros_like(Xp, jnp.float32).at[gcol].add(w * gr)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (f0(tcols), f0(rows), f0(cols), d_vals.astype(vals.dtype),
+            d_Xp.astype(Xp.dtype))
+
+
+_spmm_tiled_ad.defvjp(_spmm_tiled_ad_fwd, _spmm_tiled_ad_bwd)
+
+
 def spmm_tiled_pallas(prep: PreparedTiledRows | SparseTiledCOO, X: Array, *,
                       interpret: bool = False) -> Array:
-    """``Y = A @ X`` via the Pallas tiled one-hot kernel."""
+    """``Y = A @ X`` via the Pallas tiled one-hot kernel. Differentiable
+    w.r.t. ``prep.vals`` and ``X`` (custom VJP; backward is gather-bound
+    on TPU — prefer the dense-block kernel under ``jax.grad``)."""
     if isinstance(prep, SparseTiledCOO):
         prep = prepare_tiled_rows(prep)
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
     Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
-    y = _spmm_tiled_pallas(prep.tcols, prep.rows, prep.cols,
-                           prep.vals, Xp, n_block=N, nbc=nbc,
-                           interpret=interpret)
+    y = _spmm_tiled_ad(prep.tcols, prep.rows, prep.cols,
+                       prep.vals, Xp, N, nbc, interpret)
     return y[: prep.shape[0]]
 
 
@@ -302,13 +364,19 @@ def _tiled_dense_kernel(tcols_ref, blocks_ref, x_hbm, y_ref, xtile, sem, *,
     b = pl.program_id(0)
     n_steps = n_rows * Rt
 
+    def tcolg(g):
+        return tcols_ref[jnp.minimum(g, n_steps - 1)]
+
     def get_dma(g):
-        tc = jnp.minimum(tcols_ref[g], nbc - 1)
+        tc = jnp.minimum(tcolg(g), nbc - 1)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(tc * TILE, TILE)], xtile.at[g % 2],
             sem.at[g % 2])
 
-    @pl.when(b == 0)
+    # Sentinel slots get no DMA (same fix as the one-hot kernel: padding
+    # slots otherwise fetch a clamped X tile each, scaling traffic with
+    # nbr*Rt instead of n_tiles). Start/wait conditions match per g.
+    @pl.when(jnp.logical_and(b == 0, tcolg(0) < nbc))
     def _():
         get_dma(0).start()
 
@@ -317,13 +385,15 @@ def _tiled_dense_kernel(tcols_ref, blocks_ref, x_hbm, y_ref, xtile, sem, *,
     def body(t, _):
         g = b * Rt + t
 
-        @pl.when(g + 1 < n_steps)
+        @pl.when(jnp.logical_and(g + 1 < n_steps, tcolg(g + 1) < nbc))
         def _():
             get_dma(g + 1).start()
 
-        get_dma(g).wait()
+        @pl.when(tcolg(g) < nbc)
+        def _():
+            get_dma(g).wait()
 
-        @pl.when(tcols_ref[g] < nbc)
+        @pl.when(tcolg(g) < nbc)
         def _():
             prec = (jax.lax.Precision.DEFAULT
                     if blocks_ref.dtype == jnp.bfloat16
@@ -365,9 +435,57 @@ def _spmm_tiled_dense(prep_tcols, prep_blocks, Xp, *, n_block: int,
     )(prep_tcols.reshape(-1), prep_blocks, Xp)
 
 
+# --- autodiff (dense-block kernel) ------------------------------------------
+# Kernel math: y3[b] += sum_t blocks[b,t] @ Xtile(tc[b,t]), so the backward
+# is two batched (TILE,TILE,N) matmul sweeps plus one tile-granular
+# segment_sum — MXU work at the same traffic order as the forward; this is
+# the kernel to differentiate through on TPU.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _spmm_tiled_dense_ad(tcols, blocks, Xp, n_block: int, nbc: int,
+                         interpret: bool):
+    return _spmm_tiled_dense(tcols, blocks, Xp, n_block=n_block, nbc=nbc,
+                             interpret=interpret)
+
+
+def _spmm_tiled_dense_ad_fwd(tcols, blocks, Xp, n_block, nbc, interpret):
+    y = _spmm_tiled_dense_ad(tcols, blocks, Xp, n_block, nbc, interpret)
+    return y, (tcols, blocks, Xp)
+
+
+def _spmm_tiled_dense_ad_bwd(n_block, nbc, interpret, res, g):
+    tcols, blocks, Xp = res
+    nbr, Rt = tcols.shape
+    N = g.shape[1]
+    g3 = g.reshape(nbr, TILE, N).astype(jnp.float32)
+    valid = tcols < nbc                                     # (nbr, Rt)
+    tcc = jnp.minimum(tcols, nbc - 1)
+    Xt = jnp.take(Xp.reshape(nbc, TILE, N), tcc.reshape(-1), axis=0)
+    Xt = Xt.reshape(nbr, Rt, TILE, N).astype(jnp.float32)   # tile gathers
+    prec = jax.lax.Precision.HIGHEST
+    d_blocks = jnp.einsum("bin,btjn->btij", g3, Xt, precision=prec)
+    d_blocks = jnp.where(valid[:, :, None, None], d_blocks, 0.0)
+    bl = jnp.where(valid[:, :, None, None],
+                   blocks.astype(jnp.float32), 0.0)
+    d_Xt = jnp.einsum("btij,bin->btjn", bl, g3, precision=prec)
+    seg = jnp.where(valid, tcols, nbc).reshape(-1)
+    d_Xp = jax.ops.segment_sum(d_Xt.reshape(nbr * Rt, TILE, N), seg,
+                               num_segments=nbc + 1)[:nbc]
+    f0 = np.zeros(tcols.shape, jax.dtypes.float0)
+    return (f0, d_blocks.astype(blocks.dtype),
+            d_Xp.reshape(nbc * TILE, N).astype(Xp.dtype))
+
+
+_spmm_tiled_dense_ad.defvjp(_spmm_tiled_dense_ad_fwd,
+                            _spmm_tiled_dense_ad_bwd)
+
+
 def spmm_tiled_dense_pallas(prep: PreparedTiledDense | SparseTiledCOO,
                             X: Array, *, interpret: bool = False) -> Array:
-    """``Y = A @ X`` via the Pallas dense-block tiled kernel."""
+    """``Y = A @ X`` via the Pallas dense-block tiled kernel.
+    Differentiable w.r.t. ``prep.blocks`` and ``X`` (custom VJP built from
+    batched tile matmuls — the TPU-efficient gradient path)."""
     if isinstance(prep, SparseTiledCOO):
         prep = prepare_tiled_dense(prep)
     # The per-block-row block stream is double-buffered in VMEM
@@ -384,6 +502,5 @@ def spmm_tiled_dense_pallas(prep: PreparedTiledDense | SparseTiledCOO,
     K, N = X.shape
     nbc = prep.nbc
     Xp = jnp.pad(X.astype(prep.blocks.dtype), ((0, nbc * TILE - K), (0, 0)))
-    y = _spmm_tiled_dense(prep.tcols, prep.blocks, Xp, n_block=N, nbc=nbc,
-                          interpret=interpret)
+    y = _spmm_tiled_dense_ad(prep.tcols, prep.blocks, Xp, N, nbc, interpret)
     return y[: prep.shape[0]]
