@@ -322,17 +322,24 @@ def config3b_packed_general(on_cpu: bool) -> dict:
     t = bench_slope(step, (pg, X), iters=4 if on_cpu else 8,
                     reps=3 if on_cpu else 5, u_lo=2, u_hi=6 if on_cpu else 10)
     nnz = rr.size
-    if isinstance(pg.prep, PreparedTiledDense):
-        n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
-        esize = np.dtype(pg.prep.blocks.dtype).itemsize
-        a_bytes = n_tiles * TILE * TILE * esize
-    else:
-        n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
-        esize = 4
-        a_bytes = n_tiles * pg.prep.tile_cap * (2 + esize)
+    from spsparse_tpu.ops.general import PreparedGather
     kind, bw = device_hbm_bandwidth()
-    bytes_moved = (a_bytes + n_tiles * TILE * N * esize
-                   + -(-m // TILE) * TILE * N * 4)
+    if isinstance(pg.prep, PreparedGather):
+        # row-gather layout: one 512B X row per entry + entry payload + Y
+        n_tiles = 0
+        bytes_moved = (nnz * (4 + 4 + 4) + nnz * N * 4
+                       + -(-m // TILE) * TILE * N * 4)
+    else:
+        if isinstance(pg.prep, PreparedTiledDense):
+            n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
+            esize = np.dtype(pg.prep.blocks.dtype).itemsize
+            a_bytes = n_tiles * TILE * TILE * esize
+        else:
+            n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
+            esize = 4
+            a_bytes = n_tiles * pg.prep.tile_cap * (2 + esize)
+        bytes_moved = (a_bytes + n_tiles * TILE * N * esize
+                       + -(-m // TILE) * TILE * N * 4)
     sol_nnz = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {"config": "3b", "name": "spmm_packed_general_scattered",

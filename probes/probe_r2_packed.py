@@ -7,11 +7,14 @@ detach with:  setsid nohup python probes/probe_r2_packed.py > /tmp/probe_packed.
 """
 
 import json
+import sys
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
 
 
 def section(name):

@@ -39,8 +39,31 @@ from .pallas_tiled import (DENSE_FILL_THRESHOLD, PreparedTiledDense,
 
 Array = Any
 
-__all__ = ["PreparedGeneral", "prepare_general", "spmm_general",
-           "spmv_general"]
+__all__ = ["PreparedGeneral", "PreparedGather", "prepare_general",
+           "spmm_general", "spmv_general", "GATHER_FILL_THRESHOLD"]
+
+# Below this many entries per occupied 128x128 tile, the tiled kernels
+# lose to a plain XLA row-gather SpMM: each occupied tile costs a 64KB
+# X-tile DMA + a kernel visit (~0.3-0.5 us), while a leading-dim row
+# gather moves a 512B X row per entry at ~10.5 ns (measured 95 Mnnz/s at
+# fill 1.6 vs 3.8 Mnnz/s for the packed one-hot kernel —
+# probes/probe_gather_spmm.py, probes/probe_r2_packed.py). Crossover
+# f * 10.5ns ~= 0.35us -> f ~= 32.
+GATHER_FILL_THRESHOLD = 32.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedGather:
+    """Row-gather layout for ultra-scattered matrices: consolidated
+    (row-major sorted) entry lists. ``rows`` keeps the sentinel (= nrows)
+    on padding entries — the segment sum routes them to a dropped extra
+    bucket; ``cols`` are clamped in-range (padding vals are zero)."""
+
+    rows: Array = dataclasses.field(metadata=dict(static=False))
+    cols: Array = dataclasses.field(metadata=dict(static=False))
+    vals: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -60,13 +83,32 @@ class PreparedGeneral:
 
     @property
     def kernel(self) -> str:
+        if isinstance(self.prep, PreparedGather):
+            return "gather"
         return ("dense_block" if isinstance(self.prep, PreparedTiledDense)
                 else "one_hot")
+
+
+def _prepare_gather(a: SparseCOO) -> PreparedGather:
+    ac = a.consolidate((0, 1))
+    idx = ac.indices
+    nrows, ncols = ac.shape
+    cols = jnp.minimum(idx[:, 1], ncols - 1)  # keep the index dtype
+    return PreparedGather(rows=idx[:, 0], cols=cols,
+                          vals=ac.vals, shape=ac.shape)
 
 
 def prepare_general(a: SparseCOO | SparseTiledCOO, *, pack: bool = True,
                     dtype=jnp.float32) -> PreparedGeneral:
     """Prepare a rank-2 COO for repeated products (host-side, eager).
+
+    Kernel choice by measured post-packing fill (entries per occupied
+    128x128 tile): >= ``DENSE_FILL_THRESHOLD`` -> dense-block MXU kernel;
+    >= ``GATHER_FILL_THRESHOLD`` -> one-hot MXU kernel; below that the
+    tiled formats lose outright and the layout is a plain row-gather
+    entry list (``PreparedGather``). Packing is applied only when it
+    reduces the occupied-tile count (a concentrated packing can inflate
+    the per-block-row tile maximum without helping traffic).
 
     ``pack=False`` skips the column permutation (``order`` = identity) —
     use when X cannot be permuted (e.g. it is itself an operand of other
@@ -77,11 +119,23 @@ def prepare_general(a: SparseCOO | SparseTiledCOO, *, pack: bool = True,
     else:
         if a.rank != 2:
             spsparse_error(-1, "prepare_general requires a rank-2 array")
+        tl_raw = to_tiled(a)
+        tl, order = tl_raw, None
         if pack:
-            ap, order = pack_columns(a)
-        else:
-            ap, order = a, None
-        tl = to_tiled(ap)
+            ap, p_order = pack_columns(a)
+            tl_packed = to_tiled(ap)
+            if int(tl_packed.n_tiles) < int(tl_raw.n_tiles):
+                tl, order = tl_packed, p_order
+        nnz_est = float(jnp.sum(tl.vals != 0))
+        if nnz_est / max(int(tl.n_tiles), 1) < GATHER_FILL_THRESHOLD:
+            if dtype not in (jnp.float32, None):
+                import warnings
+
+                warnings.warn(
+                    "prepare_general: low fill selects the row-gather "
+                    f"layout, which is f32; dtype={dtype} does not apply",
+                    stacklevel=2)
+            return PreparedGeneral(order=None, prep=_prepare_gather(a))
     nnz = float(jnp.sum(tl.vals != 0))
     fill = nnz / max(int(tl.n_tiles), 1)
     if fill >= DENSE_FILL_THRESHOLD:
@@ -110,6 +164,12 @@ def spmm_general(pg: PreparedGeneral, X: Array, *,
                        "Inner dimensions for A (%d) and X (%d) must match!",
                        pg.shape[1], X.shape[0])
     Xp = X if pg.order is None else X[pg.order]
+    if isinstance(pg.prep, PreparedGather):
+        p = pg.prep
+        g = jnp.take(Xp.astype(jnp.float32), p.cols, axis=0)
+        prod = p.vals.astype(jnp.float32)[:, None] * g
+        return jax.ops.segment_sum(prod, p.rows,
+                                   num_segments=p.shape[0] + 1)[:p.shape[0]]
     if isinstance(pg.prep, PreparedTiledDense):
         return spmm_tiled_dense_pallas(pg.prep, Xp, interpret=interpret)
     return spmm_tiled_pallas(pg.prep, Xp, interpret=interpret)

@@ -101,7 +101,6 @@ class TiledBlocks:
         """Row-grouped layout for the dense-block SpMM kernel (host-side,
         eager) — lets a tiled-SpGEMM result feed ``Y = C @ X`` directly
         on the MXU without a COO round trip."""
-        from ..core.errors import SpSparseError
         from .pallas_tiled import PreparedTiledDense
         tr = np.asarray(self.tile_row)
         tc = np.asarray(self.tile_col)
@@ -374,21 +373,45 @@ def tiled_blocks_to_coo(tb: TiledBlocks, *, cap: int | None = None,
         cap = nnz_cap
     if cap is None:
         cap = round_up_pow2(max(int(jnp.sum(blocks != 0)), 1))
-    t, r, c = jnp.nonzero(blocks, size=cap,
-                          fill_value=(tb.n_tiles - 1, 0, 0))
+    # jnp.nonzero(size=...) lowers to a per-element scatter on TPU
+    # (~0.09 Gelem/s — measured 99 ms for a 668-tile config-4 result,
+    # probes/probe_r2_tiled_gemm.py); compact with a sort instead. The
+    # sort cost is linear in operand count (docs/PERFORMANCE.md), so pack
+    # (dead-flag, position) into ONE integer key — a 1-operand sort at
+    # ~1.8 Gelem/s vs ~0.5 for key+2-payload (measured 35 -> ~8 ms on the
+    # config-4 result) — then gather the cap surviving values by position.
+    flat = blocks.reshape(-1)
+    nel = flat.shape[0]
+    use64 = nel >= (1 << 30)
+    if use64 and not jax.config.jax_enable_x64:
+        raise SpSparseError(
+            "tiled_blocks_to_coo: >=2^30 block slots needs x64 enabled "
+            "for the packed extraction key")
+    kdt = jnp.int64 if use64 else jnp.int32
+    dead_bump = jnp.asarray(nel if use64 else (1 << 30), kdt)
+    key = jnp.arange(nel, dtype=kdt) + jnp.where(flat != 0, 0, dead_bump)
+    key_c = jax.lax.sort((key,), num_keys=1)[0][:cap]
+    if cap > nel:
+        key_c = jnp.pad(key_c, (0, cap - nel), constant_values=0)
+    pos_c = jnp.where(key_c >= dead_bump, key_c - dead_bump, key_c)
+    vals_c = flat[pos_c]
+    n_sel = jnp.sum(flat != 0).astype(jnp.int32)
     # Clamp so nnz <= cap always holds even when an explicit static cap
-    # undercounts (jnp.nonzero(size=...) truncates the entry list; an
-    # unclamped count would mark padding slots live downstream).
-    nnz = jnp.minimum(jnp.sum(blocks != 0),
-                      jnp.asarray(cap)).astype(jnp.int32)
+    # undercounts (the compaction truncates the entry list; an unclamped
+    # count would mark padding slots live downstream).
+    nnz = jnp.minimum(n_sel, jnp.asarray(cap, n_sel.dtype)).astype(jnp.int32)
     live = jnp.arange(cap) < nnz
+    t = (pos_c // (TILE * TILE)).astype(jnp.int32)
+    rc = pos_c % (TILE * TILE)
+    r = (rc // TILE).astype(jnp.int32)
+    c = (rc % TILE).astype(jnp.int32)
     idx_dtype = SparseCOO.empty(tb.shape, 1).index_dtype
     rows = tb.tile_row[t].astype(idx_dtype) * TILE + r
     cols = tb.tile_col[t].astype(idx_dtype) * TILE + c
     sent = jnp.asarray(SparseCOO.sentinel_index(tb.shape, idx_dtype))
     idx = jnp.stack([jnp.where(live, rows, sent[0]),
                      jnp.where(live, cols, sent[1])], axis=1)
-    vals = jnp.where(live, blocks[t, r, c], 0)
+    vals = jnp.where(live, vals_c, 0)
     return SparseCOO(indices=idx.astype(idx_dtype), vals=vals, nnz=nnz,
                      shape=tb.shape)
 

@@ -32,10 +32,40 @@ def local_coo(rng, m, k, spread=64):
 
 class TestPrepareGeneral:
     def test_kernel_choice_by_fill(self, rng):
-        scattered = random_coo(rng, (512, 8192), 2000)     # fill ~few
-        assert prepare_general(scattered).kernel == "one_hot"
+        # Post-packing fill decides. A small scattered matrix packs WELL
+        # (few block rows -> columns cluster -> high fill -> tiled); the
+        # gather regime needs many block rows sharing scattered columns
+        # (lambda ~ 1 entry/column), where packing can't raise fill.
+        packable = random_coo(rng, (512, 8192), 2000)
+        assert prepare_general(packable).kernel in ("one_hot",
+                                                    "dense_block")
+        scattered = random_coo(rng, (4096, 32768), 32768)
+        assert prepare_general(scattered).kernel == "gather"
         dense_ish = local_coo(rng, 512, 50)                # fill >> 64
         assert prepare_general(dense_ish).kernel == "dense_block"
+        # mid fill (GATHER..DENSE window): 40 entries in each diagonal tile
+        bld = CooBuilder((512, 512), dtype=np.float32)
+        for blk in range(4):
+            r = blk * 128 + np.arange(40)
+            bld.add_many(np.stack([r, r], 1),
+                         rng.uniform(-1, 1, 40).astype(np.float32))
+        assert prepare_general(bld.build()).kernel == "one_hot"
+
+    def test_gather_layout_matches_dense_and_grads(self, rng):
+        import jax
+        A = random_coo(rng, (4096, 32768), 32768)
+        pg = prepare_general(A)
+        assert pg.kernel == "gather" and pg.order is None
+        X = rng.uniform(-1, 1, (A.shape[1], 16)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X))
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(Y), Ad @ X, rtol=1e-4,
+                                   atol=1e-5)
+        g = jax.grad(lambda Xc: jnp.sum(spmm_general(pg, Xc) ** 2))(
+            jnp.asarray(X))
+        ref = 2.0 * Ad.T @ (Ad @ X)
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-3,
+                                   atol=1e-4)
 
     @pytest.mark.parametrize("maker,nnz", [("scattered", 2000),
                                            ("local", None)])
@@ -71,13 +101,13 @@ class TestPrepareGeneral:
                                    np.asarray(A.to_dense()) @ X,
                                    rtol=1e-4, atol=1e-4)
 
-    def test_bf16_with_onehot_fill_warns(self, rng):
+    def test_bf16_with_low_fill_warns(self, rng):
         # Shared columns across many row blocks keep fill low even after
-        # packing -> one-hot kernel -> the bf16 request cannot apply.
+        # packing -> row-gather layout -> the bf16 request cannot apply.
         A = random_coo(rng, (2048, 16384), 16384)
-        with pytest.warns(UserWarning, match="one-hot kernel"):
+        with pytest.warns(UserWarning, match="row-gather"):
             pg = prepare_general(A, dtype=jnp.bfloat16)
-        assert pg.kernel == "one_hot"
+        assert pg.kernel == "gather"
 
     def test_bf16_mode(self, rng):
         A = local_coo(rng, 256, 40)
