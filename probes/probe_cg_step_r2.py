@@ -62,10 +62,11 @@ def main():
     # v2 fused megakernel: slope between two iteration counts of the
     # single-launch solve cancels the launch + b-staging cost.
     import time
-    from spsparse_tpu.ops.pallas_cg import cg_solve_dia_pallas
+    from spsparse_tpu.ops.pallas_cg import CG_BLOCK, cg_solve_dia_pallas
+    prep_cg = prepare_dia(dia, block=CG_BLOCK)
 
     def run_T(T):
-        x, rs = cg_solve_dia_pallas(prep, b, iters=T, shift=4.0)
+        x, rs = cg_solve_dia_pallas(prep_cg, b, iters=T, shift=4.0)
         return float(rs)
 
     for T in (8, 40):
@@ -85,7 +86,7 @@ def main():
 
     # correctness on chip: agreement with the composed loop
     from spsparse_tpu.solvers.iterative import cg_solve
-    x2, rs2 = cg_solve_dia_pallas(prep, b, iters=30, shift=4.0)
+    x2, rs2 = cg_solve_dia_pallas(prep_cg, b, iters=30, shift=4.0)
     xc, _ = cg_solve(lambda v: spmv_dia_pallas(prep, v) + 4.0 * v,
                      b, iters=30)
     d = float(jnp.max(jnp.abs(x2 - xc)))

@@ -64,14 +64,18 @@ def packed_vs_raw(m, K, width, N=128):
             return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
 
         t = bench_slope(step, (pg, X), iters=8, reps=5, u_lo=2, u_hi=10)
-        if isinstance(pg.prep, PreparedTiledDense):
-            n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
-            a_bytes = n_tiles * TILE * TILE * 4
+        from spsparse_tpu.ops.general import PreparedGather
+        if isinstance(pg.prep, PreparedGather):
+            n_tiles = 0
+            bytes_moved = nnz * (12 + N * 4) + -(-m // TILE) * TILE * N * 4
         else:
             n_tiles = int(np.sum(np.asarray(pg.prep.tcols) < pg.prep.nbc))
-            a_bytes = n_tiles * pg.prep.tile_cap * 6
-        bytes_moved = (a_bytes + n_tiles * TILE * N * 4
-                       + -(-m // TILE) * TILE * N * 4)
+            if isinstance(pg.prep, PreparedTiledDense):
+                a_bytes = n_tiles * TILE * TILE * 4
+            else:
+                a_bytes = n_tiles * pg.prep.tile_cap * 6
+            bytes_moved = (a_bytes + n_tiles * TILE * N * 4
+                           + -(-m // TILE) * TILE * N * 4)
         sol = bw / (bytes_moved / nnz)
         print(json.dumps({
             "pack": pack, "kernel": pg.kernel, "m": m, "K": K,

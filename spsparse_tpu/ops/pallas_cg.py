@@ -6,29 +6,33 @@ SpMV, both dot products, and the vector updates, with the solver scalars
 
 Round-2 rework (v2): the first version streamed ``x``/``r`` through HBM
 with serialized start+wait DMAs in every pass — measured ~2.3 ms/iter at
-1M rows, LOSING to the XLA-composed loop (~1.6 ms/iter). v2 keeps **every
-solver vector VMEM-resident** (``p`` and ``r`` flat with zero margins,
-``x``/``Ap`` blocked) so the only HBM traffic per iteration is the
-diagonal-data stream (double-buffered, as in the SpMV kernel) — the
-speed-of-light plan for banded CG: ``nnz*4`` bytes/iter. ``x`` is written
-out once, after the last iteration.
+1M rows, LOSING to the XLA-composed loop. v2 keeps ``p``/``r`` (flat,
+zero margins) and ``Ap`` VMEM-resident, so per-iteration HBM traffic is
+the diagonal-data stream plus one double-buffered x-block update pass:
+``nnz*4 + 2*n*4`` bytes/iter. Measured (v5e, 1M rows, 11 diagonals):
+177 us/iter, parity with the composed loop's 148-217 us (v1 lost 1.44x),
+while keeping the one-launch advantage for small/eager solves; agrees
+with the composed loop to 1.9e-6. ``x`` lives in the HBM output buffer (the TPU scoped-VMEM limit is
+16 MB; p + r + Ap + the data double-buffer already take ~14.5 MB at 1M
+rows with the default ``block=2048``).
 
 Iteration structure (scalars in SMEM serialize only at pass boundaries):
 
 * pass P: ``p = r + beta p``       (VMEM sweep; beta=0 folds the classic
   first-iteration ``p = r`` and keeps one uniform loop body)
-* pass A: ``Ap = (A + shift I) p``; ``pap = p.Ap``  (HBM data stream)
-* pass B: ``x += alpha p``; ``r -= alpha Ap``; ``rs' = r.r``  (VMEM sweep)
+* pass A: ``Ap = (A + shift I) p``; ``pap = p.Ap``  (HBM data stream,
+  double-buffered)
+* pass B: ``x += alpha p``; ``r -= alpha Ap``; ``rs' = r.r``  (VMEM sweep
+  + double-buffered x-block DMAs against the HBM output buffer)
 
 Operator: :class:`~spsparse_tpu.ops.pallas_dia.PreparedDIA` diagonals plus
 a ``shift * I`` Tikhonov term (callers solve ``(A + shift I) x = b`` with
 the operator SPD).
 
-VMEM budget: ``~4.1 * n * 4`` bytes of vectors (p, r margins included; x,
-Ap) plus the data double-buffer (``2*8*K_pad*block*4``); n = 1M f32 needs
-~18.5 MB. The wrapper raises beyond ``VMEM_BUDGET`` — larger systems
-belong on the XLA-composed :func:`spsparse_tpu.solvers.cg_solve` loop
-(or a future superblock-streamed variant).
+Measured reference points (v5e, 1M rows, 11 diagonals, ~±30% tunnel
+variance): composed ``solvers.cg_solve`` over the Pallas SpMV =
+148-217 us/iter (the XLA-DIA matvec variant = 0.37-1.7 ms/iter); bare
+SpMV = 137-153 us (probes/probe_cg_step_r2.py).
 """
 
 from __future__ import annotations
@@ -46,17 +50,22 @@ from ..core.dia import SparseDIA
 
 Array = Any
 
-__all__ = ["cg_solve_dia_pallas", "VMEM_BUDGET"]
+__all__ = ["cg_solve_dia_pallas", "VMEM_BUDGET", "CG_BLOCK"]
 
 PAD = 128  # flat p/r margin; >= max |offset|, lane-aligned
 
-# Conservative per-kernel VMEM allowance (v5e TensorCore VMEM is larger,
-# but leave headroom for Mosaic's own buffers). Checked by the wrapper.
-VMEM_BUDGET = 96 * 1024 * 1024
+# TPU scoped-VMEM limit is 16 MB (measured: a 20.04M allocation was
+# rejected with "limit 16.00M" by the v5e compiler). Leave headroom for
+# Mosaic's own staging.
+VMEM_BUDGET = 15 * 1024 * 1024
+
+# Smaller than the SpMV kernel's 4096: halves the diagonal-data double
+# buffer so p/r/Ap fit beside it under the 16 MB scoped-VMEM limit.
+CG_BLOCK = 2048
 
 
-def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, x2, ap2, dscr,
-               smem, sems, *, T: int, nsuper: int, block: int,
+def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, ap2, xbuf,
+               dscr, smem, sems, xsems, *, T: int, nsuper: int, block: int,
                offsets: tuple, shift: float, interpret: bool):
     roll = jnp.roll if interpret else pltpu.roll
     L = block + 2 * PAD
@@ -79,6 +88,14 @@ def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, x2, ap2, dscr,
             off = pl.multiple_of(PAD + (r0blk + r) * block, 128)
             flat[0:1, pl.ds(off, block)] = vals8[r:r + 1, :]
 
+    def xin_dma(slot, i):
+        return pltpu.make_async_copy(
+            xg.at[pl.ds(i * 8, 8)], xbuf.at[slot], xsems.at[slot])
+
+    def xout_dma(slot, i):
+        return pltpu.make_async_copy(
+            xbuf.at[2 + slot], xg.at[pl.ds(i * 8, 8)], xsems.at[2 + slot])
+
     # ---- init: p = r = b (flat, zero margins); x = 0; rs = b.b
     for dst in (p_flat, r_flat):
         c = pltpu.make_async_copy(b_flat, dst, sems.at[3])
@@ -86,9 +103,12 @@ def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, x2, ap2, dscr,
         c.wait()
     smem[RS] = jnp.float32(0.0)
     smem[BETA] = jnp.float32(0.0)
+    xbuf[2] = jnp.zeros((8, block), jnp.float32)
 
     def init_sb(i, _):
-        x2[pl.ds(i * 8, 8), :] = jnp.zeros((8, block), jnp.float32)
+        d = xout_dma(0, i)  # x = 0 (serialized; one-time init)
+        d.start()
+        d.wait()
         blk = blk8(r_flat, i * 8)
         smem[RS] += jnp.sum(blk * blk)
         return 0
@@ -139,29 +159,42 @@ def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, x2, ap2, dscr,
         jax.lax.fori_loop(0, nsuper, passA, 0)
         alpha = smem[RS] / jnp.where(smem[PAP] == 0, 1.0, smem[PAP])
 
-        # ---- pass B: x += alpha p ; r -= alpha Ap ; rsnew = r.r (VMEM)
+        # ---- pass B: x += alpha p (x blocks double-buffered against the
+        # HBM output buffer) ; r -= alpha Ap ; rsnew = r.r (VMEM)
         smem[RSNEW] = jnp.float32(0.0)
+        xin_dma(0, 0).start()
 
         def passB(i, _):
+            cur = i % 2
+
+            @pl.when(i + 1 < nsuper)
+            def _():
+                xin_dma((i + 1) % 2, i + 1).start()
+
+            xin_dma(cur, i).wait()
+
+            @pl.when(i >= 2)
+            def _():
+                xout_dma(cur, i - 2).wait()   # slot free before reuse
+
             blk = blk8(p_flat, i * 8)
             apblk = ap2[pl.ds(i * 8, 8), :]
-            x2[pl.ds(i * 8, 8), :] += alpha * blk
+            xbuf[2 + cur] = xbuf[cur] + alpha * blk
+            xout_dma(cur, i).start()
             rnew = blk8(r_flat, i * 8) - alpha * apblk
             store8(r_flat, i * 8, rnew)
             smem[RSNEW] += jnp.sum(rnew * rnew)
             return 0
 
         jax.lax.fori_loop(0, nsuper, passB, 0)
+        # epilogue: drain the last in-flight x writes (static bounds)
+        for tail in range(max(nsuper - 2, 0), nsuper):
+            xout_dma(tail % 2, tail).wait()
         smem[BETA] = smem[RSNEW] / jnp.where(smem[RS] == 0, 1.0, smem[RS])
         smem[RS] = smem[RSNEW]
         return 0
 
     jax.lax.fori_loop(0, T, cg_iter, 0)
-
-    # ---- write x out once
-    c = pltpu.make_async_copy(x2, xg, sems.at[3])
-    c.start()
-    c.wait()
     stats[0, 0] = smem[RS]
 
 
@@ -181,7 +214,7 @@ def _cg_dia(data3, b_flat, *, offsets: tuple, n: int, block: int,
             pl.BlockSpec(memory_space=pl.ANY),   # b flat
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),   # x
+            pl.BlockSpec(memory_space=pl.ANY),   # x (HBM; DMA'd in pass B)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # stats
         ),
         out_shape=(
@@ -191,22 +224,31 @@ def _cg_dia(data3, b_flat, *, offsets: tuple, n: int, block: int,
         scratch_shapes=[
             pltpu.VMEM((1, nblocks * block + 2 * PAD), jnp.float32),  # p
             pltpu.VMEM((1, nblocks * block + 2 * PAD), jnp.float32),  # r
-            pltpu.VMEM((nblocks, block), jnp.float32),                # x
             pltpu.VMEM((nblocks, block), jnp.float32),                # Ap
+            pltpu.VMEM((4, 8, block), jnp.float32),   # x in/out buffers
             pltpu.VMEM((2, 8, K_pad, block), data3.dtype),            # data
             pltpu.SMEM((4,), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),       # x in (0-1) / out (2-3)
         ],
         interpret=interpret,
     )(data3, b_flat)
     return x.reshape(-1)[:n], stats[0, 0]
 
 
+def _vmem_bytes(nblocks: int, block: int, K_pad: int, itemsize: int) -> int:
+    npad = nblocks * block
+    return (2 * (npad + 2 * PAD) + npad + 4 * 8 * block) * 4 \
+        + 2 * 8 * K_pad * block * itemsize
+
+
 def cg_solve_dia_pallas(dia, b: Array, *, iters: int, shift: float = 0.0,
-                        block: int = 4096, interpret: bool = False):
+                        block: int = CG_BLOCK, interpret: bool = False):
     """Solve ``(A + shift I) x = b`` by ``iters`` CG iterations in one
     kernel launch. ``dia`` is a :class:`SparseDIA` or :class:`PreparedDIA`
-    (must describe an SPD operator for CG to apply). Returns
+    (must describe an SPD operator for CG to apply; prefer the default
+    ``CG_BLOCK`` blocking — a 4096-block ``PreparedDIA`` doubles the
+    data buffer and shrinks the max solvable n). Returns
     ``(x, final_rs)``."""
     if isinstance(dia, SparseDIA):
         dia = prepare_dia(dia, block=block)
@@ -217,12 +259,14 @@ def cg_solve_dia_pallas(dia, b: Array, *, iters: int, shift: float = 0.0,
     nblocks = dia.data3.shape[0]
     npad = nblocks * block
     K_pad = dia.data3.shape[1]
-    vmem = (2 * (npad + 2 * PAD) + 2 * npad) * 4 \
-        + 2 * 8 * K_pad * block * dia.data3.dtype.itemsize
+    vmem = _vmem_bytes(nblocks, block, K_pad, dia.data3.dtype.itemsize)
     if vmem > VMEM_BUDGET:
+        hint = (" (re-prepare with prepare_dia(..., block=2048))"
+                if block > CG_BLOCK else "")
         raise ValueError(
-            f"cg_solve_dia_pallas needs ~{vmem >> 20} MiB of VMEM for "
-            f"n={n} (budget {VMEM_BUDGET >> 20} MiB); use "
+            f"cg_solve_dia_pallas needs ~{vmem / (1 << 20):.1f} MiB of "
+            f"VMEM for n={n}, block={block} (scoped-VMEM budget "
+            f"{VMEM_BUDGET >> 20} MiB){hint}; use "
             "spsparse_tpu.solvers.cg_solve (XLA-composed) at this scale")
     bp = jnp.pad(b.astype(jnp.float32), (0, npad - n))
     b_flat = jnp.zeros((1, npad + 2 * PAD), jnp.float32)

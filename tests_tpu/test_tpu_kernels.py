@@ -187,3 +187,66 @@ class TestCompiledPackedGeneral:
         y = np.asarray(jax.block_until_ready(best_spmv(pg, jnp.asarray(x))))
         np.testing.assert_allclose(y, np.asarray(A.to_dense()) @ x,
                                    rtol=2e-5, atol=2e-4)
+
+
+class TestCompiledCgV2:
+    def test_cg_megakernel_solves_on_chip(self, rng):
+        from spsparse_tpu.core.dia import SparseDIA
+        from spsparse_tpu.ops.pallas_cg import cg_solve_dia_pallas
+        n = 1 << 14
+        offs = (-2, -1, 0, 1, 2)
+        cols = np.arange(n)[:, None] + np.array(offs)[None, :]
+        valid = (cols >= 0) & (cols < n)
+        data = np.where(valid, rng.uniform(-0.2, 0.2, (n, 5)), 0)
+        data = data.astype(np.float32).T.copy()
+        data[2] = 3.0  # diagonally dominant SPD
+        dia = SparseDIA(data=jnp.asarray(data), offsets=offs, shape=(n, n))
+        b = rng.uniform(-1, 1, n).astype(np.float32)
+        x, rs = jax.block_until_ready(
+            cg_solve_dia_pallas(dia, jnp.asarray(b), iters=50))
+        res = np.asarray(dia.to_dense()) @ np.asarray(x) - b
+        assert np.abs(res).max() < 1e-3
+        assert float(rs) < 1e-6
+
+
+class TestCompiledKernelGrads:
+    def test_dia_grad_compiles_and_matches(self, rng):
+        from spsparse_tpu.ops.pallas_dia import prepare_dia, spmv_dia_pallas
+        from spsparse_tpu.core.dia import SparseDIA
+        n = 1 << 13
+        offs = (-1, 0, 1)
+        cols = np.arange(n)[:, None] + np.array(offs)[None, :]
+        valid = (cols >= 0) & (cols < n)
+        data = np.where(valid, rng.uniform(-1, 1, (n, 3)), 0)
+        dia = SparseDIA(data=jnp.asarray(data.astype(np.float32).T.copy()),
+                        offsets=offs, shape=(n, n))
+        prep = prepare_dia(dia)
+        x = rng.uniform(-1, 1, n).astype(np.float32)
+        g = np.asarray(jax.block_until_ready(jax.grad(
+            lambda v: jnp.sum(spmv_dia_pallas(prep, v) ** 2))(
+                jnp.asarray(x))))
+        Dd = np.asarray(dia.to_dense())
+        ref = 2.0 * Dd.T @ (Dd @ x)
+        np.testing.assert_allclose(g, ref, rtol=2e-4, atol=2e-3)
+
+
+class TestCompiledGatherLayout:
+    def test_gather_spmm_on_chip(self, rng):
+        from spsparse_tpu.ops import prepare_general
+        from spsparse_tpu.ops.general import spmm_general
+        m, K = 1 << 12, 8
+        ncols = 8 * m
+        rr = np.repeat(np.arange(m), K)
+        cc = rng.integers(0, ncols, rr.size)
+        from spsparse_tpu import CooBuilder
+        b = CooBuilder((m, ncols), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        A = b.build()
+        pg = prepare_general(A)
+        assert pg.kernel == "gather"
+        X = rng.uniform(-1, 1, (ncols, 16)).astype(np.float32)
+        Y = np.asarray(jax.block_until_ready(
+            spmm_general(pg, jnp.asarray(X))))
+        np.testing.assert_allclose(Y, np.asarray(A.to_dense()) @ X,
+                                   rtol=2e-5, atol=2e-4)
