@@ -259,10 +259,15 @@ def spmm_tiled_pallas(prep: PreparedTiledRows | SparseTiledCOO, X: Array, *,
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
-    Xp = jnp.pad(X.astype(jnp.float32), ((0, nbc * TILE - K), (0, 0)))
+    # Mosaic DMA slices must be 128-aligned on the lane (RHS) dim; pad N
+    # up (thin RHS pays proportionally more X traffic — route genuinely
+    # thin scattered products through the gather layout instead).
+    Np = -(-N // TILE) * TILE
+    Xp = jnp.pad(X.astype(jnp.float32),
+                 ((0, nbc * TILE - K), (0, Np - N)))
     y = _spmm_tiled_ad(prep.tcols, prep.rows, prep.cols,
-                       prep.vals, Xp, N, nbc, interpret)
-    return y[: prep.shape[0]]
+                       prep.vals, Xp, Np, nbc, interpret)
+    return y[: prep.shape[0], :N]
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +506,11 @@ def spmm_tiled_dense_pallas(prep: PreparedTiledDense | SparseTiledCOO,
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
-    Xp = jnp.pad(X.astype(prep.blocks.dtype), ((0, nbc * TILE - K), (0, 0)))
-    y = _spmm_tiled_dense_ad(prep.tcols, prep.blocks, Xp, N, nbc, interpret)
-    return y[: prep.shape[0]]
+    # Lane-dim (RHS) DMA alignment: pad N to a multiple of 128 (see
+    # spmm_tiled_pallas).
+    Np = -(-N // TILE) * TILE
+    Xp = jnp.pad(X.astype(prep.blocks.dtype),
+                 ((0, nbc * TILE - K), (0, Np - N)))
+    y = _spmm_tiled_dense_ad(prep.tcols, prep.blocks, Xp, Np, nbc,
+                             interpret)
+    return y[: prep.shape[0], :N]
