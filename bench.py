@@ -69,19 +69,26 @@ def bench_spmv(n: int, band: int, use_pallas: bool) -> dict:
             y = spmv_dia_chain_pallas(prep, x, iters=T, scale=0.3)
             return float(jnp.sum(y))
 
-        t_lo_T, t_hi_T = 8, 88
+        # Wide T arm: the slope must tower over the tunnel's multi-ms
+        # latency spikes (ΔT=80 gave ~7 ms of device-time difference and
+        # once measured an unphysical 4x speed-of-light headline); ΔT=512
+        # iterations ≈ 45 ms of device time at the expected ~90 us/iter.
+        t_lo_T, t_hi_T = 64, 576
         run(t_lo_T)
         run(t_hi_T)
-        samples = []
-        for _ in range(3):
+        # Difference of per-arm MEDIANS, not median of per-pair slopes:
+        # the tunnel injects multi-ms positive latency spikes, and a spike
+        # landing on either side of a pair swings that pair's slope wildly
+        # (the same fix bench_slope itself got — probe_cfg34_stability).
+        los, his = [], []
+        for _ in range(5):
             t0 = time.perf_counter()
             run(t_lo_T)
-            lo = time.perf_counter() - t0
+            los.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             run(t_hi_T)
-            hi = time.perf_counter() - t0
-            samples.append((hi - lo) / (t_hi_T - t_lo_T))
-        t = float(np.median(samples))
+            his.append(time.perf_counter() - t0)
+        t = float(np.median(his) - np.median(los)) / (t_hi_T - t_lo_T)
         impl = "pallas_dia_chain_steady_state"
         # Steady state: x and y live in VMEM across iterations; HBM traffic
         # per iteration is the diagonal stream only.

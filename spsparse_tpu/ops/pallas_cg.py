@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_dia import PreparedDIA, prepare_dia
+from .pallas_dia import PreparedDIA, diag_slice, prepare_dia
 from ..core.dia import SparseDIA
 
 Array = Any
@@ -54,10 +54,14 @@ __all__ = ["cg_solve_dia_pallas", "VMEM_BUDGET", "CG_BLOCK"]
 
 PAD = 128  # flat p/r margin; >= max |offset|, lane-aligned
 
-# TPU scoped-VMEM limit is 16 MB (measured: a 20.04M allocation was
-# rejected with "limit 16.00M" by the v5e compiler). Leave headroom for
-# Mosaic's own staging.
-VMEM_BUDGET = 15 * 1024 * 1024
+# The TPU scoped-VMEM limit defaults to 16 MB (measured: a 20.04M
+# allocation was rejected with "limit 16.00M" by the v5e compiler);
+# the kernel requests a raised per-kernel limit via
+# ``CompilerParams(vmem_limit_bytes=...)`` so larger solves fit —
+# v5e physical VMEM is far larger. The budget below is what the
+# wrapper's guard enforces (validated on chip; see
+# probes/probe_cg_step_r2.py).
+VMEM_BUDGET = 60 * 1024 * 1024
 
 # Smaller than the SpMV kernel's 4096: halves the diagonal-data double
 # buffer so p/r/Ap fit beside it under the 16 MB scoped-VMEM limit.
@@ -149,7 +153,7 @@ def _cg_kernel(data_hbm, b_flat, xg, stats, p_flat, r_flat, ap2, xbuf,
             for k, off in enumerate(offsets):
                 s = off + PAD
                 shifted = roll(w8, (L - s) % L, axis=1)[:, :block]
-                acc = acc + dscr[cur][:, k, :].astype(jnp.float32) * shifted
+                acc = acc + diag_slice(dscr[cur], k, block).astype(jnp.float32) * shifted
             blk = blk8(p_flat, i * 8)
             acc = acc + jnp.float32(shift) * blk
             ap2[pl.ds(i * 8, 8), :] = acc
@@ -204,7 +208,6 @@ def _cg_dia(data3, b_flat, *, offsets: tuple, n: int, block: int,
             iters: int, shift: float, interpret: bool):
     nblocks = data3.shape[0]
     nsuper = nblocks // 8
-    K_pad = data3.shape[1]
     x, stats = pl.pallas_call(
         functools.partial(_cg_kernel, T=iters, nsuper=nsuper, block=block,
                           offsets=offsets, shift=shift, interpret=interpret),
@@ -226,20 +229,25 @@ def _cg_dia(data3, b_flat, *, offsets: tuple, n: int, block: int,
             pltpu.VMEM((1, nblocks * block + 2 * PAD), jnp.float32),  # r
             pltpu.VMEM((nblocks, block), jnp.float32),                # Ap
             pltpu.VMEM((4, 8, block), jnp.float32),   # x in/out buffers
-            pltpu.VMEM((2, 8, K_pad, block), data3.dtype),            # data
+            pltpu.VMEM((2, 8) + data3.shape[1:], data3.dtype),  # data
             pltpu.SMEM((4,), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),       # x in (0-1) / out (2-3)
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET + (1 << 20)),
         interpret=interpret,
     )(data3, b_flat)
     return x.reshape(-1)[:n], stats[0, 0]
 
 
-def _vmem_bytes(nblocks: int, block: int, K_pad: int, itemsize: int) -> int:
+def _vmem_bytes(data3, block: int) -> int:
+    import math
+
+    nblocks = data3.shape[0]
     npad = nblocks * block
-    return (2 * (npad + 2 * PAD) + npad + 4 * 8 * block) * 4 \
-        + 2 * 8 * K_pad * block * itemsize
+    dscr = 2 * 8 * math.prod(data3.shape[1:]) * data3.dtype.itemsize
+    return (2 * (npad + 2 * PAD) + npad + 4 * 8 * block) * 4 + dscr
 
 
 def cg_solve_dia_pallas(dia, b: Array, *, iters: int, shift: float = 0.0,
@@ -258,8 +266,7 @@ def cg_solve_dia_pallas(dia, b: Array, *, iters: int, shift: float = 0.0,
     block = dia.block
     nblocks = dia.data3.shape[0]
     npad = nblocks * block
-    K_pad = dia.data3.shape[1]
-    vmem = _vmem_bytes(nblocks, block, K_pad, dia.data3.dtype.itemsize)
+    vmem = _vmem_bytes(dia.data3, block)
     if vmem > VMEM_BUDGET:
         hint = (" (re-prepare with prepare_dia(..., block=2048))"
                 if block > CG_BLOCK else "")

@@ -37,6 +37,17 @@ Array = Any
 __all__ = ["spmv_dia_pallas", "prepare_dia", "PreparedDIA"]
 
 
+def diag_slice(dcur, k: int, block: int):
+    """(rows, block) view of diagonal ``k`` from either data layout:
+    packed 2D ``(rows, K*block)`` (f32 — no padding diagonals, the
+    layout that makes the stream exactly ``nnz*4`` bytes) or padded 3D
+    ``(rows, K_pad, block)`` (bf16 — Mosaic DMAs need 16-row sublane
+    slices, which the 8-block step cannot give in 2D)."""
+    if dcur.ndim == 3:
+        return dcur[:, k, :]
+    return dcur[:, k * block:(k + 1) * block]
+
+
 def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
                        offsets: tuple, pad: int, block: int, nblocks: int,
                        interpret: bool):
@@ -79,7 +90,8 @@ def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
         for k, off in enumerate(offsets):
             s = off + pad  # static, in [0, 2*pad]
             shifted = roll(w8, (L - s) % L, axis=1)[:, :block]
-            acc = acc + scratch[cur][:, k, :].astype(jnp.float32) * shifted
+            acc = acc + diag_slice(scratch[cur], k,
+                                   block).astype(jnp.float32) * shifted
         y_ref[pl.ds(i * 8, 8), :] = acc
         return 0
 
@@ -90,7 +102,7 @@ def _dia_stream_kernel(xwin_ref, data_hbm, y_ref, scratch, sems, *,
                    static_argnames=("offsets", "n", "block", "interpret"))
 def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                      interpret: bool = False) -> Array:
-    nblocks, K, _ = data3.shape
+    nblocks = data3.shape[0]
     pad = (x_pad.shape[1] - nblocks * block) // 2
     y = pl.pallas_call(
         functools.partial(_dia_stream_kernel, offsets=offsets, pad=pad,
@@ -104,7 +116,7 @@ def _spmv_dia_pallas(data3, x_pad, *, offsets: tuple, n: int, block: int,
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, block), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, K, block), data3.dtype),
+            pltpu.VMEM((2, 8) + data3.shape[1:], data3.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -135,12 +147,35 @@ def _spmv_dia_ad_fwd(data3, x_pad, offsets, n, block, interpret):
     return y, (data3, x_pad)
 
 
+def _unblock_data(data3, block: int):
+    """Either prepared layout -> row-per-diagonal ``(K_eff, npad)`` f32."""
+    nblocks = data3.shape[0]
+    if data3.ndim == 2:                       # packed: (nblocks, K*block)
+        K_eff = data3.shape[1] // block
+        d3 = data3.reshape(nblocks, K_eff, block)
+    else:                                     # padded: (nblocks, K_pad, b)
+        K_eff = data3.shape[1]
+        d3 = data3
+    return (jnp.swapaxes(d3, 0, 1).reshape(K_eff, nblocks * block)
+            .astype(jnp.float32)), K_eff
+
+
+def _reblock_data(d_data, data3, block: int):
+    """Inverse of :func:`_unblock_data` (cast back to the stored dtype)."""
+    nblocks = data3.shape[0]
+    K_eff = d_data.shape[0]
+    d3 = jnp.swapaxes(d_data.reshape(K_eff, nblocks, block), 0, 1)
+    if data3.ndim == 2:
+        d3 = d3.reshape(nblocks, K_eff * block)
+    return d3.astype(data3.dtype)
+
+
 def _spmv_dia_ad_bwd(offsets, n, block, interpret, res, g):
     data3, x_pad = res
-    nblocks, K_pad, _ = data3.shape
+    nblocks = data3.shape[0]
     npad = nblocks * block
     pad = (x_pad.shape[1] - npad) // 2
-    data = jnp.swapaxes(data3, 0, 1).reshape(K_pad, npad).astype(jnp.float32)
+    data, K_eff = _unblock_data(data3, block)
     g_pad = jnp.zeros((npad,), jnp.float32).at[:n].set(
         g.astype(jnp.float32))
     x_flat = x_pad[0]
@@ -150,12 +185,11 @@ def _spmv_dia_ad_bwd(offsets, n, block, interpret, res, g):
         s = pad + off  # static, >= 0 (pad >= max|offset|)
         d_x = d_x.at[s:s + npad].add(data[k] * g_pad)
         d_rows.append(g_pad * jax.lax.slice_in_dim(x_flat, s, s + npad))
-    if len(offsets) < K_pad:  # zero-padded diagonal rows (sublane align)
+    if len(offsets) < K_eff:  # zero-padded diagonal rows (sublane align)
         d_rows.extend([jnp.zeros((npad,), jnp.float32)]
-                      * (K_pad - len(offsets)))
-    d_data = jnp.stack(d_rows)                                 # (K_pad, npad)
-    d_data3 = jnp.swapaxes(d_data.reshape(K_pad, nblocks, block),
-                           0, 1).astype(data3.dtype)
+                      * (K_eff - len(offsets)))
+    d_data = jnp.stack(d_rows)                                 # (K_eff, npad)
+    d_data3 = _reblock_data(d_data, data3, block)
     return d_data3, d_x[None, :].astype(x_pad.dtype)
 
 
@@ -165,9 +199,15 @@ _spmv_dia_ad.defvjp(_spmv_dia_ad_fwd, _spmv_dia_ad_bwd)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PreparedDIA:
-    """Kernel-ready DIA operand: diagonal data re-blocked to
-    ``(nblocks, K, block)`` so each row-block is one leading-dim DMA.
-    Build once (``prepare_dia``), reuse across many SpMV calls."""
+    """Kernel-ready DIA operand: diagonal data re-blocked so each
+    row-block step is one leading-dim DMA. f32 uses the PACKED 2D layout
+    ``(nblocks, K*block)`` — diagonal k of block b at lanes
+    ``[k*block, (k+1)*block)`` — which streams exactly ``nnz*4`` bytes
+    (the padded 3D layout wasted ``(K_pad-K)/K`` of all HBM traffic:
+    45% for the 11-diagonal bench matrix). bf16 keeps the padded 3D
+    ``(nblocks, K_pad, block)`` layout (its DMAs need 16-row sublane
+    slices that the 8-block step cannot express in 2D). Build once
+    (``prepare_dia``), reuse across many SpMV calls."""
 
     data3: Array = dataclasses.field(metadata=dict(static=False))
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
@@ -187,15 +227,19 @@ def prepare_dia(dia: SparseDIA, *, block: int = 4096,
     data = dia.data.astype(dtype)
     if npad != n:
         data = jnp.pad(data, ((0, 0), (0, npad - n)))
-    # Mosaic DMAs require the sublane (second-to-minor) extent to be a
-    # multiple of the dtype's tile height (8 for f32, 16 for bf16): pad the
-    # diagonal count with zero rows.
-    sub = 16 if dtype == jnp.bfloat16 else 8
     K = data.shape[0]
-    K_pad = -(-K // sub) * sub
-    if K_pad != K:
-        data = jnp.pad(data, ((0, K_pad - K), (0, 0)))
-    data3 = jnp.swapaxes(data.reshape(K_pad, nblocks, block), 0, 1)
+    if dtype == jnp.bfloat16:
+        # Mosaic DMAs require the sublane (second-to-minor) extent to be
+        # a multiple of the dtype's tile height (16 for bf16): pad the
+        # diagonal count with zero rows and keep the 3D layout.
+        K_pad = -(-K // 16) * 16
+        if K_pad != K:
+            data = jnp.pad(data, ((0, K_pad - K), (0, 0)))
+        data3 = jnp.swapaxes(data.reshape(K_pad, nblocks, block), 0, 1)
+    else:
+        # Packed 2D layout: no padding diagonals, stream = nnz*4 bytes.
+        data3 = (data.reshape(K, nblocks, block).swapaxes(0, 1)
+                 .reshape(nblocks, K * block))
     return PreparedDIA(data3=data3,
                        offsets=tuple(int(o) for o in dia.offsets),
                        shape=dia.shape, block=block)

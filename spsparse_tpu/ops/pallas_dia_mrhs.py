@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_dia import prepare_dia
+from .pallas_dia import _reblock_data, _unblock_data, prepare_dia
 from ..core.dia import SparseDIA
 
 Array = Any
@@ -40,7 +40,8 @@ RHS_BLOCK = 8
 
 
 def _mrhs_kernel(data_ref, xmain_ref, halo_ref, y_ref, wscr, *,
-                 offsets: tuple, pad: int, block: int, interpret: bool):
+                 offsets: tuple, pad: int, block: int, packed: bool,
+                 interpret: bool):
     roll = jnp.roll if interpret else pltpu.roll
     L = block + 2 * pad
     # Assemble the overlapped window [left halo | main | right halo].
@@ -52,7 +53,11 @@ def _mrhs_kernel(data_ref, xmain_ref, halo_ref, y_ref, wscr, *,
     for k, off in enumerate(offsets):
         s = off + pad
         shifted = roll(w, (L - s) % L, axis=1)[:, :block]
-        acc = acc + data_ref[0, k:k + 1, :].astype(jnp.float32) * shifted
+        if packed:                             # (1, 1, K*block)
+            dk = data_ref[0, 0:1, k * block:(k + 1) * block]
+        else:                                  # padded (1, K_pad, block)
+            dk = data_ref[0, k:k + 1, :]
+        acc = acc + dk.astype(jnp.float32) * shifted
     y_ref[...] = acc
 
 
@@ -60,13 +65,20 @@ def _mrhs_kernel(data_ref, xmain_ref, halo_ref, y_ref, wscr, *,
                                              "pad", "interpret"))
 def _spmm_mrhs(data3, xmain, halos, *, offsets: tuple, n: int, block: int,
                pad: int, interpret: bool):
-    nblocks, K_pad, _ = data3.shape
+    nblocks = data3.shape[0]
+    packed = data3.ndim == 2
+    if packed:
+        # Singleton sublane axis: a (1, Kb) block would violate the
+        # 8-divisible sublane rule; (1, 1, Kb) blocks equal the array's
+        # trailing dims, which Pallas accepts.
+        data3 = data3[:, None, :]
+    data_spec = pl.BlockSpec((1,) + data3.shape[1:], lambda b: (b, 0, 0))
     y = pl.pallas_call(
         functools.partial(_mrhs_kernel, offsets=offsets, pad=pad,
-                          block=block, interpret=interpret),
+                          block=block, packed=packed, interpret=interpret),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, K_pad, block), lambda b: (b, 0, 0)),
+            data_spec,
             pl.BlockSpec((RHS_BLOCK, block), lambda b: (0, b)),
             pl.BlockSpec((1, RHS_BLOCK, 2 * pad), lambda b: (b, 0, 0)),
         ],
@@ -112,10 +124,10 @@ def _spmm_mrhs_ad_fwd(data3, Xp, offsets, n, block, interpret):
 
 def _spmm_mrhs_ad_bwd(offsets, n, block, interpret, res, g):
     data3, Xp = res
-    nblocks, K_pad, _ = data3.shape
+    nblocks = data3.shape[0]
     npad = nblocks * block
     pad = (Xp.shape[1] - npad - block) // 2
-    data = jnp.swapaxes(data3, 0, 1).reshape(K_pad, npad).astype(jnp.float32)
+    data, K_pad = _unblock_data(data3, block)
     g_pad = jnp.zeros((RHS_BLOCK, npad), jnp.float32)
     g_pad = g_pad.at[:, :n].set(g.astype(jnp.float32))
     d_Xp = jnp.zeros_like(Xp)
@@ -129,8 +141,7 @@ def _spmm_mrhs_ad_bwd(offsets, n, block, interpret, res, g):
         d_rows.extend([jnp.zeros((npad,), jnp.float32)]
                       * (K_pad - len(offsets)))
     d_data = jnp.stack(d_rows)
-    d_data3 = jnp.swapaxes(d_data.reshape(K_pad, nblocks, block),
-                           0, 1).astype(data3.dtype)
+    d_data3 = _reblock_data(d_data, data3, block)
     return d_data3, d_Xp
 
 
