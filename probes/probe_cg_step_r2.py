@@ -69,20 +69,22 @@ def main():
         x, rs = cg_solve_dia_pallas(prep_cg, b, iters=T, shift=4.0)
         return float(rs)
 
-    for T in (8, 40):
+    # Wide arm: DeltaT=32 once read 410 us/iter off tunnel spikes where
+    # DeltaT=64 at 7 reps reads a stable 89 us.
+    for T in (8, 72):
         run_T(T)  # compile
     times = {}
-    for T in (8, 40):
+    for T in (8, 72):
         ts = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             run_T(T)  # rs fetch forces completion
             ts.append(time.perf_counter() - t0)
         times[T] = sorted(ts)[len(ts) // 2]
-    t_iter = (times[40] - times[8]) / 32
+    t_iter = (times[72] - times[8]) / 64
     print(json.dumps({"probe": "cg_megakernel_v2", "t_iter": t_iter,
                       "nnz_s": nnz / t_iter,
-                      "t_T8": times[8], "t_T40": times[40]}), flush=True)
+                      "t_T8": times[8], "t_T72": times[72]}), flush=True)
 
     # correctness on chip: agreement with the composed loop
     from spsparse_tpu.solvers.iterative import cg_solve
