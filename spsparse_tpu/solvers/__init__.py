@@ -3,13 +3,15 @@ framework's end-to-end "model" layer (conjugate gradients, BiCGStab,
 Chebyshev, power iteration; Jacobi/block-Jacobi/Neumann preconditioning)
 for single-chip and row-partitioned multi-chip execution."""
 
-from .iterative import (cg_solve, cg_step, pcg_solve, bicgstab_solve,
+from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
+                        bicgstab_solve,
                         chebyshev_solve, cg_solve_implicit, gmres_solve, lanczos_bounds,
                         jacobi_preconditioner, power_iteration, CGState)
 from .precond import (extract_diagonal, extract_diag_blocks,
                       block_jacobi_preconditioner, neumann_preconditioner)
 
-__all__ = ["cg_solve", "cg_step", "pcg_solve", "bicgstab_solve",
+__all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
+           "bicgstab_solve",
            "chebyshev_solve", "cg_solve_implicit", "gmres_solve", "lanczos_bounds",
            "jacobi_preconditioner", "power_iteration",
            "CGState", "extract_diagonal", "extract_diag_blocks",

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 Array = Any
 
-__all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve",
+__all__ = ["CGState", "cg_step", "cg_solve", "pcg_solve", "cg_solve_mrhs",
            "jacobi_preconditioner", "power_iteration", "bicgstab_solve",
            "chebyshev_solve", "gmres_solve", "lanczos_bounds",
            "cg_solve_implicit"]
@@ -97,6 +97,68 @@ def pcg_solve(matvec: Callable[[Array], Array], b: Array, *, iters: int,
 
     (x, r, _, _), _ = jax.lax.scan(body, state, None, length=iters)
     return x, jnp.vdot(r, r)
+
+
+def cg_solve_mrhs(matmat: Callable[[Array], Array], B: Array, *,
+                  iters: int, minv: Array | Callable[[Array], Array]
+                  | None = None, x0: Array | None = None
+                  ) -> tuple[Array, Array]:
+    """Batched (multi-RHS) preconditioned CG: solve ``A X = B`` for an SPD
+    operator and ``B`` of shape ``(n, k)``, all ``k`` systems advanced in
+    lockstep with *per-column* step lengths.
+
+    Why this exists: on TPU the operator application dominates a CG
+    iteration, and a multi-RHS operator amortizes the matrix stream across
+    columns — the DIA multi-RHS kernel
+    (:func:`spsparse_tpu.ops.pallas_dia_mrhs.spmm_dia_mrhs_pallas`) measures
+    ~6x the per-solve throughput of one-column SpMV at k=8 (shared diagonal
+    stream; docs/PERFORMANCE.md "Proof via batching"). ``matmat`` maps
+    ``(n, k) -> (n, k)``: that kernel, :func:`ops.best_spmm`, or any dense
+    matmul. This is the block-Krylov building block the reference's
+    single-element iteration model cannot express (no reference counterpart;
+    the closest is the ``#if 0``'d dense-vector multiply sketch,
+    /root/reference/slib/spsparse/multiply_dense.hpp:8-36).
+
+    Each column follows exactly the mathematics of :func:`pcg_solve` (this
+    is k independent CGs sharing operator applications, not O'Leary block
+    CG — no cross-column coupling, so one column's breakdown never poisons
+    the others; a converged column carries unchanged through the remaining
+    iterations via the same masked-denominator guards as :func:`cg_step`).
+    ``minv`` is a per-row vector (Jacobi), an ``(n, k)``-broadcastable
+    array, or a callable ``Z = M^{-1} R``. Returns ``(X, rs)`` with ``rs``
+    the per-column final ``||r||^2`` (shape ``(k,)``).
+    """
+    if B.ndim != 2:
+        raise ValueError(f"cg_solve_mrhs expects B of shape (n, k), got "
+                         f"{B.shape}")
+    apply_m = ((lambda r: r) if minv is None
+               else minv if callable(minv)
+               else (lambda r: jnp.reshape(minv, (-1, 1)) * r
+                     if jnp.ndim(minv) == 1 else minv * r))
+
+    def col_dot(u, v):
+        return jnp.sum(u * v, axis=0)
+
+    x0 = jnp.zeros_like(B) if x0 is None else x0
+    r0 = B - matmat(x0)
+    z0 = apply_m(r0)
+    state = (x0, r0, z0, col_dot(r0, z0))
+
+    def body(state, _):
+        x, r, p, rz = state
+        Ap = matmat(p)
+        denom = col_dot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_m(r)
+        rz_new = col_dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, _, _), _ = jax.lax.scan(body, state, None, length=iters)
+    return x, col_dot(r, r)
 
 
 def jacobi_preconditioner(diag: Array, eps: float = 1e-12) -> Array:

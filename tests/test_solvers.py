@@ -406,3 +406,82 @@ class TestChebyshevIterationContract:
                                    iters=iters)
             np.testing.assert_allclose(np.asarray(x), cheb_np(iters),
                                        rtol=1e-12, err_msg=f"iters={iters}")
+
+
+class TestBatchedCG:
+    """cg_solve_mrhs: k independent CGs sharing each operator application
+    (the multi-RHS amortization the DIA mrhs kernel exists for)."""
+
+    def test_columns_match_single_rhs_cg(self, rng):
+        A, coo = spd_banded(rng, 96, band=3)
+        Aj = jnp.asarray(A)
+        B = jnp.asarray(rng.uniform(-1, 1, (96, 5)))
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        X, rs = cg_solve_mrhs(lambda M: Aj @ M, B, iters=40)
+        assert X.shape == (96, 5) and rs.shape == (5,)
+        for k in range(5):
+            xk, rk = cg_solve(lambda v: Aj @ v, B[:, k], iters=40)
+            np.testing.assert_allclose(np.asarray(X[:, k]), np.asarray(xk),
+                                       rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(X),
+                                   np.linalg.solve(A, np.asarray(B)),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_preconditioned_and_jittable(self, rng):
+        A, coo = spd_banded(rng, 64, band=2)
+        Aj = jnp.asarray(A)
+        B = jnp.asarray(rng.uniform(-1, 1, (64, 3)))
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        minv = jacobi_preconditioner(jnp.diag(Aj))
+
+        @jax.jit
+        def run(B):
+            return cg_solve_mrhs(lambda M: Aj @ M, B, iters=30, minv=minv)
+
+        X, rs = run(B)
+        np.testing.assert_allclose(np.asarray(X),
+                                   np.linalg.solve(A, np.asarray(B)),
+                                   rtol=1e-8, atol=1e-10)
+        # per-column match vs single-RHS pcg_solve (same math, same order)
+        for k in range(3):
+            xk, _ = pcg_solve(lambda v: Aj @ v, B[:, k], iters=30, minv=minv)
+            np.testing.assert_allclose(np.asarray(X[:, k]), np.asarray(xk),
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_breakdown_isolated_per_column(self, rng):
+        # Column 0 has b = 0 (instant breakdown: rs = 0); other columns must
+        # still converge — no cross-column coupling.
+        A, _ = spd_banded(rng, 48, band=2)
+        Aj = jnp.asarray(A)
+        B = np.asarray(rng.uniform(-1, 1, (48, 3)))
+        B[:, 0] = 0.0
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        X, rs = cg_solve_mrhs(lambda M: Aj @ M, jnp.asarray(B), iters=40)
+        assert np.all(np.isfinite(np.asarray(X)))
+        np.testing.assert_allclose(np.asarray(X[:, 0]), 0.0, atol=0)
+        np.testing.assert_allclose(np.asarray(X[:, 1:]),
+                                   np.linalg.solve(A, B[:, 1:]),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_over_sparse_mrhs_operator(self, rng):
+        # End-to-end over the DIA multi-RHS Pallas kernel (interpret mode),
+        # the operator this solver exists to amortize.
+        from spsparse_tpu.core.dia import to_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        n = 256
+        A, coo = spd_banded(rng, n, band=2, dtype=np.float32)
+        dia = to_dia(coo)
+        B = jnp.asarray(rng.uniform(-1, 1, (n, 8)).astype(np.float32))
+        # the mrhs kernel is row-layout (R, n); adapt with transposes
+        X, rs = cg_solve_mrhs(
+            lambda M: spmm_dia_mrhs_pallas(dia, M.T, interpret=True).T,
+            B, iters=30)
+        np.testing.assert_allclose(
+            np.asarray(X), np.linalg.solve(A, np.asarray(B)),
+            rtol=2e-4, atol=2e-4)
+
+    def test_rejects_vector_rhs(self, rng):
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        with pytest.raises(ValueError):
+            cg_solve_mrhs(lambda M: M, jnp.ones(8), iters=1)
