@@ -127,17 +127,23 @@ def cg_solve_mrhs(matmat: Callable[[Array], Array], B: Array, *,
     ``minv`` is a per-row vector (Jacobi), an ``(n, k)``-broadcastable
     array, or a callable ``Z = M^{-1} R``. Returns ``(X, rs)`` with ``rs``
     the per-column final ``||r||^2`` (shape ``(k,)``).
+
+    ``B`` may also carry extra leading axes with columns LAST — e.g. the
+    row-partitioned ``(P, rows_local, k)`` layout of
+    :func:`spsparse_tpu.dist.dist_spmm_bucketed` — so one batched CG can
+    drive k distributed solves; the per-column reductions sum over every
+    axis but the last (a global ``psum`` under ``shard_map``).
     """
-    if B.ndim != 2:
-        raise ValueError(f"cg_solve_mrhs expects B of shape (n, k), got "
-                         f"{B.shape}")
+    if B.ndim < 2:
+        raise ValueError(f"cg_solve_mrhs expects B of shape (..., n, k), "
+                         f"got {B.shape}")
     apply_m = ((lambda r: r) if minv is None
                else minv if callable(minv)
                else (lambda r: jnp.reshape(minv, (-1, 1)) * r
                      if jnp.ndim(minv) == 1 else minv * r))
 
     def col_dot(u, v):
-        return jnp.sum(u * v, axis=0)
+        return jnp.sum(u * v, axis=tuple(range(u.ndim - 1)))
 
     x0 = jnp.zeros_like(B) if x0 is None else x0
     r0 = B - matmat(x0)

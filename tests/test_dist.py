@@ -545,3 +545,40 @@ class TestDistSpgemmOverflowContract:
         with pytest.raises(SpSparseError):
             dist_spgemm(partition_rows(A, 8), partition_rows(B, 8), mesh,
                         expand_cap=64, out_cap=64)
+
+
+class TestDistBatchedCG:
+    def test_cg_solve_mrhs_over_bucketed_spmm(self, rng):
+        # k distributed solves advanced by one batched CG: the operator is
+        # the ring-overlapped bucketed SpMM, operands stay in the
+        # row-partitioned (P, blk, k) layout end to end, and the solver's
+        # per-column reductions sum over the partition axes.
+        from spsparse_tpu.dist import dist_spmm_bucketed, partition_bucketed
+        from spsparse_tpu.solvers import cg_solve_mrhs
+        n, k, P = 48, 4, 8
+        D = np.zeros((n, n))
+        off = rng.uniform(-0.3, 0.3, n - 1)
+        D[np.arange(n - 1), np.arange(1, n)] = off
+        D[np.arange(1, n), np.arange(n - 1)] = off
+        D[np.arange(n), np.arange(n)] = np.abs(D).sum(1) + 1.0
+        b = CooBuilder((n, n), dtype=np.float64)
+        ii, jj = np.nonzero(D)
+        b.add_many(np.stack([ii, jj], 1), D[ii, jj])
+        A = b.build()
+
+        mesh = make_mesh()
+        blk = partition_vector(np.zeros(n), P).shape[-1]
+        bkt = partition_bucketed(A, P, blk_len=blk)
+        B = rng.uniform(-1, 1, (n, k))
+        Bp = jnp.asarray(
+            np.concatenate([B, np.zeros((P * blk - n, k))]).reshape(P, blk, k))
+
+        X, rs = jax.jit(lambda Bp: cg_solve_mrhs(
+            lambda M: dist_spmm_bucketed(bkt, M, mesh), Bp, iters=40))(Bp)
+        assert X.shape == (P, blk, k) and rs.shape == (k,)
+        np.testing.assert_allclose(
+            np.asarray(X).reshape(-1, k)[:n], np.linalg.solve(D, B),
+            rtol=1e-9, atol=1e-11)
+        # padding rows never move off zero
+        np.testing.assert_allclose(np.asarray(X).reshape(-1, k)[n:], 0.0,
+                                   atol=0)
