@@ -42,6 +42,9 @@ from .core import (
     coo_random,
     coo_slice,
     coo_kron,
+    coo_filter,
+    coo_tril,
+    coo_triu,
     row_sums,
     col_sums,
     scale_rows,

@@ -28,6 +28,7 @@ from .structure import (
 )
 from .algebra import coo_concat, coo_add, coo_scale
 from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
+                        coo_filter, coo_tril, coo_triu,
                         row_sums, col_sums, scale_rows, scale_cols)
 from .join import JoinResult, join2, join3, intersect_mask
 from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
@@ -43,6 +44,7 @@ __all__ = [
     "to_csr", "to_ell",
     "coo_concat", "coo_add", "coo_scale",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
+    "coo_filter", "coo_tril", "coo_triu",
     "row_sums", "col_sums", "scale_rows", "scale_cols",
     "JoinResult", "join2", "join3", "intersect_mask",
     "scatter_to_dense", "scalar_sum", "permute_output", "project_output",

@@ -22,6 +22,7 @@ from .errors import SpSparseError
 Array = Any
 
 __all__ = ["coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
+           "coo_filter", "coo_tril", "coo_triu",
            "row_sums", "col_sums", "scale_rows", "scale_cols"]
 
 
@@ -168,3 +169,43 @@ def scale_cols(a: SparseCOO, s: Array) -> SparseCOO:
     s = jnp.asarray(s)
     g = jnp.take(s, a.indices[:, 1], mode="fill", fill_value=0)
     return dataclasses.replace(a, vals=a.vals * g.astype(a.dtype))
+
+
+def coo_filter(a: SparseCOO, pred) -> SparseCOO:
+    """Keep entries where ``pred(indices, vals) -> bool (cap,)`` is true.
+
+    The structural filter primitive (tril/triu/band/threshold selections
+    are one-liners on top). Vectorized + jit-compatible: selection is a
+    mask, live entries compact to the front with an order-preserving
+    single-key sort (consolidate.compact_select), so entry order — and
+    therefore sortedness metadata — survives. No reference counterpart
+    (the reference filters by hand-written add() loops)."""
+    keep = a.valid_mask() & jnp.asarray(pred(a.indices, a.vals), bool)
+    from .consolidate import compact_select
+    cols = tuple(a.indices[:, d] for d in range(a.rank)) + (a.vals,)
+    carried, n = compact_select(keep, cols, cap_out=a.cap)
+    live = jnp.arange(a.cap, dtype=jnp.int32) < n
+    out_idx = jnp.stack(
+        [jnp.where(live, c, jnp.asarray(s, a.index_dtype))
+         for c, s in zip(carried[:-1], a.shape)], axis=1)
+    out_vals = jnp.where(live, carried[-1], 0)
+    return SparseCOO(indices=out_idx, vals=out_vals, nnz=n,
+                     shape=a.shape, sort_order=a.sort_order)
+
+
+def coo_tril(a: SparseCOO, k: int = 0) -> SparseCOO:
+    """Lower triangle: entries with ``col - row <= k`` (scipy.sparse.tril
+    convention)."""
+    if a.rank != 2:
+        raise SpSparseError("coo_tril requires a rank-2 array")
+    kk = jnp.asarray(k, a.index_dtype)
+    return coo_filter(a, lambda idx, _: idx[:, 1] - idx[:, 0] <= kk)
+
+
+def coo_triu(a: SparseCOO, k: int = 0) -> SparseCOO:
+    """Upper triangle: entries with ``col - row >= k`` (scipy.sparse.triu
+    convention)."""
+    if a.rank != 2:
+        raise SpSparseError("coo_triu requires a rank-2 array")
+    kk = jnp.asarray(k, a.index_dtype)
+    return coo_filter(a, lambda idx, _: idx[:, 1] - idx[:, 0] >= kk)

@@ -148,3 +148,47 @@ class TestKron:
         E = CooBuilder((2, 2), dtype=np.float64).build()
         K = coo_kron(A, E)
         assert K.shape == (6, 6) and int(K.nnz) == 0
+
+
+class TestFilterTrilTriu:
+    def test_tril_triu_match_scipy(self, rng):
+        import scipy.sparse as sps
+        from spsparse_tpu import coo_tril, coo_triu
+        A = random_coo(rng, (17, 23), 80)
+        dense = np.asarray(A.to_dense())
+        for k in (-3, -1, 0, 1, 4):
+            lo = np.asarray(coo_tril(A, k).to_dense())
+            hi = np.asarray(coo_triu(A, k).to_dense())
+            np.testing.assert_allclose(lo, sps.tril(dense, k).toarray())
+            np.testing.assert_allclose(hi, sps.triu(dense, k).toarray())
+            # tril(k) + triu(k+1) partitions the matrix
+            np.testing.assert_allclose(
+                lo + np.asarray(coo_triu(A, k + 1).to_dense()), dense)
+
+    def test_filter_predicate_and_metadata(self, rng):
+        from spsparse_tpu import coo_filter, consolidate
+        A = consolidate(random_coo(rng, (12, 12), 50))
+        kept = coo_filter(A, lambda idx, vals: jnp.abs(vals) > 0.5)
+        dense = np.asarray(A.to_dense())
+        expect = np.where(np.abs(dense) > 0.5, dense, 0)
+        np.testing.assert_allclose(np.asarray(kept.to_dense()), expect)
+        # order-preserving compaction keeps sortedness metadata valid
+        assert kept.sort_order == A.sort_order
+        idx = np.asarray(kept.indices)[:int(kept.nnz)]
+        assert (np.lexsort((idx[:, 1], idx[:, 0])) == np.arange(len(idx))).all()
+
+    def test_jittable_and_rank_guard(self, rng):
+        from spsparse_tpu import coo_tril, coo_filter
+        from spsparse_tpu.core.errors import SpSparseError
+        A = random_coo(rng, (9, 9), 30)
+        out = jax.jit(lambda a: coo_tril(a, 0))(A)
+        np.testing.assert_allclose(np.asarray(out.to_dense()),
+                                   np.tril(np.asarray(A.to_dense())))
+        v = random_coo(rng, (9,), 5)
+        with pytest.raises(SpSparseError):
+            coo_tril(v)
+        # empty result keeps canonical padding
+        none = coo_filter(A, lambda idx, vals: jnp.zeros(idx.shape[0], bool))
+        assert int(none.nnz) == 0
+        assert np.all(np.asarray(none.indices) ==
+                      np.asarray(none.shape)[None, :])
