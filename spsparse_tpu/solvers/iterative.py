@@ -137,10 +137,15 @@ def cg_solve_mrhs(matmat: Callable[[Array], Array], B: Array, *,
     if B.ndim < 2:
         raise ValueError(f"cg_solve_mrhs expects B of shape (..., n, k), "
                          f"got {B.shape}")
-    apply_m = ((lambda r: r) if minv is None
-               else minv if callable(minv)
-               else (lambda r: jnp.reshape(minv, (-1, 1)) * r
-                     if jnp.ndim(minv) == 1 else minv * r))
+    if minv is None or callable(minv):
+        apply_m = (lambda r: r) if minv is None else minv
+    else:
+        # Per-row array (Jacobi): anything one axis short of B broadcasts
+        # across columns — (n,) for the (n, k) layout, (P, blk) for the
+        # partitioned (P, blk, k) layout. Full-shape arrays apply as-is.
+        mv = jnp.asarray(minv)
+        apply_m = ((lambda r: mv[..., None] * r) if mv.ndim == B.ndim - 1
+                   else (lambda r: mv * r))
 
     def col_dot(u, v):
         return jnp.sum(u * v, axis=tuple(range(u.ndim - 1)))

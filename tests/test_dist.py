@@ -582,3 +582,30 @@ class TestDistBatchedCG:
         # padding rows never move off zero
         np.testing.assert_allclose(np.asarray(X).reshape(-1, k)[n:], 0.0,
                                    atol=0)
+
+    def test_partitioned_jacobi_minv(self, rng):
+        # (P, blk)-shaped Jacobi preconditioner broadcasts across the
+        # column axis of the partitioned layout.
+        from spsparse_tpu.dist import dist_spmm_bucketed, partition_bucketed
+        from spsparse_tpu.solvers import cg_solve_mrhs, jacobi_preconditioner
+        n, k, P = 32, 3, 8
+        D = np.diag(rng.uniform(1.0, 2.0, n))
+        off = rng.uniform(-0.1, 0.1, n - 1)
+        D[np.arange(n - 1), np.arange(1, n)] = off
+        D[np.arange(1, n), np.arange(n - 1)] = off
+        b = CooBuilder((n, n), dtype=np.float64)
+        ii, jj = np.nonzero(D)
+        b.add_many(np.stack([ii, jj], 1), D[ii, jj])
+        mesh = make_mesh()
+        blk = partition_vector(np.zeros(n), P).shape[-1]
+        bkt = partition_bucketed(b.build(), P, blk_len=blk)
+        B = rng.uniform(-1, 1, (n, k))
+        Bp = jnp.asarray(
+            np.concatenate([B, np.zeros((P * blk - n, k))]).reshape(P, blk, k))
+        dpad = np.concatenate([np.diag(D), np.ones(P * blk - n)])
+        minv = jacobi_preconditioner(jnp.asarray(dpad.reshape(P, blk)))
+        X, rs = cg_solve_mrhs(lambda M: dist_spmm_bucketed(bkt, M, mesh),
+                              Bp, iters=30, minv=minv)
+        np.testing.assert_allclose(
+            np.asarray(X).reshape(-1, k)[:n], np.linalg.solve(D, B),
+            rtol=1e-9, atol=1e-11)
