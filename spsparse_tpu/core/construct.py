@@ -177,20 +177,12 @@ def coo_filter(a: SparseCOO, pred) -> SparseCOO:
     The structural filter primitive (tril/triu/band/threshold selections
     are one-liners on top). Vectorized + jit-compatible: selection is a
     mask, live entries compact to the front with an order-preserving
-    single-key sort (consolidate.compact_select), so entry order — and
+    single-key sort (consolidate.filter_compact, which also packs index
+    columns into fewer sort-payload words), so entry order — and
     therefore sortedness metadata — survives. No reference counterpart
     (the reference filters by hand-written add() loops)."""
-    keep = a.valid_mask() & jnp.asarray(pred(a.indices, a.vals), bool)
-    from .consolidate import compact_select
-    cols = tuple(a.indices[:, d] for d in range(a.rank)) + (a.vals,)
-    carried, n = compact_select(keep, cols, cap_out=a.cap)
-    live = jnp.arange(a.cap, dtype=jnp.int32) < n
-    out_idx = jnp.stack(
-        [jnp.where(live, c, jnp.asarray(s, a.index_dtype))
-         for c, s in zip(carried[:-1], a.shape)], axis=1)
-    out_vals = jnp.where(live, carried[-1], 0)
-    return SparseCOO(indices=out_idx, vals=out_vals, nnz=n,
-                     shape=a.shape, sort_order=a.sort_order)
+    from .consolidate import filter_compact
+    return filter_compact(a, jnp.asarray(pred(a.indices, a.vals), bool))
 
 
 def coo_tril(a: SparseCOO, k: int = 0) -> SparseCOO:

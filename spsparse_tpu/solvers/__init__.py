@@ -1,18 +1,26 @@
 """Iterative solvers and preconditioners built on the sparse ops — the
 framework's end-to-end "model" layer (conjugate gradients, BiCGStab,
-Chebyshev, power iteration; Jacobi/block-Jacobi/Neumann preconditioning)
-for single-chip and row-partitioned multi-chip execution."""
+MINRES, GMRES, Chebyshev; least squares via CGLS/LSQR; spectral via
+Lanczos eigsh / LOBPCG / Golub-Kahan svds; Jacobi/block-Jacobi/Neumann
+preconditioning) for single-chip and row-partitioned multi-chip
+execution."""
 
 from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
-                        bicgstab_solve,
-                        chebyshev_solve, cg_solve_implicit, gmres_solve, lanczos_bounds,
+                        bicgstab_solve, minres_solve,
+                        chebyshev_solve, cg_solve_implicit, gmres_solve,
+                        lanczos_bounds,
                         jacobi_preconditioner, power_iteration, CGState)
 from .precond import (extract_diagonal, extract_diag_blocks,
                       block_jacobi_preconditioner, neumann_preconditioner)
+from .lstsq import cgls_solve, lsqr_solve
+from .spectral import lanczos_eigsh, lobpcg_solve, svds_lanczos
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
-           "bicgstab_solve",
-           "chebyshev_solve", "cg_solve_implicit", "gmres_solve", "lanczos_bounds",
+           "bicgstab_solve", "minres_solve",
+           "chebyshev_solve", "cg_solve_implicit", "gmres_solve",
+           "lanczos_bounds",
            "jacobi_preconditioner", "power_iteration",
            "CGState", "extract_diagonal", "extract_diag_blocks",
-           "block_jacobi_preconditioner", "neumann_preconditioner"]
+           "block_jacobi_preconditioner", "neumann_preconditioner",
+           "cgls_solve", "lsqr_solve",
+           "lanczos_eigsh", "lobpcg_solve", "svds_lanczos"]

@@ -18,6 +18,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = Any
 
@@ -142,10 +143,27 @@ def cg_solve_mrhs(matmat: Callable[[Array], Array], B: Array, *,
     else:
         # Per-row array (Jacobi): anything one axis short of B broadcasts
         # across columns — (n,) for the (n, k) layout, (P, blk) for the
-        # partitioned (P, blk, k) layout. Full-shape arrays apply as-is.
+        # partitioned (P, blk, k) layout; its shape must equal B's row
+        # shape exactly (a (k,) per-COLUMN vector is NOT per-row and would
+        # otherwise be misapplied silently when n == k). Full-rank arrays
+        # must broadcast against B.
         mv = jnp.asarray(minv)
-        apply_m = ((lambda r: mv[..., None] * r) if mv.ndim == B.ndim - 1
-                   else (lambda r: mv * r))
+        if mv.ndim == B.ndim - 1:
+            if mv.shape != B.shape[:-1]:
+                raise ValueError(
+                    f"cg_solve_mrhs: per-row minv must have shape "
+                    f"B.shape[:-1] = {B.shape[:-1]}, got {mv.shape}; for a "
+                    f"per-column preconditioner pass shape (1, k) or a "
+                    f"callable")
+            apply_m = lambda r: mv[..., None] * r  # noqa: E731
+        else:
+            try:
+                np.broadcast_shapes(mv.shape, B.shape)
+            except ValueError:
+                raise ValueError(
+                    f"cg_solve_mrhs: minv shape {mv.shape} does not "
+                    f"broadcast against B shape {B.shape}") from None
+            apply_m = lambda r: mv * r  # noqa: E731
 
     def col_dot(u, v):
         return jnp.sum(u * v, axis=tuple(range(u.ndim - 1)))
@@ -222,6 +240,72 @@ def bicgstab_solve(matvec: Callable[[Array], Array], b: Array, *,
     state = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one)
     (x, r, *_), _ = jax.lax.scan(body, state, None, length=iters)
     return x, jnp.vdot(r, r)
+
+
+def minres_solve(matvec: Callable[[Array], Array], b: Array, *,
+                 iters: int, x0: Array | None = None
+                 ) -> tuple[Array, Array]:
+    """MINRES (Paige & Saunders) for symmetric — possibly *indefinite* —
+    operators: CG requires positive definiteness, BiCGStab/GMRES pay for
+    generality they don't need on a symmetric saddle-point or shifted
+    operator. One matvec + O(n) vector work per iteration; Lanczos
+    tridiagonalization with an implicit QR via carried Givens rotations.
+
+    Fixed ``iters`` under ``lax.scan`` (static shapes); breakdown/early
+    convergence (``beta -> 0``) freezes the iterate via masked updates,
+    matching the fixed-iteration contract of :func:`cg_solve`. Returns
+    ``(x, rnorm_sq_estimate)`` (the recurrence's ``|eta|^2``, which tracks
+    ``||b - A x||^2`` in exact arithmetic)."""
+
+    def safe_div(num, den):
+        ok = den != 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x0)
+    beta1 = jnp.sqrt(jnp.vdot(r, r))
+    dt = b.dtype
+    one = jnp.ones((), dt)
+    zero = jnp.zeros((), dt)
+    v = r * safe_div(one, beta1)
+    state = (x0, v, jnp.zeros_like(b),          # x, v_j, v_{j-1}
+             jnp.zeros_like(b), jnp.zeros_like(b),  # w, w_prev
+             zero,                               # beta_j (0 on entry)
+             one, one, zero, zero,               # c, c_old, s, s_old
+             beta1,                              # eta (residual estimate)
+             beta1 > 0)                          # alive
+
+    def body(state, _):
+        (x, v, v_prev, w, w_prev, beta, c, c_old, s, s_old, eta,
+         alive) = state
+        Av = matvec(v)
+        alpha = jnp.vdot(v, Av)
+        r_next = Av - alpha * v - beta * v_prev
+        beta_n = jnp.sqrt(jnp.vdot(r_next, r_next))
+        # Apply the two previous rotations to the new tridiagonal column,
+        # then form the rotation eliminating beta_{j+1}.
+        rho1_hat = c * alpha - c_old * s * beta
+        rho1 = jnp.sqrt(rho1_hat**2 + beta_n**2)
+        rho2 = s * alpha + c_old * c * beta
+        rho3 = s_old * beta
+        c_new = safe_div(rho1_hat, rho1)
+        s_new = safe_div(beta_n, rho1)
+        w_next = (v - rho3 * w_prev - rho2 * w) * safe_div(one, rho1)
+        upd = alive & (rho1 != 0)
+        x = jnp.where(upd, x + (c_new * eta) * w_next, x)
+        eta = jnp.where(upd, -s_new * eta, eta)
+        alive_next = upd & (beta_n > 0)
+        v_next = r_next * safe_div(one, beta_n)
+        return (x, jnp.where(alive_next, v_next, v),
+                jnp.where(alive_next, v, v_prev),
+                jnp.where(upd, w_next, w), jnp.where(upd, w, w_prev),
+                jnp.where(alive_next, beta_n, beta),
+                jnp.where(upd, c_new, c), jnp.where(upd, c, c_old),
+                jnp.where(upd, s_new, s), jnp.where(upd, s, s_old),
+                eta, alive_next), None
+
+    (x, *_, eta, _), _ = jax.lax.scan(body, state, None, length=iters)
+    return x, eta**2
 
 
 def chebyshev_solve(matvec: Callable[[Array], Array], b: Array, *,

@@ -1,0 +1,309 @@
+"""Spectral (eigsh/LOBPCG/svds) + least-squares (CGLS/LSQR) + MINRES
+solver coverage.
+
+No reference counterpart (the reference stops at the multiply chain); the
+oracles are dense numpy eigendecompositions/SVDs/lstsq solves, with the
+sparse path exercised through CSR spmv closures.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spsparse_tpu import CooBuilder, to_csr
+from spsparse_tpu.ops.spmm import spmv
+from spsparse_tpu.solvers import (cgls_solve, lanczos_eigsh, lobpcg_solve,
+                                  lsqr_solve, minres_solve, svds_lanczos,
+                                  jacobi_preconditioner)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def spd_dense(rng, n, spread=10.0):
+    """SPD with well-separated extreme eigenvalues (so the Lanczos/LOBPCG
+    extreme pairs converge in few iterations)."""
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(1.0, spread, n)
+    return (Q * lam) @ Q.T, lam, Q
+
+
+def to_coo(A, dtype=np.float64):
+    ii, jj = np.nonzero(A)
+    b = CooBuilder(A.shape, dtype=dtype)
+    b.add_many(np.stack([ii, jj], 1), A[ii, jj])
+    return b.build()
+
+
+class TestLanczosEigsh:
+    def test_extreme_pairs_match_dense(self, rng):
+        n, k = 60, 3
+        A, lam, Q = spd_dense(rng, n)
+        mv = lambda v: jnp.asarray(A) @ v
+        v0 = jnp.asarray(rng.standard_normal(n))
+
+        vals, vecs = lanczos_eigsh(mv, v0, k=k, iters=n, which="LA")
+        np.testing.assert_allclose(np.asarray(vals), lam[-k:], rtol=1e-9)
+        # Eigenvector check: A v = lambda v (sign-free).
+        for i in range(k):
+            v = np.asarray(vecs[:, i])
+            np.testing.assert_allclose(A @ v, float(vals[i]) * v,
+                                       atol=1e-7)
+
+        vals_s, vecs_s = lanczos_eigsh(mv, v0, k=k, iters=n, which="SA")
+        np.testing.assert_allclose(np.asarray(vals_s), lam[:k], rtol=1e-9)
+        for i in range(k):
+            v = np.asarray(vecs_s[:, i])
+            np.testing.assert_allclose(A @ v, float(vals_s[i]) * v,
+                                       atol=1e-7)
+
+    def test_indefinite_symmetric(self, rng):
+        # Works on symmetric indefinite operators (only symmetry needed).
+        n = 40
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(-5.0, 7.0, n)
+        A = (Q * lam) @ Q.T
+        vals, _ = lanczos_eigsh(lambda v: jnp.asarray(A) @ v,
+                                jnp.asarray(rng.standard_normal(n)),
+                                k=2, iters=n, which="SA")
+        np.testing.assert_allclose(np.asarray(vals), lam[:2], rtol=1e-8)
+
+    def test_sparse_matvec_and_jit(self, rng):
+        n, k = 48, 2
+        A, lam, _ = spd_dense(rng, n)
+        csr = to_csr(to_coo(A))
+        mv = lambda v: spmv(csr, v)
+        v0 = jnp.asarray(rng.standard_normal(n))
+        f = jax.jit(lambda v: lanczos_eigsh(mv, v, k=k, iters=n,
+                                            which="LA"))
+        vals, _ = f(v0)
+        np.testing.assert_allclose(np.asarray(vals), lam[-k:], rtol=1e-8)
+
+    def test_breakdown_low_rank(self, rng):
+        # Rank-2 PSD operator: Krylov space exhausts after ~2 steps; the
+        # spurious post-breakdown Ritz pairs must not pollute the top-k.
+        n = 30
+        u = rng.standard_normal(n)
+        w = rng.standard_normal(n)
+        A = 3.0 * np.outer(u, u) / (u @ u) + 1.5 * np.outer(w, w) / (w @ w)
+        lam_true = np.sort(np.linalg.eigvalsh(A))
+        vals, _ = lanczos_eigsh(lambda v: jnp.asarray(A) @ v,
+                                jnp.asarray(rng.standard_normal(n)),
+                                k=2, iters=12, which="LA")
+        np.testing.assert_allclose(np.asarray(vals), lam_true[-2:],
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_validation(self, rng):
+        mv = lambda v: v
+        v0 = jnp.ones(8)
+        with pytest.raises(ValueError):
+            lanczos_eigsh(mv, v0, k=0, which="LA")
+        with pytest.raises(ValueError):
+            lanczos_eigsh(mv, v0, k=3, iters=2)
+        with pytest.raises(ValueError):
+            lanczos_eigsh(mv, v0, k=1, which="LM")
+
+
+class TestLobpcg:
+    def test_smallest_with_preconditioner(self, rng):
+        n, k = 64, 3
+        A, lam, _ = spd_dense(rng, n, spread=100.0)
+        Acoo = to_coo(A)
+        mm = lambda X: jnp.asarray(A) @ X
+        X0 = jnp.asarray(rng.standard_normal((n, k)))
+        minv = jacobi_preconditioner(jnp.asarray(np.diag(A)))
+        vals, X = lobpcg_solve(mm, X0, iters=60, minv=minv)
+        np.testing.assert_allclose(np.asarray(vals), lam[:k], rtol=1e-6)
+        for i in range(k):
+            v = np.asarray(X[:, i])
+            np.testing.assert_allclose(A @ v, float(vals[i]) * v,
+                                       atol=1e-4)
+        del Acoo
+
+    def test_largest(self, rng):
+        n, k = 50, 2
+        A, lam, _ = spd_dense(rng, n)
+        X0 = jnp.asarray(rng.standard_normal((n, k)))
+        vals, _ = lobpcg_solve(lambda X: jnp.asarray(A) @ X, X0,
+                               iters=50, largest=True)
+        np.testing.assert_allclose(np.asarray(vals), lam[::-1][:k],
+                                   rtol=1e-7)
+
+    def test_jit_and_sparse_operator(self, rng):
+        n, k = 40, 2
+        A, lam, _ = spd_dense(rng, n)
+        csr = to_csr(to_coo(A))
+        mm = lambda X: jax.vmap(lambda c: spmv(csr, c),
+                                in_axes=1, out_axes=1)(X)
+        X0 = jnp.asarray(rng.standard_normal((n, k)))
+        vals, _ = jax.jit(lambda X: lobpcg_solve(mm, X, iters=50))(X0)
+        np.testing.assert_allclose(np.asarray(vals), lam[:k], rtol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            lobpcg_solve(lambda X: X, jnp.ones(8), iters=3)
+
+
+class TestSvds:
+    def test_rectangular_top_k(self, rng):
+        m, n, k = 50, 30, 3
+        A = rng.standard_normal((m, n))
+        # Spread the spectrum so the top-k separate cleanly.
+        U, s, Vt = np.linalg.svd(A, full_matrices=False)
+        s = np.linspace(10.0, 1.0, s.size)
+        A = (U * s) @ Vt
+        Aj = jnp.asarray(A)
+        Uk, sk, Vtk = svds_lanczos(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                                   jnp.asarray(rng.standard_normal(n)),
+                                   k=k, iters=n)
+        np.testing.assert_allclose(np.asarray(sk), s[:k], rtol=1e-9)
+        # Triplet consistency: A @ v_i = s_i u_i.
+        for i in range(k):
+            np.testing.assert_allclose(A @ np.asarray(Vtk[i]),
+                                       float(sk[i]) * np.asarray(Uk[:, i]),
+                                       atol=1e-7)
+
+    def test_sparse_operator_jit(self, rng):
+        m, n, k = 40, 24, 2
+        d = np.zeros((m, n))
+        # Regridding-style banded rectangular operator.
+        for i in range(m):
+            j = int(i * n / m)
+            d[i, j] = 1.0 + 0.1 * i
+            if j + 1 < n:
+                d[i, j + 1] = 0.5
+        csr = to_csr(to_coo(d))
+        csrT = to_csr(to_coo(d.T))
+        f = jax.jit(lambda v0: svds_lanczos(
+            lambda v: spmv(csr, v), lambda u: spmv(csrT, u), v0,
+            k=k, iters=n))
+        Uk, sk, Vtk = f(jnp.asarray(rng.standard_normal(n)))
+        s_true = np.linalg.svd(d, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(sk), s_true[:k], rtol=1e-8)
+
+    def test_low_rank_breakdown(self, rng):
+        m, n = 25, 18
+        A = np.outer(rng.standard_normal(m), rng.standard_normal(n))
+        Aj = jnp.asarray(A)
+        _, sk, _ = svds_lanczos(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                                jnp.asarray(rng.standard_normal(n)),
+                                k=2, iters=10)
+        s_true = np.linalg.svd(A, compute_uv=False)
+        np.testing.assert_allclose(float(sk[0]), s_true[0], rtol=1e-9)
+        assert float(sk[1]) < 1e-8 * s_true[0]  # rank-1: second sv ~ 0
+
+
+class TestLstsq:
+    def test_cgls_overdetermined(self, rng):
+        m, n = 60, 25
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        x, g2 = cgls_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=n + 10)
+        expect, *_ = np.linalg.lstsq(A, b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-10)
+        assert float(g2) < 1e-16
+
+    def test_lsqr_matches_cgls_and_oracle(self, rng):
+        m, n = 50, 20
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        x, r2 = lsqr_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=n + 10)
+        expect, res, *_ = np.linalg.lstsq(A, b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-10)
+        # rnorm estimate matches the true residual.
+        np.testing.assert_allclose(float(r2),
+                                   float(np.sum((A @ expect - b) ** 2)),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("solver", [cgls_solve, lsqr_solve])
+    def test_damped(self, rng, solver):
+        m, n, damp = 40, 15, 0.7
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        x, _ = solver(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                      jnp.asarray(b), iters=n + 15, damp=damp)
+        expect = np.linalg.solve(A.T @ A + damp**2 * np.eye(n), A.T @ b)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_sparse_operator_jit(self, rng):
+        m, n = 48, 20
+        d = np.zeros((m, n))
+        for i in range(m):
+            d[i, int(i * n / m)] = 1.0 + 0.05 * i
+            d[i, rng.integers(n)] += 0.3
+        csr, csrT = to_csr(to_coo(d)), to_csr(to_coo(d.T))
+        b = jnp.asarray(rng.standard_normal(m))
+        f = jax.jit(lambda bb: lsqr_solve(lambda v: spmv(csr, v),
+                                          lambda u: spmv(csrT, u), bb,
+                                          iters=n + 10))
+        x, _ = f(b)
+        expect, *_ = np.linalg.lstsq(d, np.asarray(b), rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_underdetermined_cgls(self, rng):
+        # m < n: CGLS from x0=0 converges to the minimum-norm solution.
+        m, n = 15, 30
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        x, _ = cgls_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                          jnp.asarray(b), iters=m + 10)
+        expect = np.linalg.pinv(A) @ b
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-10)
+
+
+class TestMinres:
+    def test_symmetric_indefinite(self, rng):
+        n = 40
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.concatenate([np.linspace(-8, -1, n // 2),
+                              np.linspace(1, 8, n - n // 2)])
+        A = (Q * lam) @ Q.T
+        b = rng.standard_normal(n)
+        x, r2 = minres_solve(lambda v: jnp.asarray(A) @ v,
+                             jnp.asarray(b), iters=n + 10)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-7, atol=1e-9)
+        true_r2 = float(np.sum((b - A @ np.asarray(x)) ** 2))
+        assert abs(float(r2) - true_r2) < 1e-10
+
+    def test_spd_agrees_with_cg_and_x0(self, rng):
+        from spsparse_tpu.solvers import cg_solve
+        n = 30
+        A, _, _ = spd_dense(rng, n)
+        b = jnp.asarray(rng.standard_normal(n))
+        x0 = jnp.asarray(rng.standard_normal(n))
+        mv = lambda v: jnp.asarray(A) @ v
+        xm, _ = minres_solve(mv, b, iters=n + 10, x0=x0)
+        xc, _ = cg_solve(mv, b, iters=n + 10)
+        np.testing.assert_allclose(np.asarray(xm), np.asarray(xc),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_sparse_jit_exact_b_in_range(self, rng):
+        n = 32
+        # Singular PSD (rank-deficient) with b in the range: MINRES finds
+        # a solution; breakdown masking must freeze, not NaN.
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.concatenate([np.zeros(4), np.linspace(1, 5, n - 4)])
+        A = (Q * lam) @ Q.T
+        xs = Q[:, 4:] @ rng.standard_normal(n - 4)
+        b = A @ xs
+        csr = to_csr(to_coo(A))
+        x, r2 = jax.jit(lambda bb: minres_solve(
+            lambda v: spmv(csr, v), bb, iters=n + 20))(jnp.asarray(b))
+        assert np.all(np.isfinite(np.asarray(x)))
+        np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-8)
