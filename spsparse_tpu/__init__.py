@@ -45,6 +45,9 @@ from .core import (
     coo_filter,
     coo_tril,
     coo_triu,
+    rcm_permutation,
+    coo_permute,
+    bandwidth,
     row_sums,
     col_sums,
     scale_rows,

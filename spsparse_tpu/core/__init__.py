@@ -27,6 +27,7 @@ from .structure import (
     to_ell,
 )
 from .algebra import coo_concat, coo_add, coo_scale
+from .reorder import rcm_permutation, coo_permute, bandwidth
 from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
                         coo_filter, coo_tril, coo_triu,
                         row_sums, col_sums, scale_rows, scale_cols)
@@ -45,6 +46,7 @@ __all__ = [
     "coo_concat", "coo_add", "coo_scale",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
     "coo_filter", "coo_tril", "coo_triu",
+    "rcm_permutation", "coo_permute", "bandwidth",
     "row_sums", "col_sums", "scale_rows", "scale_cols",
     "JoinResult", "join2", "join3", "intersect_mask",
     "scatter_to_dense", "scalar_sum", "permute_output", "project_output",

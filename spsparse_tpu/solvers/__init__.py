@@ -13,7 +13,8 @@ from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
 from .precond import (extract_diagonal, extract_diag_blocks,
                       block_jacobi_preconditioner, neumann_preconditioner)
 from .lstsq import cgls_solve, lsqr_solve
-from .spectral import lanczos_eigsh, lobpcg_solve, svds_lanczos
+from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
+                       funm_multiply, expm_multiply)
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "minres_solve",
@@ -23,4 +24,5 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "CGState", "extract_diagonal", "extract_diag_blocks",
            "block_jacobi_preconditioner", "neumann_preconditioner",
            "cgls_solve", "lsqr_solve",
-           "lanczos_eigsh", "lobpcg_solve", "svds_lanczos"]
+           "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
+           "funm_multiply", "expm_multiply"]

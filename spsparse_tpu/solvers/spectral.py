@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-__all__ = ["lanczos_eigsh", "lobpcg_solve", "svds_lanczos"]
+__all__ = ["lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
+           "funm_multiply", "expm_multiply"]
 
 
 def _cgs2(V: Array, w: Array, j, m: int):
@@ -145,7 +146,47 @@ def lanczos_eigsh(matvec: Callable[[Array], Array], v0: Array, *,
     return vals, vecs
 
 
-def _whiten(G: Array) -> Array:
+def funm_multiply(matvec: Callable[[Array], Array], v: Array, *,
+                  f: Callable[[Array], Array],
+                  iters: int = 32) -> Array:
+    """``f(A) @ v`` for a symmetric operator via the Lanczos
+    approximation: with ``A V^T ~ V^T T`` on the Krylov basis,
+    ``f(A) v ~ ||v|| * V^T f(T) e_1``; ``f`` is applied to the Ritz
+    values of the small ``iters x iters`` tridiagonal (one on-device
+    ``eigh``). This is the whole matrix-function family in one primitive
+    — ``exp`` (:func:`expm_multiply`), ``sqrt`` (sampling Gaussians with
+    sparse-precision covariance), ``log``, spectral filters — at the cost
+    of ``iters`` matvecs + the CGS2 basis work.
+
+    ``f`` must be defined on the operator's spectrum (e.g. ``jnp.sqrt``
+    needs a PSD operator). Post-breakdown spurious Ritz pairs contribute
+    nothing: their eigenvectors have zero first component (the ``e_1``
+    weight), so no masking is needed. Fixed ``iters``, jit-compatible.
+
+    No reference counterpart; completes the Krylov tier next to
+    :func:`lanczos_eigsh` (same decomposition, different small-problem
+    consumer)."""
+    V, alpha, beta = _lanczos_decomp(matvec, v, iters)
+    T = (jnp.diag(alpha) + jnp.diag(beta[:-1], 1)
+         + jnp.diag(beta[:-1], -1))
+    w, Y = jnp.linalg.eigh(T)
+    nrm = jnp.sqrt(jnp.vdot(v, v))
+    coeff = Y @ (jnp.asarray(f(w), Y.dtype) * Y[0, :])   # f(T) e_1
+    return nrm * (coeff @ V[:iters])
+
+
+def expm_multiply(matvec: Callable[[Array], Array], v: Array, *,
+                  t: float = 1.0, iters: int = 32) -> Array:
+    """``exp(t A) @ v`` for symmetric ``A`` by Lanczos
+    (:func:`funm_multiply` with ``f = exp(t .)``) — the
+    ``scipy.sparse.linalg.expm_multiply`` capability for the symmetric
+    case (heat/diffusion propagation through a sparse operator)."""
+    tt = jnp.asarray(t, v.dtype)
+    return funm_multiply(matvec, v, f=lambda w: jnp.exp(tt * w),
+                         iters=iters)
+
+
+def _whiten(G: Array) -> tuple[Array, Array]:
     """Pseudo-inverse square root of a symmetric PSD Gram matrix by
     eigenvalue masking — LOBPCG's rank-deficiency guard (replaces scipy's
     Cholesky-with-fallbacks). Directions with eigenvalue below

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from spsparse_tpu import CooBuilder, to_csr
 from spsparse_tpu.ops.spmm import spmv
-from spsparse_tpu.solvers import (cgls_solve, lanczos_eigsh, lobpcg_solve,
+from spsparse_tpu.solvers import (cgls_solve, expm_multiply, funm_multiply,
+                                  lanczos_eigsh, lobpcg_solve,
                                   lsqr_solve, minres_solve, svds_lanczos,
                                   jacobi_preconditioner)
 
@@ -195,6 +196,63 @@ class TestSvds:
         s_true = np.linalg.svd(A, compute_uv=False)
         np.testing.assert_allclose(float(sk[0]), s_true[0], rtol=1e-9)
         assert float(sk[1]) < 1e-8 * s_true[0]  # rank-1: second sv ~ 0
+
+
+class TestFunm:
+    def test_expm_multiply_matches_dense(self, rng):
+        n = 36
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(-2.0, 1.5, n)       # indefinite is fine for exp
+        A = (Q * lam) @ Q.T
+        v = rng.standard_normal(n)
+        for t in (1.0, -0.5):
+            got = expm_multiply(lambda u: jnp.asarray(A) @ u,
+                                jnp.asarray(v), t=t, iters=n)
+            expect = (Q * np.exp(t * lam)) @ (Q.T @ v)
+            np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-9,
+                                       atol=1e-11)
+
+    def test_sqrt_and_inverse_via_funm(self, rng):
+        n = 30
+        A, lam, Q = spd_dense(rng, n)
+        v = rng.standard_normal(n)
+        mv = lambda u: jnp.asarray(A) @ u
+        got = funm_multiply(mv, jnp.asarray(v), f=jnp.sqrt, iters=n)
+        expect = (Q * np.sqrt(lam)) @ (Q.T @ v)
+        np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-9,
+                                   atol=1e-11)
+        # f = 1/x reproduces the solver result.
+        got_inv = funm_multiply(mv, jnp.asarray(v), f=lambda w: 1 / w,
+                                iters=n)
+        np.testing.assert_allclose(np.asarray(got_inv),
+                                   np.linalg.solve(A, v), rtol=1e-9,
+                                   atol=1e-11)
+
+    def test_truncated_krylov_converges(self, rng):
+        # Lanczos f(A)v converges fast in iters (well-conditioned case):
+        # a 24-dim Krylov space on n=200 must already be accurate.
+        n = 200
+        A, lam, Q = spd_dense(rng, n, spread=4.0)
+        v = rng.standard_normal(n)
+        got = expm_multiply(lambda u: jnp.asarray(A) @ u, jnp.asarray(v),
+                            t=-1.0, iters=24)
+        expect = (Q * np.exp(-lam)) @ (Q.T @ v)
+        np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_jit_sparse_and_breakdown(self, rng):
+        # Low-rank operator: breakdown padding must not corrupt f(A)v.
+        n = 24
+        u = rng.standard_normal(n)
+        A = 2.0 * np.outer(u, u) / (u @ u)
+        v = rng.standard_normal(n)
+        csr = to_csr(to_coo(A))
+        got = jax.jit(lambda vv: expm_multiply(
+            lambda w: spmv(csr, w), vv, t=1.0, iters=12))(jnp.asarray(v))
+        lam_d, Q_d = np.linalg.eigh(A)
+        expect = (Q_d * np.exp(lam_d)) @ (Q_d.T @ v)
+        np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-9,
+                                   atol=1e-9)
 
 
 class TestLstsq:
