@@ -37,6 +37,10 @@ from .core import (
     coo_concat,
     coo_add,
     coo_scale,
+    coo_hstack,
+    coo_vstack,
+    coo_block_diag,
+    coo_norm,
     coo_eye,
     coo_diags,
     coo_random,

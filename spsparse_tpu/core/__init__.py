@@ -26,10 +26,11 @@ from .structure import (
     to_csr,
     to_ell,
 )
-from .algebra import coo_concat, coo_add, coo_scale
+from .algebra import (coo_concat, coo_add, coo_scale,
+                      coo_hstack, coo_vstack, coo_block_diag)
 from .reorder import rcm_permutation, coo_permute, bandwidth
 from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
-                        coo_filter, coo_tril, coo_triu,
+                        coo_filter, coo_tril, coo_triu, coo_norm,
                         row_sums, col_sums, scale_rows, scale_cols)
 from .join import JoinResult, join2, join3, intersect_mask
 from .accum import scatter_to_dense, scalar_sum, permute_output, project_output
@@ -44,6 +45,7 @@ __all__ = [
     "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
     "to_csr", "to_ell",
     "coo_concat", "coo_add", "coo_scale",
+    "coo_hstack", "coo_vstack", "coo_block_diag", "coo_norm",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
     "coo_filter", "coo_tril", "coo_triu",
     "rcm_permutation", "coo_permute", "bandwidth",

@@ -28,7 +28,8 @@ from .errors import DuplicatePolicy, SpSparseError
 
 Array = Any
 
-__all__ = ["coo_concat", "coo_add", "coo_scale"]
+__all__ = ["coo_concat", "coo_add", "coo_scale",
+           "coo_hstack", "coo_vstack", "coo_block_diag"]
 
 
 def coo_concat(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
@@ -106,3 +107,96 @@ def coo_scale(a: SparseCOO, c) -> SparseCOO:
     metadata) unchanged. Padding stays zero because padding values are
     zero by convention."""
     return dataclasses.replace(a, vals=a.vals * jnp.asarray(c, a.dtype))
+
+
+def _coo_stack2d(arrays, row_offs, col_offs, out_shape,
+                 cap: int | None) -> SparseCOO:
+    """Shared core of hstack/vstack/block_diag: shift each operand's live
+    indices by its (row, col) offset, concatenate, compact live entries to
+    the front (one stable single-key sort; no scatters). Unsorted result,
+    operand entry order preserved — exactly the insertion-order contract
+    successive reference ``copy()`` calls into one accumulator would give
+    (``algorithm.hpp:30-37``)."""
+    from .coo import default_index_dtype
+
+    if cap is None:
+        cap = round_up_pow2(sum(x.cap for x in arrays))
+    idt = default_index_dtype(out_shape)
+    for x in arrays:
+        idt = jnp.promote_types(idt, x.index_dtype)
+    vdt = arrays[0].dtype
+    for x in arrays[1:]:
+        vdt = jnp.promote_types(vdt, x.dtype)
+    sent = SparseCOO.sentinel_index(out_shape, idt)
+    rows, cols, vals, valid = [], [], [], []
+    for x, ro, co in zip(arrays, row_offs, col_offs):
+        lv = x.valid_mask()
+        rows.append(jnp.where(lv, x.indices[:, 0].astype(idt) + ro,
+                              sent[0]))
+        cols.append(jnp.where(lv, x.indices[:, 1].astype(idt) + co,
+                              sent[1]))
+        vals.append(x.vals.astype(vdt))
+        valid.append(lv)
+    carried, n = compact_select(
+        jnp.concatenate(valid),
+        (jnp.concatenate(rows), jnp.concatenate(cols),
+         jnp.concatenate(vals)), cap_out=int(cap))
+    out = SparseCOO(indices=jnp.stack(carried[:2], axis=1),
+                    vals=carried[2],
+                    nnz=jnp.minimum(n, cap).astype(jnp.int32),
+                    shape=tuple(int(s) for s in out_shape),
+                    sort_order=None)
+    return out.repad()
+
+
+def _check_rank2(arrays, name):
+    if not arrays:
+        raise SpSparseError(f"{name} requires at least one operand")
+    for x in arrays:
+        if x.rank != 2:
+            raise SpSparseError(f"{name} requires rank-2 arrays, got "
+                                f"shape {x.shape}")
+
+
+def coo_hstack(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
+    """``[A B ...]`` — horizontal stacking of rank-2 arrays with equal row
+    counts (scipy.sparse.hstack). jit-compatible (static shapes/caps)."""
+    _check_rank2(arrays, "coo_hstack")
+    nr = arrays[0].shape[0]
+    for x in arrays[1:]:
+        if x.shape[0] != nr:
+            raise SpSparseError(
+                f"coo_hstack row mismatch: {x.shape[0]} vs {nr}")
+    offs = [0]
+    for x in arrays:
+        offs.append(offs[-1] + int(x.shape[1]))
+    return _coo_stack2d(arrays, [0] * len(arrays), offs[:-1],
+                        (nr, offs[-1]), cap)
+
+
+def coo_vstack(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
+    """``[A; B; ...]`` — vertical stacking of rank-2 arrays with equal
+    column counts (scipy.sparse.vstack). jit-compatible."""
+    _check_rank2(arrays, "coo_vstack")
+    nc = arrays[0].shape[1]
+    for x in arrays[1:]:
+        if x.shape[1] != nc:
+            raise SpSparseError(
+                f"coo_vstack column mismatch: {x.shape[1]} vs {nc}")
+    offs = [0]
+    for x in arrays:
+        offs.append(offs[-1] + int(x.shape[0]))
+    return _coo_stack2d(arrays, offs[:-1], [0] * len(arrays),
+                        (offs[-1], nc), cap)
+
+
+def coo_block_diag(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
+    """``diag(A, B, ...)`` — block-diagonal composition of rank-2 arrays
+    (scipy.sparse.block_diag); the natural assembly for independent
+    subdomain operators ahead of one batched solve. jit-compatible."""
+    _check_rank2(arrays, "coo_block_diag")
+    ro, co = [0], [0]
+    for x in arrays:
+        ro.append(ro[-1] + int(x.shape[0]))
+        co.append(co[-1] + int(x.shape[1]))
+    return _coo_stack2d(arrays, ro[:-1], co[:-1], (ro[-1], co[-1]), cap)

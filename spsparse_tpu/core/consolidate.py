@@ -315,11 +315,20 @@ def merge_sorted_entries(
     shape = tuple(int(s) for s in shape)
 
     if method == "compact":
-        return _merge_compact(index_cols, vals, valid, is_new,
-                              shape=shape,
-                              duplicate_policy=duplicate_policy, cap=cap,
-                              sort_order=sort_order,
-                              index_dtype=index_dtype, n_out=n_out)
+        limit = 2 ** 62 if index_dtype == jnp.int64 else 2 ** 31
+        exts = [int(s) + 1 for s in shape]
+        plan = _plan_packing(exts, limit)
+        sent_cols = [
+            jnp.where(valid, c.astype(index_dtype),
+                      jnp.asarray(shape[d], index_dtype))
+            for d, c in enumerate(index_cols)
+        ]
+        words = _pack_cols(sent_cols, exts, plan, index_dtype)
+        return _merge_compact_words(
+            words, vals, valid, is_new, exts=exts, plan=plan,
+            dim_order=tuple(range(len(shape))), shape=shape,
+            duplicate_policy=duplicate_policy, cap=cap,
+            sort_order=sort_order, index_dtype=index_dtype, n_out=n_out)
 
     # ---- scatter formulation (reference-bitwise ADD accumulation) ----
     drop = jnp.asarray(cap, jnp.int32)
@@ -382,78 +391,82 @@ def _segmented_cumsum(x, is_start):
     return v
 
 
-def _merge_compact(index_cols, vals, valid, is_new, *, shape,
-                   duplicate_policy, cap, sort_order, index_dtype, n_out):
-    """Scatter-free merge: pick one representative entry per run, compact
-    representatives to the front with a stable sort."""
+def _merge_compact_words(words, vals, valid, is_new, *, exts, plan,
+                         dim_order, shape, duplicate_policy, cap,
+                         sort_order, index_dtype, n_out):
+    """Scatter-free merge on *packed-word* entry streams: pick one
+    representative per run, compact representatives to the front with a
+    stable sort, unpack columns exactly once at the end.
+
+    ``words`` are the mixed-radix packed (sentinel-encoded) index words in
+    ``dim_order``; keeping them packed through the merge is the round-3
+    fusion — round 2 unpacked after the primary sort and re-packed before
+    the compaction, paying ``rank`` div/mod passes plus ``rank`` FMA
+    passes per consolidate for nothing (packing is injective, so run
+    boundaries and compaction work on words directly)."""
     floating = jnp.issubdtype(vals.dtype, jnp.floating)
     add_needs_diff = False
+    nonfinite_cond = False
     if duplicate_policy == DuplicatePolicy.ADD:
         select = _run_last(is_new, valid)
         if floating:
             # A plain scan would poison every run after the first
-            # non-finite value. Scan the finite part and carry integer
-            # presence counts; the IEEE outcome of a sum depends only on
-            # which non-finite classes the run contains (any NaN -> NaN;
-            # +inf and -inf -> NaN; else the surviving inf). The counts
-            # ride the compaction sort only on the (rare) inputs that
-            # actually contain non-finite values — a runtime ``lax.cond``
+            # non-finite value. Scan the finite part; non-finite runs are
+            # patched from integer presence counts (any NaN -> NaN; +inf
+            # and -inf -> NaN; else the surviving inf). The counts are
+            # computed AND carried through the compaction sort only on
+            # the (rare) inputs that actually contain non-finite values —
+            # a runtime ``lax.cond`` both skips their cumsum passes and
             # picks the 3-fewer-operand sort otherwise.
             finite = jnp.isfinite(vals)
             carry_val = _segmented_cumsum(jnp.where(finite, vals, 0),
                                           is_new)
-            extra = (jnp.cumsum(jnp.isnan(vals).astype(jnp.int32)),
-                     jnp.cumsum((vals == jnp.inf).astype(jnp.int32)),
-                     jnp.cumsum((vals == -jnp.inf).astype(jnp.int32)))
+            nonfinite_cond = True
         else:
             # Integer cumsum differences are exact — skip the segmented
             # scan's second carried operand.
             carry_val = jnp.cumsum(vals)
-            extra = ()
             add_needs_diff = True
     elif duplicate_policy == DuplicatePolicy.LEAVE_ALONE:
         select = is_new
         carry_val = vals
-        extra = ()
     elif duplicate_policy == DuplicatePolicy.REPLACE:
         select = _run_last(is_new, valid)
         carry_val = vals
-        extra = ()
     else:  # pragma: no cover
         raise ValueError(f"unknown duplicate policy {duplicate_policy}")
 
-    limit = 2 ** 62 if index_dtype == jnp.int64 else 2 ** 31
-    exts = [int(s) + 1 for s in shape]
-    plan = _plan_packing(exts, limit)
-    sent_cols = [
-        jnp.where(valid, c.astype(index_dtype),
-                  jnp.asarray(shape[d], index_dtype))
-        for d, c in enumerate(index_cols)
-    ]
-    words = _pack_cols(sent_cols, exts, plan, index_dtype)
-    if extra:
+    if nonfinite_cond:
         def with_counts(ops):
-            sel, base, ex = ops
-            comp, _ = compact_select(sel, base + ex, cap_out=cap)
+            sel, base, v = ops
+            counts = (jnp.cumsum(jnp.isnan(v).astype(jnp.int32)),
+                      jnp.cumsum((v == jnp.inf).astype(jnp.int32)),
+                      jnp.cumsum((v == -jnp.inf).astype(jnp.int32)))
+            comp, _ = compact_select(sel, base + counts, cap_out=cap)
             return comp
 
         def without_counts(ops):
-            sel, base, ex = ops
+            sel, base, v = ops
             comp, _ = compact_select(sel, base, cap_out=cap)
-            # Derive the zeros from ``ex`` so they carry the same
+            # Derive the zeros from ``v`` so they carry the same
             # mesh-axis varying-ness under shard_map (a plain
             # ``jnp.zeros`` is replicated, and cond requires both
             # branches' outputs to vary over the same manual axes).
-            z = jnp.zeros((cap,), jnp.int32) + ex[0][0] * 0
-            return comp + (z,) * len(ex)
+            z = jnp.zeros((cap,), jnp.int32) + (v[0] * 0).astype(jnp.int32)
+            return comp + (z,) * 3
 
-        any_nonfinite = (extra[0][-1] + extra[1][-1] + extra[2][-1]) > 0
+        any_nonfinite = ~jnp.all(finite)
         comp = jax.lax.cond(any_nonfinite, with_counts, without_counts,
-                            (select, tuple(words) + (carry_val,), extra))
+                            (select, tuple(words) + (carry_val,), vals))
     else:
         comp, _ = compact_select(select, tuple(words) + (carry_val,),
                                  cap_out=cap)
-    out_cols = _unpack_cols(comp[:len(words)], exts, plan, index_dtype)
+    ordered_cols = _unpack_cols(comp[:len(words)], exts, plan, index_dtype)
+    # Reassemble columns in natural dimension order (dim_order may be a
+    # sort-key permutation when called from the fused consolidate path).
+    out_cols: list = [None] * len(dim_order)
+    for pos, d in enumerate(dim_order):
+        out_cols[d] = ordered_cols[pos]
     cval = comp[len(words)]
 
     def run_diff(c):
@@ -465,7 +478,7 @@ def _merge_compact(index_cols, vals, valid, is_new, *, shape,
         # Int: inclusive-prefix at this run's end minus at the previous
         # run's end (runs tile the valid prefix contiguously; exact).
         out_vals = run_diff(cval) if add_needs_diff else cval
-        if extra:
+        if nonfinite_cond:
             n_nan, n_pos, n_neg = (run_diff(comp[len(words) + 1 + i])
                                    for i in range(3))
             out_vals = jnp.where(n_pos > 0, jnp.asarray(
@@ -517,17 +530,56 @@ def consolidate(
     # Structurally-zero entries (0, NaN iff zero_nan) are dropped up front —
     # they get sentinel keys and sort behind every real entry.
     live = a.valid_mask() & ~isnone(a.vals, zero_nan)
-    cols, svals, slive, _ = _sort_operands(a, full_order, live=live)
 
-    return merge_sorted_entries(
-        cols, svals, slive,
-        shape=a.shape,
-        duplicate_policy=duplicate_policy,
-        cap=cap_out,
-        sort_order=full_order,
-        index_dtype=a.index_dtype,
-        method=method,
-    )
+    if method != "compact":
+        cols, svals, slive, _ = _sort_operands(a, full_order, live=live)
+        return merge_sorted_entries(
+            cols, svals, slive,
+            shape=a.shape,
+            duplicate_policy=duplicate_policy,
+            cap=cap_out,
+            sort_order=full_order,
+            index_dtype=a.index_dtype,
+            method=method,
+        )
+
+    # ---- fused packed-word path (round 3) ----
+    # Index columns stay packed from the primary sort through the merge
+    # compaction; one unpack at the very end. Run boundaries come from
+    # word equality (packing is injective with the sentinel headroom), so
+    # the rank-per-pass roll/compare/div/mod/FMA round trip between the
+    # two sorts disappears.
+    dtype = a.index_dtype
+    limit = 2 ** 62 if dtype == jnp.int64 else 2 ** 31
+    exts = [int(a.shape[d]) + 1 for d in full_order]
+    plan = _plan_packing(exts, limit)
+    sent_cols = [
+        jnp.where(live, a.indices[:, d], jnp.asarray(a.shape[d], dtype))
+        for d in full_order
+    ]
+    vals = jnp.where(live, a.vals, jnp.zeros((), a.vals.dtype))
+    words = _pack_cols(sent_cols, exts, plan, dtype)
+
+    out = jax.lax.sort(tuple(words) + (vals,), num_keys=len(words),
+                       is_stable=True)
+    swords, svals = out[:-1], out[-1]
+    max0 = 1
+    for pos in plan[0]:
+        max0 *= exts[pos]
+    slive = swords[0] != jnp.asarray(max0 - 1, dtype)
+
+    same_as_prev = jnp.ones_like(slive)
+    for w in swords:
+        same_as_prev &= w == jnp.roll(w, 1)
+    same_as_prev = same_as_prev.at[0].set(False)
+    is_new = slive & ~same_as_prev
+    n_out = jnp.sum(is_new).astype(jnp.int32)
+
+    return _merge_compact_words(
+        swords, svals, slive, is_new, exts=exts, plan=plan,
+        dim_order=full_order, shape=a.shape,
+        duplicate_policy=duplicate_policy, cap=cap_out,
+        sort_order=full_order, index_dtype=dtype, n_out=n_out)
 
 
 class Consolidated:

@@ -23,7 +23,7 @@ Array = Any
 
 __all__ = ["coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
            "coo_filter", "coo_tril", "coo_triu",
-           "row_sums", "col_sums", "scale_rows", "scale_cols"]
+           "row_sums", "col_sums", "scale_rows", "scale_cols", "coo_norm"]
 
 
 def coo_eye(n: int, m: int | None = None, k: int = 0,
@@ -169,6 +169,38 @@ def scale_cols(a: SparseCOO, s: Array) -> SparseCOO:
     s = jnp.asarray(s)
     g = jnp.take(s, a.indices[:, 1], mode="fill", fill_value=0)
     return dataclasses.replace(a, vals=a.vals * g.astype(a.dtype))
+
+
+def coo_norm(a: SparseCOO, ord="fro") -> Array:
+    """Matrix/array norm over the live entries (scipy.sparse.linalg.norm
+    naming). Computed on the RAW entry stream: with duplicate index
+    tuples present, opposite-sign duplicates do not cancel — consolidate
+    first for the merged-matrix norm (scipy arrays are born merged, so a
+    consolidated operand matches scipy exactly).
+
+    * ``"fro"`` (default): ``sqrt(sum v^2)`` — any rank.
+    * ``1``: max column absolute sum (rank 2).
+    * ``jnp.inf``: max row absolute sum (rank 2).
+    * ``"max"``: largest absolute entry value (any rank).
+
+    jit-compatible; returns a scalar array."""
+    live = a.valid_mask()
+    v = jnp.where(live, a.vals, 0)
+    if ord == "fro":
+        return jnp.sqrt(jnp.sum(v * v))
+    if ord == "max":
+        return jnp.max(jnp.abs(v))
+    if ord in (1, jnp.inf, np.inf):
+        if a.rank != 2:
+            raise SpSparseError("1/inf norms require a rank-2 array")
+        # 1-norm = max COLUMN abs sum (group by index dim 1); inf-norm =
+        # max ROW abs sum (group by dim 0).
+        axis = 1 if ord == 1 else 0
+        n = int(a.shape[axis])
+        ids = jnp.where(live, a.indices[:, axis], n)
+        sums = jnp.zeros(n, a.dtype).at[ids].add(jnp.abs(v), mode="drop")
+        return jnp.max(sums) if n else jnp.zeros((), a.dtype)
+    raise SpSparseError(f"unsupported norm ord {ord!r}")
 
 
 def coo_filter(a: SparseCOO, pred) -> SparseCOO:

@@ -133,3 +133,101 @@ def test_concat_undersized_cap_raises(rng):
     import pytest as _pytest
     with _pytest.raises(SpSparseError):
         coo_concat(A, B, cap=8)
+
+
+class TestStacking:
+    """hstack / vstack / block_diag (scipy.sparse parity; no reference
+    counterpart — the reference would hand-loop add() with offsets)."""
+
+    def _rand(self, rng, shape, nnz):
+        from spsparse_tpu import CooBuilder
+        b = CooBuilder(shape, dtype=np.float64)
+        idx = np.stack([rng.integers(0, s, nnz) for s in shape], 1)
+        b.add_many(idx, rng.uniform(-1, 1, nnz))
+        return b.build()
+
+    def test_hstack_vstack_match_dense(self, rng):
+        from spsparse_tpu import coo_hstack, coo_vstack
+        A = self._rand(rng, (5, 7), 12)
+        B = self._rand(rng, (5, 3), 6)
+        C = self._rand(rng, (4, 7), 9)
+        H = coo_hstack(A, B)
+        assert H.shape == (5, 10)
+        np.testing.assert_array_equal(
+            np.asarray(H.to_dense()),
+            np.concatenate([np.asarray(A.to_dense()),
+                            np.asarray(B.to_dense())], axis=1))
+        V = coo_vstack(A, C)
+        assert V.shape == (9, 7)
+        np.testing.assert_array_equal(
+            np.asarray(V.to_dense()),
+            np.concatenate([np.asarray(A.to_dense()),
+                            np.asarray(C.to_dense())], axis=0))
+
+    def test_block_diag_and_jit(self, rng):
+        import jax
+        from spsparse_tpu import coo_block_diag
+        A = self._rand(rng, (3, 4), 6)
+        B = self._rand(rng, (2, 2), 3)
+        D = jax.jit(coo_block_diag)(A, B)
+        assert D.shape == (5, 6)
+        expect = np.zeros((5, 6))
+        expect[:3, :4] = np.asarray(A.to_dense())
+        expect[3:, 4:] = np.asarray(B.to_dense())
+        np.testing.assert_array_equal(np.asarray(D.to_dense()), expect)
+
+    def test_duplicates_preserved_and_order(self, rng):
+        # Stacking preserves raw entries (incl. duplicates) in operand
+        # order, so a later consolidate sees insertion-order semantics.
+        from spsparse_tpu import CooBuilder, coo_vstack, DuplicatePolicy
+        b1 = CooBuilder((2, 2), dtype=np.float64)
+        b1.add((0, 0), 1.0)
+        b1.add((0, 0), 2.0)
+        b2 = CooBuilder((1, 2), dtype=np.float64)
+        b2.add((0, 0), 5.0)
+        V = coo_vstack(b1.build(), b2.build())
+        assert int(V.nnz) == 3
+        c = V.consolidate((0, 1), DuplicatePolicy.LEAVE_ALONE)
+        d = np.asarray(c.to_dense())
+        assert d[0, 0] == 1.0 and d[2, 0] == 5.0
+
+    def test_validation(self, rng):
+        from spsparse_tpu import SpSparseError, coo_hstack, coo_vstack
+        A = self._rand(rng, (3, 4), 5)
+        B = self._rand(rng, (2, 4), 5)
+        with pytest.raises(SpSparseError):
+            coo_hstack(A, B)
+        with pytest.raises(SpSparseError):
+            coo_vstack()
+        C = self._rand(rng, (3, 5), 5)
+        with pytest.raises(SpSparseError):
+            coo_vstack(A, C)
+
+
+class TestNorm:
+    def test_matches_scipy_conventions(self, rng):
+        import jax.numpy as jnp
+        from spsparse_tpu import CooBuilder, coo_norm
+        b = CooBuilder((4, 6), dtype=np.float64)
+        idx = np.stack([rng.integers(0, 4, 15), rng.integers(0, 6, 15)], 1)
+        b.add_many(idx, rng.uniform(-2, 2, 15))
+        A = b.build().consolidate((0, 1))
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(float(coo_norm(A)),
+                                   np.linalg.norm(Ad, "fro"), rtol=1e-12)
+        np.testing.assert_allclose(float(coo_norm(A, 1)),
+                                   np.abs(Ad).sum(0).max(), rtol=1e-12)
+        np.testing.assert_allclose(float(coo_norm(A, jnp.inf)),
+                                   np.abs(Ad).sum(1).max(), rtol=1e-12)
+        np.testing.assert_allclose(float(coo_norm(A, "max")),
+                                   np.abs(Ad).max(), rtol=1e-12)
+
+    def test_jit_and_errors(self, rng):
+        import jax
+        from spsparse_tpu import CooBuilder, SpSparseError, coo_norm
+        b = CooBuilder((3, 3), dtype=np.float64)
+        b.add((1, 2), -3.0)
+        A = b.build()
+        assert float(jax.jit(coo_norm)(A)) == 3.0
+        with pytest.raises(SpSparseError):
+            coo_norm(A, 2)
