@@ -41,6 +41,7 @@ __all__ = [
     "sorted_permutation",
     "merge_sorted_entries",
     "sort_entry_stream",
+    "fused_sort_merge",
     "filter_compact",
     "Consolidated",
 ]
@@ -496,6 +497,63 @@ def _merge_compact_words(words, vals, valid, is_new, *, exts, plan,
     return out.repad()
 
 
+def fused_sort_merge(col_arrays, vals, live, *, extents, shape,
+                     dim_order=None,
+                     duplicate_policy: DuplicatePolicy = DuplicatePolicy.ADD,
+                     cap: int, sort_order: tuple | None = None,
+                     index_dtype=jnp.int32, with_run_count: bool = False):
+    """Fused sort + duplicate-merge on an entry stream, entirely in
+    packed-word space (the round-3 pipeline): sentinel-encode + pack the
+    index columns into mixed-radix words, ONE stable ``lax.sort`` over
+    the words, run boundaries from word equality, scatter-free compact
+    merge carrying the words, and a single unpack at the end. Compared
+    to ``sort_entry_stream`` + :func:`merge_sorted_entries` this removes
+    ``rank`` div/mod passes + ``rank`` FMA passes + ``rank`` roll/compare
+    passes per call.
+
+    ``col_arrays`` are index columns in sort-key order; ``extents`` their
+    extents in the same order; ``dim_order[pos]`` says which natural
+    dimension position ``pos`` holds (identity when None). Returns the
+    merged :class:`SparseCOO` (entries in the given sort order), plus the
+    TRUE pre-clamp run count when ``with_run_count`` (the distributed
+    overflow contract)."""
+    ncols = len(col_arrays)
+    if dim_order is None:
+        dim_order = tuple(range(ncols))
+    limit = 2 ** 62 if index_dtype == jnp.int64 else 2 ** 31
+    exts = [int(e) + 1 for e in extents]
+    plan = _plan_packing(exts, limit)
+    sent_cols = [
+        jnp.where(live, c.astype(index_dtype),
+                  jnp.asarray(int(extents[p]), index_dtype))
+        for p, c in enumerate(col_arrays)
+    ]
+    vals = jnp.where(live, vals, jnp.zeros((), vals.dtype))
+    words = _pack_cols(sent_cols, exts, plan, index_dtype)
+
+    out = jax.lax.sort(tuple(words) + (vals,), num_keys=len(words),
+                       is_stable=True)
+    swords, svals = out[:-1], out[-1]
+    max0 = 1
+    for pos in plan[0]:
+        max0 *= exts[pos]
+    slive = swords[0] != jnp.asarray(max0 - 1, index_dtype)
+
+    same_as_prev = jnp.ones_like(slive)
+    for w in swords:
+        same_as_prev &= w == jnp.roll(w, 1)
+    same_as_prev = same_as_prev.at[0].set(False)
+    is_new = slive & ~same_as_prev
+    n_out = jnp.sum(is_new).astype(jnp.int32)
+
+    merged = _merge_compact_words(
+        swords, svals, slive, is_new, exts=exts, plan=plan,
+        dim_order=dim_order, shape=shape,
+        duplicate_policy=duplicate_policy, cap=cap,
+        sort_order=sort_order, index_dtype=index_dtype, n_out=n_out)
+    return (merged, n_out) if with_run_count else merged
+
+
 @traced("spsparse.consolidate")
 def consolidate(
     a: SparseCOO,
@@ -549,37 +607,11 @@ def consolidate(
     # word equality (packing is injective with the sentinel headroom), so
     # the rank-per-pass roll/compare/div/mod/FMA round trip between the
     # two sorts disappears.
-    dtype = a.index_dtype
-    limit = 2 ** 62 if dtype == jnp.int64 else 2 ** 31
-    exts = [int(a.shape[d]) + 1 for d in full_order]
-    plan = _plan_packing(exts, limit)
-    sent_cols = [
-        jnp.where(live, a.indices[:, d], jnp.asarray(a.shape[d], dtype))
-        for d in full_order
-    ]
-    vals = jnp.where(live, a.vals, jnp.zeros((), a.vals.dtype))
-    words = _pack_cols(sent_cols, exts, plan, dtype)
-
-    out = jax.lax.sort(tuple(words) + (vals,), num_keys=len(words),
-                       is_stable=True)
-    swords, svals = out[:-1], out[-1]
-    max0 = 1
-    for pos in plan[0]:
-        max0 *= exts[pos]
-    slive = swords[0] != jnp.asarray(max0 - 1, dtype)
-
-    same_as_prev = jnp.ones_like(slive)
-    for w in swords:
-        same_as_prev &= w == jnp.roll(w, 1)
-    same_as_prev = same_as_prev.at[0].set(False)
-    is_new = slive & ~same_as_prev
-    n_out = jnp.sum(is_new).astype(jnp.int32)
-
-    return _merge_compact_words(
-        swords, svals, slive, is_new, exts=exts, plan=plan,
-        dim_order=full_order, shape=a.shape,
-        duplicate_policy=duplicate_policy, cap=cap_out,
-        sort_order=full_order, index_dtype=dtype, n_out=n_out)
+    return fused_sort_merge(
+        [a.indices[:, d] for d in full_order], a.vals, live,
+        extents=[a.shape[d] for d in full_order], shape=a.shape,
+        dim_order=full_order, duplicate_policy=duplicate_policy,
+        cap=cap_out, sort_order=full_order, index_dtype=a.index_dtype)
 
 
 class Consolidated:

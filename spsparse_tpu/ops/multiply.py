@@ -54,6 +54,7 @@ from ..core.consolidate import (
     filter_compact,
     merge_sorted_entries,
     sort_entry_stream,
+    fused_sort_merge,
 )
 from ..core.coo import SparseCOO, round_up_pow2
 from ..core.errors import DuplicatePolicy, spsparse_error
@@ -272,6 +273,17 @@ def sort_and_merge_products(i_t, j_t, v_t, valid_t, out_shape,
     dropping runs (the distributed SpGEMM overflow contract)."""
     I, J = out_shape
     merge_cap = merge_cap if merge_cap is not None else i_t.shape[0]
+    if merge_method == "compact":
+        # Fused packed-word pipeline (round 3): one pack, run boundaries
+        # and merge compaction on the words, one unpack — see
+        # core.consolidate.fused_sort_merge.
+        out = fused_sort_merge(
+            (i_t.astype(jnp.int32), j_t.astype(jnp.int32)), v_t, valid_t,
+            extents=(I, J), shape=out_shape,
+            duplicate_policy=DuplicatePolicy.ADD, cap=merge_cap,
+            sort_order=(0, 1), index_dtype=jnp.int32,
+            with_run_count=with_run_count)
+        return out
     (si_, sj_), sv_, slive, _ = sort_entry_stream(
         (i_t.astype(jnp.int32), j_t.astype(jnp.int32)), v_t, valid_t,
         extents=(I, J))
