@@ -7,8 +7,11 @@ Commands::
         [--version {1,2,4,5}]                          # target (default 5)
     python -m spsparse_tpu.tools stats FILE VNAME      # matrix statistics
     python -m spsparse_tpu.tools solve FILE VNAME      # iterative solve
-        [--rhs FILE:VNAME] [--method cg|bicgstab|gmres]
+        [--rhs FILE:VNAME] [--method cg|bicgstab|gmres|minres]
         [--precond none|jacobi|blockjacobi] [--iters N] [--out FILE]
+    python -m spsparse_tpu.tools eigs FILE VNAME       # spectral analysis
+        [--k N] [--which LA|SA] [--svd] [--iters N]
+    python -m spsparse_tpu.tools reorder SRC DST VNAME # RCM bandwidth cut
 
 Works on classic NetCDF (CDF-1/2/5, in-tree codec) and NetCDF-4/HDF5
 (h5py) containers holding the reference spsparse schema.
@@ -140,6 +143,9 @@ def cmd_solve(args) -> int:
         x, rs = pcg_solve(mv, b, iters=args.iters, minv=minv)
     elif args.method == "bicgstab":
         x, rs = bicgstab_solve(mv, b, iters=args.iters, minv=minv)
+    elif args.method == "minres":
+        from ..solvers import minres_solve
+        x, rs = minres_solve(mv, b, iters=args.iters)
     else:
         x, rs = gmres_solve(mv, b, m=min(30, n),
                             restarts=max(1, args.iters // 30), minv=minv)
@@ -154,6 +160,69 @@ def cmd_solve(args) -> int:
         bx.add_many(np.arange(n)[:, None], x.astype(np.float64))
         save_netcdf(args.out, {"x": bx.build()})
         print(f"wrote {args.out} (x as rank-1 spsparse array)")
+    return 0
+
+
+def cmd_eigs(args) -> int:
+    import jax.numpy as jnp
+
+    from ..core.structure import to_csr
+    from ..io.netcdf import load_netcdf
+    from ..ops.spmm import spmv
+    from ..solvers import lanczos_eigsh, svds_lanczos
+
+    A = load_netcdf(args.file, args.vname)
+    if A.rank != 2:
+        print("eigs requires a rank-2 array", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(0)
+    csr = to_csr(A)
+    if args.svd:
+        csrT = to_csr(A.transposed((1, 0)).consolidate((0, 1)))
+        _, s, _ = svds_lanczos(
+            lambda v: spmv(csr, v), lambda u: spmv(csrT, u),
+            jnp.asarray(rng.standard_normal(A.shape[1])),
+            k=args.k, iters=args.iters)
+        print(json.dumps({"vname": args.vname, "kind": "singular_values",
+                          "k": args.k,
+                          "values": [float(v) for v in np.asarray(s)]},
+                         indent=1))
+        return 0
+    if A.shape[0] != A.shape[1]:
+        print("--svd required for rectangular arrays", file=sys.stderr)
+        return 1
+    vals, _ = lanczos_eigsh(lambda v: spmv(csr, v),
+                            jnp.asarray(rng.standard_normal(A.shape[0])),
+                            k=args.k, iters=args.iters, which=args.which)
+    print(json.dumps({"vname": args.vname, "kind": "eigenvalues",
+                      "which": args.which, "k": args.k,
+                      "note": "operator treated as symmetric",
+                      "values": [float(v) for v in np.asarray(vals)]},
+                     indent=1))
+    return 0
+
+
+def cmd_reorder(args) -> int:
+    from .. import bandwidth, coo_permute, rcm_permutation, CooBuilder
+    from ..io.netcdf import load_netcdf, save_netcdf
+
+    A = load_netcdf(args.src, args.vname)
+    if A.rank != 2 or A.shape[0] != A.shape[1]:
+        print("reorder requires a square rank-2 array", file=sys.stderr)
+        return 1
+    bw0 = bandwidth(A)
+    perm = rcm_permutation(A)
+    B = coo_permute(A, perm).consolidate((0, 1))
+    bw1 = bandwidth(B)
+    out = {args.vname: B}
+    pb = CooBuilder((A.shape[0],), dtype=np.float64)
+    pb.add_many(np.arange(A.shape[0])[:, None], perm.astype(np.float64))
+    out[args.vname + ".perm"] = pb.build()
+    save_netcdf(args.dst, out)
+    print(json.dumps({"vname": args.vname, "bandwidth_before": bw0,
+                      "bandwidth_after": bw1,
+                      "perm_var": args.vname + ".perm",
+                      "dst": args.dst}, indent=1))
     return 0
 
 
@@ -178,12 +247,28 @@ def main(argv=None) -> int:
     p.add_argument("--rhs", default=None,
                    help="FILE:VNAME rank-1 rhs (default: ones)")
     p.add_argument("--method", default="cg",
-                   choices=("cg", "bicgstab", "gmres"))
+                   choices=("cg", "bicgstab", "gmres", "minres"))
     p.add_argument("--precond", default="jacobi",
                    choices=("none", "jacobi", "blockjacobi"))
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_solve)
+    p = sub.add_parser("eigs", help="extreme eigen/singular values")
+    p.add_argument("file")
+    p.add_argument("vname")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--which", default="LA", choices=("LA", "SA"))
+    p.add_argument("--svd", action="store_true",
+                   help="singular values (Golub-Kahan) instead of eigsh")
+    p.add_argument("--iters", type=int, default=48)
+    p.set_defaults(fn=cmd_eigs)
+    p = sub.add_parser("reorder",
+                       help="RCM-reorder a square array (writes the "
+                            "permuted array + permutation)")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("vname")
+    p.set_defaults(fn=cmd_reorder)
     args = ap.parse_args(argv)
     return args.fn(args)
 

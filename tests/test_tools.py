@@ -70,3 +70,65 @@ def test_solve_cg_jacobi_and_output(tmp_path, capsys):
 def test_solve_gmres_nonsquare_guard(tmp_path, capsys):
     p = _mk(tmp_path)        # 10x12 — not square
     assert main(["solve", p, "M"]) == 1
+
+
+def _mk_spd(tmp_path, n=24):
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0.1, 0.4, n - 1)
+    d = rng.uniform(1.5, 2.5, n)
+    A = np.diag(d) + np.diag(lo, 1) + np.diag(lo, -1)
+    ii, jj = np.nonzero(A)
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([ii, jj], 1), A[ii, jj])
+    p = str(tmp_path / "spd.nc")
+    save_netcdf(p, {"A": b.build()})
+    return p, A
+
+
+def test_eigs_and_svd(tmp_path, capsys):
+    p, A = _mk_spd(tmp_path)
+    assert main(["eigs", p, "A", "--k", "2", "--which", "LA"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    lam = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(out["values"], lam[-2:], rtol=1e-8)
+
+    assert main(["eigs", p, "A", "--k", "2", "--svd"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    s = np.linalg.svd(A, compute_uv=False)
+    np.testing.assert_allclose(out["values"], s[:2], rtol=1e-8)
+
+
+def test_solve_minres(tmp_path, capsys):
+    p, A = _mk_spd(tmp_path)
+    assert main(["solve", p, "A", "--method", "minres",
+                 "--iters", "60"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["residual_norm"] < 1e-8
+
+
+def test_reorder(tmp_path, capsys):
+    rng = np.random.default_rng(4)
+    n = 32
+    A = np.zeros((n, n))
+    v = rng.uniform(0.5, 1.5, n - 1)
+    A[np.arange(n - 1), np.arange(1, n)] = v
+    A[np.arange(1, n), np.arange(n - 1)] = v
+    perm = rng.permutation(n)
+    S = A[np.ix_(perm, perm)]
+    ii, jj = np.nonzero(S)
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([ii, jj], 1), S[ii, jj])
+    src = str(tmp_path / "scr.nc")
+    save_netcdf(src, {"A": b.build()})
+    dst = str(tmp_path / "rcm.nc")
+    assert main(["reorder", src, dst, "A"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["bandwidth_after"] <= 2 < out["bandwidth_before"]
+
+    # The written file round-trips and the stored permutation undoes it.
+    from spsparse_tpu.io import load_netcdf
+    B = load_netcdf(dst, "A", rank=2)
+    pv = np.asarray(load_netcdf(dst, "A.perm", rank=1).to_dense()
+                    ).astype(np.int64)
+    Bd = np.asarray(B.to_dense())
+    np.testing.assert_array_equal(Bd, S[np.ix_(pv, pv)])
