@@ -15,6 +15,7 @@ from .precond import (extract_diagonal, extract_diag_blocks,
 from .lstsq import cgls_solve, lsqr_solve
 from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
                        funm_multiply, expm_multiply)
+from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "minres_solve",
@@ -25,4 +26,5 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "block_jacobi_preconditioner", "neumann_preconditioner",
            "cgls_solve", "lsqr_solve",
            "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
-           "funm_multiply", "expm_multiply"]
+           "funm_multiply", "expm_multiply",
+           "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel"]
