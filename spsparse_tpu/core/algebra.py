@@ -121,6 +121,21 @@ def _coo_stack2d(arrays, row_offs, col_offs, out_shape,
 
     if cap is None:
         cap = round_up_pow2(sum(x.cap for x in arrays))
+    else:
+        # Same eager guard as coo_concat: an undersized explicit cap with
+        # concrete counts must raise, not silently drop trailing entries
+        # (under jit, traced counts cannot be checked — pass the default).
+        cap = int(cap)
+        total = 0
+        for x in arrays:
+            try:
+                total += int(x.nnz)
+            except Exception:            # traced under jit: not checkable
+                total = None
+                break
+        if total is not None and cap < total:
+            raise SpSparseError(
+                f"stacking cap={cap} < total live entries {total}")
     idt = default_index_dtype(out_shape)
     for x in arrays:
         idt = jnp.promote_types(idt, x.index_dtype)

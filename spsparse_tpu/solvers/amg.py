@@ -189,6 +189,15 @@ def amg_setup(a: SparseCOO, *, theta: float = 0.08, omega: float = 2 / 3,
     # Coarsest level: keep the operator for smoothing symmetry bookkeeping
     # and densify for the direct solve.
     n = int(cur.shape[0])
+    if n > max(int(coarse_size) * 8, 4096):
+        # Aggregation stalled (e.g. no strong connections at theta, or
+        # max_levels exhausted) far above the dense-solve scale; a clear
+        # error beats an O(n^2) densification OOM.
+        raise SpSparseError(
+            f"AMG coarsening stalled at {n} rows (> dense-solve limit "
+            f"{max(int(coarse_size) * 8, 4096)}); lower theta, raise "
+            f"max_levels/coarse_size, or use a Jacobi/block-Jacobi "
+            f"preconditioner for this operator")
     idxc = np.asarray(cur.indices)
     livec = np.asarray(cur.valid_mask())
     dense = np.zeros((n, n), dtype)

@@ -37,6 +37,15 @@ class CGState:
     rs: Array = dataclasses.field(metadata=dict(static=False))
 
 
+def safe_div(num, den):
+    """``num / den`` with 0 where ``den == 0`` — the masked-denominator
+    breakdown guard shared by every fixed-iteration solver here (a
+    converged/broken-down iterate carries unchanged instead of producing
+    NaNs that poison the remaining iterations)."""
+    ok = den != 0
+    return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
+
+
 def cg_step(matvec: Callable[[Array], Array], state: CGState) -> CGState:
     """One conjugate-gradient iteration for SPD ``A``.
 
@@ -216,10 +225,6 @@ def bicgstab_solve(matvec: Callable[[Array], Array], b: Array, *,
     r0 = b - matvec(x0)
     rhat = r0
 
-    def safe_div(num, den):
-        ok = den != 0
-        return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
-
     def body(state, _):
         x, r, p, v, rho, alpha, omega = state
         rho_new = jnp.vdot(rhat, r)
@@ -256,11 +261,6 @@ def minres_solve(matvec: Callable[[Array], Array], b: Array, *,
     matching the fixed-iteration contract of :func:`cg_solve`. Returns
     ``(x, rnorm_sq_estimate)`` (the recurrence's ``|eta|^2``, which tracks
     ``||b - A x||^2`` in exact arithmetic)."""
-
-    def safe_div(num, den):
-        ok = den != 0
-        return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
-
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x0)
     beta1 = jnp.sqrt(jnp.vdot(r, r))

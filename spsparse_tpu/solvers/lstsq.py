@@ -24,10 +24,7 @@ Array = jax.Array
 
 __all__ = ["cgls_solve", "lsqr_solve"]
 
-
-def _safe_div(num, den):
-    ok = den != 0
-    return jnp.where(ok, num / jnp.where(ok, den, 1), 0)
+from .iterative import safe_div as _safe_div  # noqa: E402  shared guard
 
 
 def cgls_solve(matvec: Callable[[Array], Array],

@@ -128,13 +128,14 @@ def lanczos_eigsh(matvec: Callable[[Array], Array], v0: Array, *,
     T = (jnp.diag(alpha) + jnp.diag(beta[:-1], 1)
          + jnp.diag(beta[:-1], -1))
     w, Y = jnp.linalg.eigh(T)                       # ascending
-    ritz_norm = jnp.linalg.norm(Y, axis=0)          # 1 for real pairs
-    # Dead pairs (breakdown padding) have Ritz vectors supported on zeroed
-    # V rows; detect via the norm of the *lifted* vector instead.
+    # Dead pairs (breakdown padding) have eigenvectors supported on the
+    # zeroed V rows, so their LIFTED vectors have ~0 norm (Y's own columns
+    # are always unit — eigh is orthonormal); lnorm is the live/dead
+    # signal.
     lifted = (V[:iters].T @ Y)                      # (n, iters)
     lnorm = jnp.linalg.norm(lifted, axis=0)
     largest = which == "LA"
-    w = _mask_dead_ritz(w, lnorm * ritz_norm, largest)
+    w = _mask_dead_ritz(w, lnorm, largest)
     if largest:
         vals, sel = jax.lax.top_k(w, k)
         vals, sel = vals[::-1], sel[::-1]           # ascending, scipy-style

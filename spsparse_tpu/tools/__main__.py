@@ -145,6 +145,12 @@ def cmd_solve(args) -> int:
         x, rs = bicgstab_solve(mv, b, iters=args.iters, minv=minv)
     elif args.method == "minres":
         from ..solvers import minres_solve
+        if args.precond != "none":
+            # minres_solve takes no preconditioner; reporting one as
+            # applied would falsify CLI comparisons.
+            print("note: minres ignores --precond (running "
+                  "unpreconditioned)", file=sys.stderr)
+            args.precond = "none"
         x, rs = minres_solve(mv, b, iters=args.iters)
     else:
         x, rs = gmres_solve(mv, b, m=min(30, n),
@@ -178,7 +184,7 @@ def cmd_eigs(args) -> int:
     rng = np.random.default_rng(0)
     csr = to_csr(A)
     if args.svd:
-        csrT = to_csr(A.transposed((1, 0)).consolidate((0, 1)))
+        csrT = to_csr(A, transpose=True)
         _, s, _ = svds_lanczos(
             lambda v: spmv(csr, v), lambda u: spmv(csrT, u),
             jnp.asarray(rng.standard_normal(A.shape[1])),

@@ -231,3 +231,18 @@ class TestNorm:
         assert float(jax.jit(coo_norm)(A)) == 3.0
         with pytest.raises(SpSparseError):
             coo_norm(A, 2)
+
+    def test_undersized_cap_raises_eagerly(self, rng):
+        # Same contract as coo_concat: silently dropping entries on an
+        # undersized explicit cap would corrupt assembled operators.
+        from spsparse_tpu import CooBuilder, SpSparseError, coo_hstack
+
+        def rand(shape, nnz):
+            b = CooBuilder(shape, dtype=np.float64)
+            idx = np.stack([rng.integers(0, s, nnz) for s in shape], 1)
+            b.add_many(idx, rng.uniform(-1, 1, nnz))
+            return b.build()
+
+        A, B = rand((3, 4), 4), rand((3, 2), 4)
+        with pytest.raises(SpSparseError):
+            coo_hstack(A, B, cap=3)

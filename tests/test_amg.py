@@ -138,3 +138,12 @@ class TestAmg:
         b = rng.standard_normal(16)
         z = np.asarray(amg_vcycle(h, jnp.asarray(b)))
         np.testing.assert_allclose(z, np.linalg.solve(Ad, b), rtol=1e-10)
+
+    def test_stalled_coarsening_raises(self):
+        # A diagonal operator has an empty strength graph: aggregation
+        # stalls with n >> coarse_size, which must raise (not densify an
+        # n x n matrix).
+        from spsparse_tpu import SpSparseError, coo_eye
+        A = coo_eye(10000, dtype=np.float64)
+        with pytest.raises(SpSparseError, match="stalled"):
+            amg_setup(A, coarse_size=64)

@@ -60,8 +60,6 @@ class TestRcm:
         sp_perm = reverse_cuthill_mckee(
             scipy_sparse.csr_matrix(S), symmetric_mode=True)
         ours = bandwidth(coo_permute(A, jnp.asarray(perm)))
-        theirs = np.abs(np.subtract.outer(
-            np.empty(0), np.empty(0)))  # placeholder, computed below
         Sp = S[np.ix_(sp_perm, sp_perm)]
         ii, jj = np.nonzero(Sp)
         theirs = int(np.abs(ii - jj).max())
