@@ -33,6 +33,7 @@ from .core import (
     SparseCSR,
     SparseELL,
     to_csr,
+    to_csc,
     to_ell,
     coo_concat,
     coo_add,

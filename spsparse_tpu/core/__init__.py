@@ -24,6 +24,7 @@ from .structure import (
     SparseCSR,
     SparseELL,
     to_csr,
+    to_csc,
     to_ell,
 )
 from .algebra import (coo_concat, coo_add, coo_scale,
@@ -43,7 +44,7 @@ __all__ = [
     "consolidate", "sorted_permutation", "merge_sorted_entries",
     "filter_compact", "Consolidated",
     "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
-    "to_csr", "to_ell",
+    "to_csr", "to_csc", "to_ell",
     "coo_concat", "coo_add", "coo_scale",
     "coo_hstack", "coo_vstack", "coo_block_diag", "coo_norm",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",

@@ -30,6 +30,7 @@ from .coo import SparseCOO
 from .errors import SpSparseError, spsparse_error
 
 __all__ = ["dim_beginnings", "DimBeginnings", "SparseCSR", "to_csr",
+           "to_csc",
            "to_ell", "SparseELL"]
 
 Array = Any
@@ -215,6 +216,14 @@ class SparseELL:
         idx = _np.stack([_np.asarray(rows)[keep], _np.asarray(cols)[keep]], 1)
         return SparseCOO.from_arrays(idx, _np.asarray(vals)[keep],
                                      self.shape, check=False)
+
+
+def to_csc(a: SparseCOO) -> SparseCSR:
+    """CSC view of ``a`` as the CSR of ``a.T`` (scipy users' spelling of
+    ``to_csr(a, transpose=True)`` — the reference's free transposition
+    via sort order, ``multiply_sparse.hpp:167-168``). ``spmv(to_csc(a),
+    u)`` computes ``a.T @ u``."""
+    return to_csr(a, transpose=True)
 
 
 def to_ell(a: SparseCOO | SparseCSR, max_row_nnz: int | None = None) -> SparseELL:

@@ -172,3 +172,86 @@ class TestConsolidateProperties:
         np.testing.assert_allclose(np.asarray(Y),
                                    np.asarray(A.to_dense()) @ X,
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestRound3Properties:
+    """Stacking / permutation / norm laws for the round-3 surface."""
+
+    @given(a=coo_case(max_dim=6), b=coo_case(max_dim=6),
+           mode=st.sampled_from(["h", "v", "d"]))
+    @settings(max_examples=40, deadline=None)
+    def test_stacking_matches_dense(self, a, b, mode):
+        from spsparse_tpu import coo_block_diag, coo_hstack, coo_vstack
+        sa, ia, va = a
+        sb, ib, vb = b
+        if mode == "h":
+            sb = (sa[0], sb[1])
+        elif mode == "v":
+            sb = (sb[0], sa[1])
+        ib = np.minimum(ib, np.asarray(sb) - 1).reshape(len(vb), 2)
+        A, B = build(sa, ia, va), build(sb, ib, vb)
+        Ad, Bd = np.asarray(A.to_dense()), np.asarray(B.to_dense())
+        if mode == "h":
+            got = coo_hstack(A, B)
+            expect = np.concatenate([Ad, Bd], axis=1)
+        elif mode == "v":
+            got = coo_vstack(A, B)
+            expect = np.concatenate([Ad, Bd], axis=0)
+        else:
+            got = coo_block_diag(A, B)
+            expect = np.zeros((sa[0] + sb[0], sa[1] + sb[1]))
+            expect[:sa[0], :sa[1]] = Ad
+            expect[sa[0]:, sa[1]:] = Bd
+        np.testing.assert_allclose(np.asarray(got.to_dense()), expect,
+                                   rtol=1e-12)
+
+    @given(a=coo_case(max_dim=6), seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_permute_matches_dense_and_inverts(self, a, seed):
+        from spsparse_tpu import coo_permute
+        sa, ia, va = a
+        A = build(sa, ia, va)
+        rng = np.random.default_rng(seed)
+        rp = rng.permutation(sa[0])
+        cp = rng.permutation(sa[1])
+        B = coo_permute(A, jnp.asarray(rp), jnp.asarray(cp))
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(B.to_dense()),
+                                   Ad[np.ix_(rp, cp)], rtol=1e-12)
+        # Applying the inverse permutations restores the original.
+        irp = np.argsort(rp)
+        icp = np.argsort(cp)
+        C = coo_permute(B, jnp.asarray(irp), jnp.asarray(icp))
+        np.testing.assert_allclose(np.asarray(C.to_dense()), Ad,
+                                   rtol=1e-12)
+
+    @given(a=coo_case(max_dim=6))
+    @settings(max_examples=40, deadline=None)
+    def test_norms_match_dense(self, a):
+        from spsparse_tpu import coo_norm
+        sa, ia, va = a
+        A = build(sa, ia, va).consolidate((0, 1))
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(float(coo_norm(A, "fro")),
+                                   np.linalg.norm(Ad, "fro"),
+                                   rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(
+            float(coo_norm(A, 1)),
+            np.abs(Ad).sum(0).max() if Ad.size else 0.0,
+            rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(
+            float(coo_norm(A, jnp.inf)),
+            np.abs(Ad).sum(1).max() if Ad.size else 0.0,
+            rtol=1e-12, atol=1e-300)
+
+    @given(a=coo_case(max_dim=6, allow_empty=False))
+    @settings(max_examples=20, deadline=None)
+    def test_csc_is_transposed_csr(self, a):
+        from spsparse_tpu import to_csc
+        from spsparse_tpu.ops.spmm import spmv
+        sa, ia, va = a
+        A = build(sa, ia, va)
+        Ad = np.asarray(A.to_dense())
+        u = np.linspace(-1, 1, sa[0])
+        got = np.asarray(spmv(to_csc(A), jnp.asarray(u)))
+        np.testing.assert_allclose(got, Ad.T @ u, rtol=1e-12, atol=1e-12)
