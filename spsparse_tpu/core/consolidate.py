@@ -26,7 +26,6 @@ uniformly iff ``zero_nan`` — and the divergence is pinned in tests.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import jax

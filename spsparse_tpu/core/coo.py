@@ -27,7 +27,6 @@ Host-side construction mirrors the reference's edit-mode ``add()`` protocol
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Sequence
 
 import jax

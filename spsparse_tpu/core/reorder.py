@@ -23,7 +23,6 @@ device-side index relabeling (two gathers), jit-compatible.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ algorithm follows the standard smoothed-aggregation construction
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
