@@ -16,6 +16,7 @@ from .lstsq import cgls_solve, lsqr_solve
 from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
                        funm_multiply, expm_multiply)
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
+from .linop import LinearOperator, aslinearoperator, identity_operator
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "minres_solve",
@@ -27,4 +28,5 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "cgls_solve", "lsqr_solve",
            "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
            "funm_multiply", "expm_multiply",
-           "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel"]
+           "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",
+           "LinearOperator", "aslinearoperator", "identity_operator"]
