@@ -7,7 +7,11 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 import jax
-if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+# Platform choice must happen BEFORE first backend use (calling
+# jax.devices()/default_backend() first would pin the platform — see
+# CLAUDE.md). Opt into real multi-chip hardware explicitly; the default
+# is the virtual 8-device CPU mesh, which runs anywhere.
+if not os.environ.get("SPSPARSE_EXAMPLE_TPU"):
     jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp

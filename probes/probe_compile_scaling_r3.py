@@ -1,9 +1,10 @@
 """Diagnose: does consolidate's TPU compile time scale with n through
 the axon remote-compile? (8M bench_fori probes hung >35 min while 1M
 compiled in ~8; suspicion: compile, not execution.) AOT-compile the
-plain jitted consolidate step at ascending sizes and time each phase,
-then time execution with a simple chained fori at the largest size that
-compiled."""
+plain jitted consolidate step at ascending sizes and time lower/compile
+separately. COMPILE times are the deliverable; no execution benchmark is
+attempted here (per CLAUDE.md, only chained-fori/slope timings are
+trustworthy on this tunnel)."""
 import sys
 import time
 import dataclasses
@@ -40,12 +41,7 @@ for logn in (20, 21, 22, 23):
     t2 = time.time()
     print(f"n=2^{logn}: lower {t1-t0:.1f}s  compile {t2-t1:.1f}s",
           flush=True)
-    # Execute a few times; difference-of-medians over chained pairs.
-    outs = []
-    for _ in range(4):
-        t0 = time.time()
-        r = compiled(A)
-        jax.block_until_ready(jnp.sum(r.vals))
-        outs.append(time.time() - t0)
-    print(f"   exec (per dispatched call, median of 4): "
-          f"{sorted(outs)[1]*1e3:.1f} ms", flush=True)
+    # Sanity-run the compiled program once (correct shapes, no timing:
+    # dispatch timing is untrustworthy here - see module docstring).
+    r = compiled(A)
+    float(jnp.sum(r.vals))

@@ -6,9 +6,13 @@ makes those callables *algebra*: operators compose with ``@``, combine
 with ``+``/``-``/scalar ``*``, and transpose with ``.T`` — so a
 regridding normal-equations solve is literally
 
-    R = aslinearoperator(prepare_general(A))      # fastest kernel route
-    N = R.T @ R + damp**2 * identity(R.shape[1])
+    R = aslinearoperator(A_coo)        # CSR + CSC kernel views built once
+    N = R.T @ R + damp**2 * identity_operator(R.shape[1])
     x, _ = cg_solve(N, rhs, iters=...)
+
+(``.T`` needs a transpose product: wrap the COO — or a dense array, or
+pass ``rmatvec=`` explicitly; prepared/DIA/BSR operands are
+forward-only.)
 
 (``LinearOperator.__call__`` is ``matvec``, so an operator drops
 directly into ``cg_solve``/``minres_solve``/``lanczos_eigsh``/... , and
@@ -41,12 +45,14 @@ __all__ = ["LinearOperator", "aslinearoperator", "identity_operator"]
 
 class LinearOperator:
     """A shaped pair of ``matvec``/``rmatvec`` callables with operator
-    algebra. ``matmat`` defaults to a column ``vmap`` of ``matvec``
-    (overridable with a true multi-RHS kernel)."""
+    algebra. ``matmat``/``rmatmat`` default to column ``vmap``s of the
+    vector products (overridable with true multi-RHS kernels; ``rmatmat``
+    keeps the fast block path alive across ``.T``)."""
 
     def __init__(self, shape, matvec: Callable[[Array], Array],
                  rmatvec: Callable[[Array], Array] | None = None,
-                 matmat: Callable[[Array], Array] | None = None):
+                 matmat: Callable[[Array], Array] | None = None,
+                 rmatmat: Callable[[Array], Array] | None = None):
         if len(shape) != 2:
             raise SpSparseError(f"LinearOperator shape must be (m, n), "
                                 f"got {shape}")
@@ -54,6 +60,7 @@ class LinearOperator:
         self._mv = matvec
         self._rmv = rmatvec
         self._mm = matmat
+        self._rmm = rmatmat
 
     # -- application ----------------------------------------------------
     def matvec(self, x: Array) -> Array:
@@ -73,13 +80,25 @@ class LinearOperator:
             return self._mm(X)
         return jax.vmap(self._mv, in_axes=1, out_axes=1)(X)
 
+    def rmatmat(self, U: Array) -> Array:
+        if self._rmm is not None:
+            return self._rmm(U)
+        if self._rmv is None:
+            raise SpSparseError(
+                "this LinearOperator has no rmatvec (transpose product); "
+                "construct it from a COO/CSR operand or pass rmatvec=")
+        return jax.vmap(self._rmv, in_axes=1, out_axes=1)(U)
+
     # -- algebra ---------------------------------------------------------
     @property
     def T(self) -> "LinearOperator":
         if self._rmv is None:
             raise SpSparseError("transpose needs rmatvec; see rmatvec()")
+        # Swap the vector AND block kernels so .T keeps the fast matmat
+        # and .T.T restores the original exactly.
         return LinearOperator((self.shape[1], self.shape[0]),
-                              self._rmv, self._mv)
+                              self._rmv, self._mv,
+                              matmat=self._rmm, rmatmat=self._mm)
 
     def __matmul__(self, other):
         if isinstance(other, LinearOperator):
@@ -88,12 +107,15 @@ class LinearOperator:
                     f"operator shapes {self.shape} @ {other.shape} "
                     f"do not chain")
             rmv = None
+            rmm = None
             if self._rmv is not None and other._rmv is not None:
                 rmv = lambda u: other._rmv(self._rmv(u))  # noqa: E731
+                rmm = lambda U: other.rmatmat(self.rmatmat(U))  # noqa: E731
             return LinearOperator(
                 (self.shape[0], other.shape[1]),
                 lambda x: self._mv(other._mv(x)), rmv,
-                lambda X: self.matmat(other.matmat(X)))
+                matmat=lambda X: self.matmat(other.matmat(X)),
+                rmatmat=rmm)
         other = jnp.asarray(other)
         if other.ndim == 1:
             return self.matvec(other)
@@ -109,20 +131,31 @@ class LinearOperator:
             raise SpSparseError(
                 f"operator shapes {self.shape} + {other.shape} differ")
         rmv = None
+        rmm = None
         if self._rmv is not None and other._rmv is not None:
             rmv = lambda u: self._rmv(u) + other._rmv(u)  # noqa: E731
+            rmm = lambda U: self.rmatmat(U) + other.rmatmat(U)  # noqa: E731
         return LinearOperator(
             self.shape, lambda x: self._mv(x) + other._mv(x), rmv,
-            lambda X: self.matmat(X) + other.matmat(X))
+            matmat=lambda X: self.matmat(X) + other.matmat(X),
+            rmatmat=rmm)
 
     def __sub__(self, other: "LinearOperator") -> "LinearOperator":
         return self + (-1.0) * other
 
     def __mul__(self, c) -> "LinearOperator":
+        if isinstance(c, LinearOperator) or jnp.ndim(c) != 0:
+            # opA * opB is a natural typo for opA @ opB; without this
+            # check matvec would silently return an operator object.
+            raise SpSparseError(
+                "operator * expects a scalar; use @ for composition")
         rmv = (None if self._rmv is None
                else (lambda u: c * self._rmv(u)))
+        rmm = (None if self._rmv is None
+               else (lambda U: c * self.rmatmat(U)))
         return LinearOperator(self.shape, lambda x: c * self._mv(x), rmv,
-                              lambda X: c * self.matmat(X))
+                              matmat=lambda X: c * self.matmat(X),
+                              rmatmat=rmm)
 
     __rmul__ = __mul__
 
@@ -137,7 +170,8 @@ class LinearOperator:
 def identity_operator(n: int) -> LinearOperator:
     """The ``n x n`` identity as an operator (for shifts/regularizers)."""
     ident = lambda x: x  # noqa: E731
-    return LinearOperator((n, n), ident, ident, ident)
+    return LinearOperator((n, n), ident, ident, matmat=ident,
+                          rmatmat=ident)
 
 
 def aslinearoperator(a) -> LinearOperator:
@@ -166,11 +200,12 @@ def aslinearoperator(a) -> LinearOperator:
         csc = to_csc(a)
         return LinearOperator(
             a.shape, lambda x: spmv(csr, x), lambda u: spmv(csc, u),
-            lambda X: spmm(csr, X))
+            matmat=lambda X: spmm(csr, X),
+            rmatmat=lambda U: spmm(csc, U))
     if isinstance(a, (SparseCSR, SparseELL)):
+        # spmm handles both CSR and ELL blocks (ops/spmm.py).
         return LinearOperator(a.shape, lambda x: spmv(a, x), None,
-                              lambda X: spmm(a, X)
-                              if isinstance(a, SparseCSR) else None)
+                              matmat=lambda X: spmm(a, X))
     if isinstance(a, SparseDIA):
         return LinearOperator(a.shape, lambda x: best_spmv(a, x), None,
                               lambda X: best_spmm(a, X))

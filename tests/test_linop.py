@@ -130,3 +130,27 @@ class TestLinOp:
             op + aslinearoperator(jnp.ones((4, 3)))
         with pytest.raises(SpSparseError):
             aslinearoperator(jnp.ones(5))
+
+    def test_ell_matmat_and_star_guard(self, rng):
+        # Review regressions: ELL matmat must run (not return None), and
+        # opA * opB must raise (typo for @), and .T must keep the block
+        # kernel / round-trip.
+        from spsparse_tpu import SpSparseError, to_ell
+        A = rng.standard_normal((9, 6))
+        A[np.abs(A) < 0.6] = 0
+        coo = to_coo(A)
+        X = rng.standard_normal((6, 4))
+        op_ell = aslinearoperator(to_ell(to_csr(coo)))
+        np.testing.assert_allclose(np.asarray(op_ell.matmat(
+            jnp.asarray(X))), A @ X, rtol=1e-12, atol=1e-12)
+        op = aslinearoperator(coo)
+        with pytest.raises(SpSparseError):
+            op * op
+        # .T keeps a real matmat (rmatmat wired) and .T.T == original.
+        U = rng.standard_normal((9, 3))
+        np.testing.assert_allclose(np.asarray(op.T.matmat(
+            jnp.asarray(U))), A.T @ U, rtol=1e-12, atol=1e-12)
+        tt = op.T.T
+        np.testing.assert_allclose(np.asarray(tt.matmat(
+            jnp.asarray(X))), A @ X, rtol=1e-12, atol=1e-12)
+        assert tt._mm is op._mm and tt._rmm is op._rmm
