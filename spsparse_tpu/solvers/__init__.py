@@ -12,7 +12,7 @@ from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
                         jacobi_preconditioner, power_iteration, CGState)
 from .precond import (extract_diagonal, extract_diag_blocks,
                       block_jacobi_preconditioner, neumann_preconditioner)
-from .lstsq import cgls_solve, lsqr_solve
+from .lstsq import cgls_solve, lsqr_solve, lsmr_solve
 from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
                        funm_multiply, expm_multiply)
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
@@ -25,7 +25,7 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "jacobi_preconditioner", "power_iteration",
            "CGState", "extract_diagonal", "extract_diag_blocks",
            "block_jacobi_preconditioner", "neumann_preconditioner",
-           "cgls_solve", "lsqr_solve",
+           "cgls_solve", "lsqr_solve", "lsmr_solve",
            "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
            "funm_multiply", "expm_multiply",
            "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",

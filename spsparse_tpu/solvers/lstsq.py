@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-__all__ = ["cgls_solve", "lsqr_solve"]
+__all__ = ["cgls_solve", "lsqr_solve", "lsmr_solve"]
 
 from .iterative import safe_div as _safe_div  # noqa: E402  shared guard
 
@@ -129,3 +129,76 @@ def lsqr_solve(matvec: Callable[[Array], Array],
     (x, *_, phibar, _, psi2), _ = jax.lax.scan(
         body, state, None, length=iters)
     return x, phibar**2 + psi2
+
+
+def lsmr_solve(matvec: Callable[[Array], Array],
+               rmatvec: Callable[[Array], Array], b: Array, *,
+               iters: int, damp: float = 0.0) -> tuple[Array, Array]:
+    """LSMR (Fong & Saunders): MINRES applied to the normal equations
+    through the same Golub-Kahan bidiagonalization as :func:`lsqr_solve`.
+    Where LSQR's residual ``||A x - b||`` decreases monotonically, LSMR's
+    *normal-equation* residual ``||A^T r||`` does — the better stopping
+    quantity for ill-conditioned least squares.
+
+    Solves ``min ||A x - b||^2 + damp^2 ||x||^2`` from ``x0 = 0``.
+    Returns ``(x, gnorm_sq_estimate)`` — the recurrence's estimate of
+    ``||A^T r - damp^2 x||^2`` (the regularized normal-equation
+    residual; 0 at the exact solution). Fixed ``iters`` under
+    ``lax.scan``, breakdowns masked like the siblings."""
+    dt = b.dtype
+    dampf = jnp.asarray(damp, dt)
+    one = jnp.ones((), dt)
+
+    beta1 = jnp.sqrt(jnp.vdot(b, b))
+    u = b * _safe_div(one, beta1)
+    av = rmatvec(u)
+    alpha1 = jnp.sqrt(jnp.vdot(av, av))
+    v = av * _safe_div(one, alpha1)
+
+    x = jnp.zeros_like(v)
+    h = v
+    hbar = jnp.zeros_like(v)
+    state = (x, h, hbar, u, v,
+             alpha1,                    # alpha_k
+             alpha1,                    # alphabar
+             one, jnp.zeros((), dt),    # cbar, sbar
+             alpha1 * beta1,            # zetabar
+             one, one)                  # rho, rhobar (previous)
+
+    def body(state, _):
+        (x, h, hbar, u, v, alpha, alphabar, cbar, sbar, zetabar,
+         rho_old, rhobar_old) = state
+        # Golub-Kahan step (identical to LSQR's).
+        u_n = matvec(v) - alpha * u
+        beta_n = jnp.sqrt(jnp.vdot(u_n, u_n))
+        u_n = u_n * _safe_div(one, beta_n)
+        v_n = rmatvec(u_n) - beta_n * v
+        alpha_n = jnp.sqrt(jnp.vdot(v_n, v_n))
+        v_n = v_n * _safe_div(one, alpha_n)
+
+        # Damping rotation on alphabar.
+        alphahat = jnp.sqrt(alphabar**2 + dampf**2)
+        # First QR rotation (eliminate beta_{k+1}).
+        rho = jnp.sqrt(alphahat**2 + beta_n**2)
+        c = _safe_div(alphahat, rho)
+        s = _safe_div(beta_n, rho)
+        theta_new = s * alpha_n
+        alphabar_n = c * alpha_n
+        # Second rotation (the MINRES-on-T part).
+        thetabar = sbar * rho
+        rhotemp = cbar * rho
+        rhobar = jnp.sqrt(rhotemp**2 + theta_new**2)
+        cbar_n = _safe_div(rhotemp, rhobar)
+        sbar_n = _safe_div(theta_new, rhobar)
+        zeta = cbar_n * zetabar          # NEW rotation applies to zetabar
+        zetabar_n = -sbar_n * zetabar
+
+        hbar = h - _safe_div(thetabar * rho, rho_old * rhobar_old) * hbar
+        x = x + _safe_div(zeta, rho * rhobar) * hbar
+        h = v_n - _safe_div(theta_new, rho) * h
+        return (x, h, hbar, u_n, v_n, alpha_n, alphabar_n,
+                cbar_n, sbar_n, zetabar_n, rho, rhobar), None
+
+    (x, *_, zetabar, _, _), _ = jax.lax.scan(body, state, None,
+                                             length=iters)
+    return x, zetabar**2

@@ -365,3 +365,55 @@ class TestMinres:
             lambda v: spmv(csr, v), bb, iters=n + 20))(jnp.asarray(b))
         assert np.all(np.isfinite(np.asarray(x)))
         np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-8)
+
+
+class TestLsmr:
+    def test_matches_lstsq_and_damped(self, rng):
+        from spsparse_tpu.solvers import lsmr_solve
+        m, n = 50, 20
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        x, g2 = lsmr_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=n + 15)
+        expect, *_ = np.linalg.lstsq(A, b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-10)
+        damp = 0.8
+        xd, _ = lsmr_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=n + 15, damp=damp)
+        ed = np.linalg.solve(A.T @ A + damp**2 * np.eye(n), A.T @ b)
+        np.testing.assert_allclose(np.asarray(xd), ed, rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_truncated_beats_lsqr_on_normal_residual(self, rng):
+        # LSMR's defining property: at equal (truncated) iteration count
+        # its normal-equation residual ||A^T r|| is no worse than LSQR's.
+        from spsparse_tpu.solvers import lsmr_solve, lsqr_solve
+        m, n, iters = 80, 40, 12
+        A = rng.standard_normal((m, n)) @ np.diag(
+            np.logspace(0, -3, n))                # ill-conditioned
+        b = rng.standard_normal(m)
+        Aj = jnp.asarray(A)
+        xm, _ = lsmr_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=iters)
+        xq, _ = lsqr_solve(lambda v: Aj @ v, lambda u: Aj.T @ u,
+                           jnp.asarray(b), iters=iters)
+        gm = np.linalg.norm(A.T @ (b - A @ np.asarray(xm)))
+        gq = np.linalg.norm(A.T @ (b - A @ np.asarray(xq)))
+        assert gm <= gq * 1.01, (gm, gq)
+
+    def test_sparse_jit(self, rng):
+        from spsparse_tpu.solvers import lsmr_solve
+        m, n = 36, 18
+        d = np.zeros((m, n))
+        for i in range(m):
+            d[i, int(i * n / m)] = 1.0 + 0.1 * i
+        csr, csrT = to_csr(to_coo(d)), to_csr(to_coo(d.T))
+        b = jnp.asarray(rng.standard_normal(m))
+        x, _ = jax.jit(lambda bb: lsmr_solve(
+            lambda v: spmv(csr, v), lambda u: spmv(csrT, u), bb,
+            iters=n + 10))(b)
+        expect, *_ = np.linalg.lstsq(d, np.asarray(b), rcond=None)
+        np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
+                                   atol=1e-9)
