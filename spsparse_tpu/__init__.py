@@ -67,7 +67,7 @@ from .core import (
 
 # Subpackages as attributes (sp.ops.multiply, sp.solvers.pcg_solve, ...)
 # — the natural spelling for users coming from scipy.sparse.
-from . import core, io, ops, solvers, utils  # noqa: E402
+from . import core, graph, io, ops, solvers, utils  # noqa: E402
 from . import dist  # noqa: E402
 
 __version__ = "0.1.0"

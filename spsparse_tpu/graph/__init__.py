@@ -1,0 +1,36 @@
+"""Graph algorithms on sparse adjacency matrices (the
+``scipy.sparse.csgraph`` tier), built on semiring SpMV relaxations —
+see :mod:`spsparse_tpu.graph.semiring` and
+:mod:`spsparse_tpu.graph.csgraph` for the design notes."""
+
+from .semiring import (
+    Semiring,
+    MIN_PLUS,
+    MAX_PLUS,
+    MIN_MIN,
+    MAX_MIN,
+    OR_AND,
+    PLUS_TIMES,
+    spmv_semiring,
+    edge_arrays,
+)
+from .csgraph import (
+    bellman_ford,
+    shortest_path,
+    floyd_warshall,
+    bfs_levels,
+    breadth_first_order,
+    connected_components,
+    minimum_spanning_tree,
+    laplacian,
+    NEG_SENTINEL,
+)
+from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
+
+__all__ = [
+    "Semiring", "MIN_PLUS", "MAX_PLUS", "MIN_MIN", "MAX_MIN", "OR_AND",
+    "PLUS_TIMES", "spmv_semiring", "edge_arrays",
+    "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
+    "breadth_first_order", "connected_components", "minimum_spanning_tree",
+    "laplacian", "NEG_SENTINEL", "reverse_cuthill_mckee",
+]

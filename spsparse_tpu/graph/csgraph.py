@@ -1,0 +1,492 @@
+"""Graph algorithms over sparse adjacency matrices — the
+``scipy.sparse.csgraph`` tier, rebuilt TPU-first.
+
+Every algorithm here is an iterated :func:`~spsparse_tpu.graph.semiring.
+spmv_semiring` relaxation (gather + segmented reduction over the edge
+list) inside a ``lax.while_loop`` — the data-parallel formulation that
+maps onto the VPU — instead of the priority-queue / worklist loops a CPU
+library uses.  Consequences worth knowing:
+
+* ``shortest_path`` runs Bellman-Ford (all sources in one batched pass),
+  not Dijkstra: on TPU the O(E) fully-vectorized relaxation round beats a
+  sequential heap by orders of magnitude, and for non-negative weights
+  the results are identical.  ``method='D'`` therefore routes to the same
+  relaxation (scipy-compatible results, different algorithm).
+* Structures with data-dependent sizes (BFS orders, strongly-connected
+  components via Tarjan) follow the framework's host/device split
+  (core/reorder.py convention): sequential pointer-chasing runs on the
+  host in numpy; everything fixed-shape runs on device and is
+  jit/vmap-compatible.
+
+Edge semantics match scipy's sparse-input convention: explicitly stored
+zeros ARE zero-weight edges (padding slots are masked out separately);
+``directed=False`` lets the algorithm travel both ``G[i, j]`` and
+``G[j, i]``.
+
+No reference counterpart: citibeth/spsparse has no graph layer
+(SURVEY.md §2); this tier exists because its regridding-matrix domain
+(mesh couplings) is exactly where bandwidth/RCM/partitioning graph
+machinery pays off, and `core.reorder` already opened that door.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.algebra import coo_add, coo_scale
+from ..core.consolidate import filter_compact
+from ..core.construct import coo_filter
+from ..core.coo import SparseCOO
+from ..core.errors import SpSparseError
+from .semiring import edge_arrays
+
+__all__ = [
+    "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
+    "breadth_first_order", "connected_components", "minimum_spanning_tree",
+    "laplacian", "NEG_SENTINEL",
+]
+
+Array = Any
+
+#: scipy.sparse.csgraph's "no predecessor" marker.
+NEG_SENTINEL = -9999
+
+
+def _float_dtype(a: SparseCOO):
+    return a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else jnp.float64
+
+
+# ----------------------------------------------------------------------
+# Shortest paths
+# ----------------------------------------------------------------------
+
+def _relax_rounds(t, h, w, live, n, d0, maxiter):
+    """Iterate ``d[j] = min(d[j], min over edges (i,j) of d[i]+w)`` until
+    fixpoint (or ``maxiter`` rounds); returns (dist, still_improving)."""
+    inf = jnp.asarray(jnp.inf, d0.dtype)
+    wl = jnp.where(live, w, jnp.inf).astype(d0.dtype)
+
+    def relax(d):
+        c = jnp.take(d, t, axis=0) + wl[:, None]       # (E, k)
+        y = jax.ops.segment_min(c, h, num_segments=n)  # (n, k)
+        return jnp.minimum(d, jnp.minimum(y, inf))
+
+    def cond(s):
+        it, _, changed = s
+        return jnp.logical_and(it < maxiter, changed)
+
+    def body(s):
+        it, d, _ = s
+        nd = relax(d)
+        return it + 1, nd, jnp.any(nd < d)
+
+    _, d, _ = lax.while_loop(cond, body, (0, relax(d0), jnp.array(True)))
+    improving = jnp.any(relax(d) < d)
+    return d, improving
+
+
+def _predecessors(t, h, w, live, n, d):
+    """Shortest-path tree from converged distances ``d (n, k)``:
+    ``pred[j]`` is the tail of a minimizing incoming edge, i.e. an
+    argmin over edges ``(i, j)`` of ``d[i] + w`` (ties to the smallest
+    tail). At an exact relaxation fixpoint that minimum equals ``d[j]``;
+    formulating it as an argmin (both sides of the tie test read the
+    same contribution array) keeps the tree valid even when ``d`` came
+    from a different summation order (Floyd-Warshall pivots round
+    differently than edge relaxations). Self-loops never belong to a
+    shortest-path tree and are excluded."""
+    ok = live & (t != h)
+    wl = jnp.where(ok, w, jnp.inf).astype(d.dtype)
+    c = jnp.take(d, t, axis=0) + wl[:, None]
+    m = jax.ops.segment_min(c, h, num_segments=n)
+    best = (c == jnp.take(m, h, axis=0)) & jnp.isfinite(c)
+    cand = jnp.where(best, t[:, None], n).astype(jnp.int32)
+    pred = jax.ops.segment_min(cand, h, num_segments=n)
+    # >= n covers both "no finite incoming contribution" (n) and "no
+    # incoming edge at all" (segment_min's int32-max identity).
+    return jnp.where(pred >= n, NEG_SENTINEL, pred)
+
+
+def bellman_ford(a: SparseCOO, sources, *, directed: bool = True,
+                 unweighted: bool = False, return_predecessors: bool = False,
+                 maxiter: int | None = None):
+    """Multi-source Bellman-Ford shortest paths
+    (scipy.sparse.csgraph.bellman_ford).
+
+    ``sources`` is a length-``k`` array of source nodes; returns ``dist``
+    of shape ``(k, n)`` (``inf`` where unreachable) and, with
+    ``return_predecessors``, the ``(k, n)`` int32 predecessor matrix with
+    ``-9999`` at sources/unreachable nodes (scipy's convention — any
+    valid shortest-path tree; ties broken to the smallest tail node).
+
+    Negative edge weights are supported. A reachable negative cycle
+    raises :class:`SpSparseError` when running eagerly; under ``jit``
+    (where raising is impossible) the affected distances are left
+    partially relaxed and callers can pre-check with ``n`` extra rounds.
+    jit/vmap-compatible (static ``k``).
+    """
+    t, h, w, live = edge_arrays(a, directed=directed, unweighted=unweighted)
+    n = int(a.shape[0])
+    sources = jnp.atleast_1d(jnp.asarray(sources)).astype(jnp.int32)
+    k = sources.shape[0]
+    dt = _float_dtype(a)
+    d0 = jnp.full((n, k), jnp.inf, dt)
+    d0 = d0.at[sources, jnp.arange(k)].set(0)
+    d, improving = _relax_rounds(t, h, w, live, n, d0, maxiter or n)
+    if maxiter is None and not isinstance(improving, jax.core.Tracer):
+        if bool(improving):
+            raise SpSparseError(
+                "bellman_ford: negative-weight cycle reachable from a source")
+    dist = d.T
+    if not return_predecessors:
+        return dist
+    pred = _predecessors(t, h, w, live, n, d).T
+    pred = pred.at[jnp.arange(k), sources].set(NEG_SENTINEL)
+    return dist, pred
+
+
+def shortest_path(a: SparseCOO, *, method: str = "auto",
+                  directed: bool = True, indices=None,
+                  unweighted: bool = False,
+                  return_predecessors: bool = False):
+    """All-pairs / multi-source shortest paths
+    (scipy.sparse.csgraph.shortest_path).
+
+    ``method``: ``'BF'``/``'D'``/``'auto'`` run the batched Bellman-Ford
+    relaxation (identical results to Dijkstra for non-negative weights —
+    see module docstring); ``'FW'`` runs the dense Floyd-Warshall. With
+    ``indices=None`` all ``n`` sources are solved in one batch.
+    """
+    n = int(a.shape[0])
+    if method == "FW":
+        if indices is not None:
+            raise SpSparseError("method='FW' computes all pairs; "
+                                "indices is not supported (scipy parity)")
+        return floyd_warshall(a, directed=directed, unweighted=unweighted,
+                              return_predecessors=return_predecessors)
+    if method not in ("auto", "BF", "D"):
+        raise SpSparseError(f"unknown shortest_path method {method!r}")
+    sources = jnp.arange(n) if indices is None else indices
+    return bellman_ford(a, sources, directed=directed, unweighted=unweighted,
+                        return_predecessors=return_predecessors)
+
+
+def floyd_warshall(a: SparseCOO, *, directed: bool = True,
+                   unweighted: bool = False,
+                   return_predecessors: bool = False):
+    """Dense all-pairs shortest paths (scipy.sparse.csgraph.
+    floyd_warshall): ``lax.fori_loop`` over pivots, each round a fully
+    vectorized ``(n, n)`` min-plus rank-1 update. O(n^3) work, O(n^2)
+    memory — the right tool up to a few thousand nodes; beyond that use
+    the edge-list Bellman-Ford."""
+    t, h, w, live = edge_arrays(a, unweighted=unweighted)
+    n = int(a.shape[0])
+    dt = _float_dtype(a)
+    D = jnp.full((n, n), jnp.inf, dt)
+    D = D.at[t, h].min(jnp.where(live, w, jnp.inf).astype(dt))
+    if not directed:
+        D = jnp.minimum(D, D.T)
+    D = jnp.where(jnp.eye(n, dtype=bool), 0, D)
+
+    def body(k, D):
+        col = lax.dynamic_slice_in_dim(D, k, 1, axis=1)   # (n, 1)
+        row = lax.dynamic_slice_in_dim(D, k, 1, axis=0)   # (1, n)
+        return jnp.minimum(D, col + row)
+
+    D = lax.fori_loop(0, n, body, D)
+    neg = jnp.any(jnp.diagonal(D) < 0)
+    if not isinstance(neg, jax.core.Tracer) and bool(neg):
+        raise SpSparseError("floyd_warshall: negative-weight cycle")
+    if not return_predecessors:
+        return D
+    if not directed:
+        # undirected: edges usable both ways in the tree reconstruction
+        t, h = jnp.concatenate([t, h]), jnp.concatenate([h, t])
+        w = jnp.concatenate([w, w])
+        live = jnp.concatenate([live, live])
+    pred = _predecessors(t, h, w, live, n, D.T).T
+    pred = pred.at[jnp.arange(n), jnp.arange(n)].set(NEG_SENTINEL)
+    return D, pred
+
+
+# ----------------------------------------------------------------------
+# BFS
+# ----------------------------------------------------------------------
+
+def bfs_levels(a: SparseCOO, source: int | Array, *,
+               directed: bool = True) -> Array:
+    """Hop counts from ``source`` (``inf`` where unreachable) — the
+    level-synchronous BFS, i.e. unweighted Bellman-Ford. jit-compatible;
+    device-resident output ``(n,)``."""
+    return bellman_ford(a, jnp.atleast_1d(source), directed=directed,
+                        unweighted=True, maxiter=int(a.shape[0]))[0]
+
+
+def breadth_first_order(a: SparseCOO, i_start: int, *,
+                        directed: bool = True,
+                        return_predecessors: bool = True):
+    """BFS visit order from ``i_start``
+    (scipy.sparse.csgraph.breadth_first_order).
+
+    Returns ``node_array`` (the reachable nodes in a valid BFS order:
+    sorted by level, ties by node id — scipy's order depends on its CSR
+    edge order and may differ within a level) and, optionally, the
+    ``(n,)`` predecessor array (``-9999`` at the source and unreachable
+    nodes). Host-returning (variable-length output), like
+    ``rcm_permutation`` — run eagerly.
+    """
+    dist, pred = bellman_ford(a, jnp.atleast_1d(i_start), directed=directed,
+                              unweighted=True, return_predecessors=True,
+                              maxiter=int(a.shape[0]))
+    lv = np.asarray(dist[0])
+    reach = np.isfinite(lv)
+    order = np.lexsort((np.arange(lv.size), np.where(reach, lv, np.inf)))
+    node_array = order[:int(reach.sum())].astype(np.int32)
+    if not return_predecessors:
+        return node_array
+    return node_array, np.asarray(pred[0])
+
+
+# ----------------------------------------------------------------------
+# Connected components
+# ----------------------------------------------------------------------
+
+def _min_label_components(t, h, live, n):
+    """Min-label propagation + pointer jumping: converged ``lab[i]`` is
+    the smallest node id in i's component. O(log n)-ish rounds, each a
+    segmented min + two gathers."""
+    lab0 = jnp.arange(n, dtype=jnp.int32)
+    t = jnp.where(live, t, 0).astype(jnp.int32)
+    h = jnp.where(live, h, 0).astype(jnp.int32)
+
+    def step(lab):
+        inc = jax.ops.segment_min(
+            jnp.where(live, lab[t], n).astype(jnp.int32), h, num_segments=n)
+        lab = jnp.minimum(lab, inc)
+        lab = jnp.minimum(lab, lab[lab])        # pointer jumping
+        return jnp.minimum(lab, lab[lab])
+
+    def cond(s):
+        it, lab, changed = s
+        return jnp.logical_and(it < n, changed)
+
+    def body(s):
+        it, lab, _ = s
+        nl = step(lab)
+        return it + 1, nl, jnp.any(nl != lab)
+
+    _, lab, _ = lax.while_loop(cond, body, (0, step(lab0), jnp.array(True)))
+    return lab
+
+
+def _host_tarjan(t, h, n):
+    """Iterative Tarjan SCC on the host (numpy) — sequential by nature,
+    same host/device split as `core.reorder`. Returns labels relabeled
+    in order of first node occurrence."""
+    order = np.lexsort((h, t))
+    t, h = t[order], h[order]
+    ptr = np.searchsorted(t, np.arange(n + 1))
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    on_stack = np.zeros(n, bool)
+    stack: list[int] = []
+    labels = np.full(n, -1, np.int64)
+    counter = 0
+    n_comp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # (node, next-edge-offset) explicit DFS stack
+        work = [(root, ptr[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < ptr[v + 1]:
+                work[-1] = (v, ei + 1)
+                u = h[ei]
+                if index[u] == -1:
+                    index[u] = low[u] = counter
+                    counter += 1
+                    stack.append(u)
+                    on_stack[u] = True
+                    work.append((u, ptr[u]))
+                elif on_stack[u]:
+                    low[v] = min(low[v], index[u])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    while True:
+                        u = stack.pop()
+                        on_stack[u] = False
+                        labels[u] = n_comp
+                        if u == v:
+                            break
+                    n_comp += 1
+    # relabel by first occurrence (scipy-friendly canonical order)
+    remap = np.full(n_comp, -1, np.int64)
+    nxt = 0
+    for lbl in labels:
+        if remap[lbl] == -1:
+            remap[lbl] = nxt
+            nxt += 1
+    return n_comp, remap[labels]
+
+
+def connected_components(a: SparseCOO, *, directed: bool = True,
+                         connection: str = "weak",
+                         return_labels: bool = True):
+    """Connected components (scipy.sparse.csgraph.connected_components).
+
+    Weak (or undirected) components run on device: min-label propagation
+    with pointer jumping under ``lax.while_loop`` — labels are numbered
+    in order of first node occurrence, matching scipy. Strong components
+    of a directed graph are inherently sequential (Tarjan) and run on the
+    host. Returns ``(n_components, labels)`` (or just the count).
+    """
+    n = int(a.shape[0])
+    if directed and connection == "strong":
+        t, h, _, live = edge_arrays(a)
+        lv = np.asarray(live)
+        tn = np.asarray(t)[lv].astype(np.int64)
+        hn = np.asarray(h)[lv].astype(np.int64)
+        n_comp, labels = _host_tarjan(tn, hn, n)
+        return (n_comp, jnp.asarray(labels, jnp.int32)) if return_labels \
+            else n_comp
+    if connection not in ("weak", "strong"):
+        raise SpSparseError(f"unknown connection {connection!r}")
+    t, h, _, live = edge_arrays(a, directed=False)
+    lab = _min_label_components(t, h, live, n)
+    is_root = lab == jnp.arange(n, dtype=jnp.int32)
+    n_comp = jnp.sum(is_root)
+    labels = (jnp.cumsum(is_root) - 1).astype(jnp.int32)[lab]
+    if not isinstance(n_comp, jax.core.Tracer):
+        n_comp = int(n_comp)
+    return (n_comp, labels) if return_labels else n_comp
+
+
+# ----------------------------------------------------------------------
+# Minimum spanning tree (Boruvka)
+# ----------------------------------------------------------------------
+
+def minimum_spanning_tree(a: SparseCOO) -> SparseCOO:
+    """Minimum spanning forest
+    (scipy.sparse.csgraph.minimum_spanning_tree), via Boruvka rounds —
+    the data-parallel MST: every round, each component picks its
+    lightest outgoing edge (one segmented min over the edge list) and
+    the chosen edges merge components; O(log n) rounds total, each fully
+    vectorized. Ties break on (weight, edge id), which makes the chosen
+    set cycle-free (standard Boruvka argument for distinct keys).
+
+    The input is treated as undirected (either orientation of a stored
+    entry defines the edge, as in scipy); the result keeps one entry per
+    tree edge in ``(min(i,j), max(i,j))`` orientation, row-major sorted.
+    jit-compatible.
+    """
+    if a.rank != 2 or a.shape[0] != a.shape[1]:
+        raise SpSparseError(
+            f"minimum_spanning_tree needs a square rank-2 array, "
+            f"got {a.shape}")
+    n = int(a.shape[0])
+    live0 = a.valid_mask()
+    i = jnp.where(live0, a.indices[:, 0], 0).astype(jnp.int32)
+    j = jnp.where(live0, a.indices[:, 1], 0).astype(jnp.int32)
+    u = jnp.minimum(i, j)
+    v = jnp.maximum(i, j)
+    live = live0 & (u != v)                    # self-loops never in a tree
+    E = int(u.shape[0])
+    w = jnp.where(live, a.vals, 0).astype(_float_dtype(a))
+    eid = jnp.arange(E, dtype=jnp.int32)
+
+    both_t = jnp.concatenate([u, v])
+    both_h = jnp.concatenate([v, u])
+
+    def round_(state):
+        comp, forest, _ = state
+        cu, cv = comp[u], comp[v]
+        cross = live & (cu != cv)
+        winf = jnp.where(cross, w, jnp.inf)
+        # each endpoint's component sees the edge
+        seg = jnp.concatenate([cu, cv])
+        ww = jnp.concatenate([winf, winf])
+        ee = jnp.concatenate([eid, eid])
+        m = jax.ops.segment_min(ww, seg, num_segments=n)
+        cand = jnp.isfinite(ww) & (ww == m[seg])
+        ce = jax.ops.segment_min(jnp.where(cand, ee, E), seg, num_segments=n)
+        chosen = jnp.zeros(E + 1, bool).at[ce].set(True)[:E] & cross
+        new_forest = forest | chosen
+        new_comp = _min_label_components(
+            both_t, both_h, jnp.concatenate([new_forest, new_forest]), n)
+        return new_comp, new_forest, jnp.any(chosen)
+
+    init = (jnp.arange(n, dtype=jnp.int32), jnp.zeros(E, bool),
+            jnp.array(True))
+    _, forest, _ = lax.while_loop(lambda s: s[2], round_, init)
+
+    und = SparseCOO(indices=jnp.stack(
+        [jnp.where(live0, u, jnp.asarray(a.shape[0], jnp.int32)),
+         jnp.where(live0, v, jnp.asarray(a.shape[1], jnp.int32))],
+        axis=1).astype(a.index_dtype),
+        vals=a.vals, nnz=a.nnz, shape=a.shape)
+    tree = filter_compact(und, forest)
+    return tree.consolidate((0, 1))
+
+
+# ----------------------------------------------------------------------
+# Laplacian
+# ----------------------------------------------------------------------
+
+def laplacian(a: SparseCOO, *, normed: bool = False,
+              return_diag: bool = False):
+    """Graph Laplacian of a symmetric adjacency matrix
+    (scipy.sparse.csgraph.laplacian): ``L = D - A`` with
+    ``D = diag(offdiag-row-sums)`` (the input diagonal is ignored, as in
+    scipy). With ``normed=True``: ``L = I - D^-1/2 A D^-1/2`` with unit
+    diagonal only at non-isolated nodes. Returns a consolidated
+    row-major :class:`SparseCOO` (and the degree/sqrt-degree vector with
+    ``return_diag``)."""
+    if a.rank != 2 or a.shape[0] != a.shape[1]:
+        raise SpSparseError(f"laplacian needs a square rank-2 array, "
+                            f"got {a.shape}")
+    n = int(a.shape[0])
+    off = coo_filter(a, lambda idx, _v: idx[:, 0] != idx[:, 1])
+    lv = off.valid_mask()
+    rid = jnp.where(lv, off.indices[:, 0], n)
+    deg = jnp.zeros(n, off.dtype).at[rid].add(
+        jnp.where(lv, off.vals, 0), mode="drop")
+    if not normed:
+        D = _dense_diag_coo(deg, a)
+        L = coo_add(D, coo_scale(off, -1.0))
+        return (L, deg) if return_diag else L
+    s = jnp.sqrt(jnp.where(deg > 0, deg, 1)).astype(off.dtype)
+    inv = jnp.where(deg > 0, 1 / s, 0)
+    ri = jnp.where(lv, off.indices[:, 0], 0)
+    ci = jnp.where(lv, off.indices[:, 1], 0)
+    scaled = dataclasses.replace(off, vals=off.vals * inv[ri] * inv[ci])
+    D = _dense_diag_coo((deg > 0).astype(off.dtype), a)
+    L = coo_add(D, coo_scale(scaled, -1.0))
+    return (L, s) if return_diag else L
+
+
+def _dense_diag_coo(d: Array, like: SparseCOO) -> SparseCOO:
+    """diag(d) as a SparseCOO with every diagonal slot present (static
+    shape; zero diagonal entries are kept so jit tracing stays
+    shape-stable — consolidate drops them downstream if asked)."""
+    n = int(d.shape[0])
+    r = jnp.arange(n, dtype=like.index_dtype)
+    return SparseCOO(indices=jnp.stack([r, r], axis=1),
+                     vals=d.astype(like.dtype),
+                     nnz=jnp.asarray(n, jnp.int32),
+                     shape=like.shape, sort_order=(0, 1))

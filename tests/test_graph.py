@@ -1,0 +1,304 @@
+"""Graph tier (spsparse_tpu.graph) vs scipy.sparse.csgraph oracles.
+
+Same differential-testing pattern as the reference's randomized
+multiply tests (/root/reference/tests/test_multiply_sparse.cpp:84-136):
+seeded random graphs, scipy as the dense/CSR oracle. No reference
+counterpart exists for this tier (SURVEY.md §2 — the reference has no
+graph layer); scipy.sparse.csgraph defines the contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import scipy.sparse as sp
+import scipy.sparse.csgraph as cs
+
+from spsparse_tpu import SparseCOO
+from spsparse_tpu.core.errors import SpSparseError
+from spsparse_tpu.graph import (
+    MIN_PLUS, MAX_MIN, OR_AND, NEG_SENTINEL,
+    spmv_semiring, bellman_ford, shortest_path, floyd_warshall,
+    bfs_levels, breadth_first_order, connected_components,
+    minimum_spanning_tree, laplacian,
+)
+
+
+def random_graph(seed, n=24, m=60, symmetric=False, negative=False):
+    """(SparseCOO, scipy.csr, dense) of a random weighted digraph."""
+    rng = np.random.default_rng(seed)
+    dense = np.zeros((n, n))
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    lo = -1.0 if negative else 0.1
+    w = rng.uniform(lo, 5.0, m)
+    for i, j, v in zip(r, c, w):
+        if i != j:
+            dense[i, j] = v
+    if symmetric:
+        dense = np.maximum(dense, dense.T)
+    rr, cc = dense.nonzero()
+    A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc], (n, n))
+    return A, sp.csr_matrix(dense), dense
+
+
+def check_tree(dist, pred, dense, sources):
+    """Any valid shortest-path tree: pred edges must achieve the dist."""
+    dist, pred = np.asarray(dist), np.asarray(pred)
+    for k, s in enumerate(np.atleast_1d(sources)):
+        for j in range(dense.shape[0]):
+            if j == s or not np.isfinite(dist[k, j]):
+                assert pred[k, j] == NEG_SENTINEL
+            else:
+                i = pred[k, j]
+                assert i >= 0 and dense[i, j] != 0
+                assert np.isclose(dist[k, i] + dense[i, j], dist[k, j])
+
+
+class TestShortestPaths:
+    @pytest.mark.parametrize("seed", range(5))
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_bellman_ford_vs_scipy(self, seed, directed):
+        A, G, dense = random_graph(seed)
+        src = [0, 5, 11]
+        d = bellman_ford(A, src, directed=directed)
+        ref = cs.bellman_ford(G, directed=directed, indices=src)
+        np.testing.assert_allclose(np.asarray(d), ref)
+
+    def test_predecessors_form_valid_tree(self):
+        A, G, dense = random_graph(3)
+        src = [0, 7]
+        d, p = bellman_ford(A, src, return_predecessors=True)
+        check_tree(d, p, dense, src)
+
+    def test_negative_weights_match_scipy(self):
+        # a DAG-ish graph (upper triangular) cannot have cycles
+        rng = np.random.default_rng(0)
+        n = 12
+        dense = np.triu(rng.uniform(-1, 2, (n, n)), 1)
+        dense[rng.uniform(size=(n, n)) < 0.6] = 0
+        rr, cc = dense.nonzero()
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (n, n))
+        d = bellman_ford(A, [0])
+        ref = cs.bellman_ford(sp.csr_matrix(dense), indices=[0])
+        np.testing.assert_allclose(np.asarray(d), ref)
+
+    def test_negative_cycle_raises(self):
+        A = SparseCOO.from_arrays(np.array([[0, 1], [1, 0]]),
+                                  np.array([1.0, -2.0]), (3, 3))
+        with pytest.raises(SpSparseError, match="negative"):
+            bellman_ford(A, [0])
+
+    def test_floyd_warshall_vs_scipy(self):
+        A, G, dense = random_graph(4)
+        for directed in (True, False):
+            D = floyd_warshall(A, directed=directed)
+            np.testing.assert_allclose(
+                np.asarray(D), cs.floyd_warshall(G, directed=directed))
+
+    def test_floyd_warshall_predecessors(self):
+        A, G, dense = random_graph(6)
+        D, P = floyd_warshall(A, return_predecessors=True)
+        check_tree(D, P, dense, np.arange(dense.shape[0]))
+
+    def test_shortest_path_all_sources(self):
+        A, G, _ = random_graph(7)
+        for method in ("auto", "BF", "D", "FW"):
+            SP = shortest_path(A, method=method)
+            np.testing.assert_allclose(np.asarray(SP),
+                                       cs.shortest_path(G, method="BF"))
+
+    def test_shortest_path_unweighted(self):
+        A, G, _ = random_graph(8)
+        d = shortest_path(A, indices=[2], unweighted=True)
+        ref = cs.shortest_path(G, method="BF", unweighted=True, indices=[2])
+        np.testing.assert_allclose(np.asarray(d), ref)
+
+    def test_jit_and_fixed_iteration(self):
+        A, G, _ = random_graph(9)
+        f = jax.jit(lambda a: bellman_ford(a, jnp.array([0, 1]),
+                                           maxiter=int(a.shape[0])))
+        np.testing.assert_allclose(np.asarray(f(A)),
+                                   cs.bellman_ford(G, indices=[0, 1]))
+
+    def test_explicit_zero_weight_edge_is_an_edge(self):
+        # scipy sparse-input convention: stored zeros are edges
+        A = SparseCOO.from_arrays(np.array([[0, 1], [1, 2]]),
+                                  np.array([0.0, 3.0]), (3, 3))
+        d = np.asarray(bellman_ford(A, [0]))
+        np.testing.assert_allclose(d[0], [0.0, 0.0, 3.0])
+
+
+class TestBFS:
+    def test_levels_vs_scipy(self):
+        A, G, _ = random_graph(1, symmetric=True)
+        lv = np.asarray(bfs_levels(A, 0, directed=False))
+        ref = cs.shortest_path(G, method="BF", unweighted=True,
+                               directed=False, indices=[0])[0]
+        np.testing.assert_allclose(lv, ref)
+
+    def test_breadth_first_order(self):
+        A, G, dense = random_graph(2, symmetric=True)
+        order, pred = breadth_first_order(A, 0, directed=False)
+        ref_order, _ = cs.breadth_first_order(G, 0, directed=False)
+        # same reachable set, source first, levels non-decreasing
+        assert set(order.tolist()) == set(ref_order.tolist())
+        assert order[0] == 0
+        lv = np.asarray(bfs_levels(A, 0, directed=False))
+        assert (np.diff(lv[order]) >= 0).all()
+        # predecessor of every non-source reachable node is one level up
+        for j in order[1:]:
+            assert lv[pred[j]] == lv[j] - 1 and dense[pred[j], j] != 0
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_weak_matches_scipy_exactly(self, seed):
+        A, G, _ = random_graph(seed, n=40, m=45)
+        nc, lab = connected_components(A)
+        nc_ref, lab_ref = cs.connected_components(G, connection="weak")
+        assert nc == nc_ref
+        np.testing.assert_array_equal(np.asarray(lab), lab_ref)
+
+    def test_strong_partition_matches_scipy(self):
+        A, G, _ = random_graph(11, n=20, m=50)
+        nc, lab = connected_components(A, connection="strong")
+        nc_ref, lab_ref = cs.connected_components(G, connection="strong")
+        assert nc == nc_ref
+        part = lambda l: sorted(
+            sorted(np.where(l == x)[0].tolist()) for x in np.unique(l))
+        assert part(np.asarray(lab)) == part(lab_ref)
+
+    def test_no_edges(self):
+        A = SparseCOO.empty((5, 5), cap=4)
+        nc, lab = connected_components(A)
+        assert nc == 5
+        np.testing.assert_array_equal(np.asarray(lab), np.arange(5))
+
+    def test_jit(self):
+        A, G, _ = random_graph(12)
+        f = jax.jit(lambda a: connected_components(a))
+        nc, lab = f(A)
+        nc_ref, lab_ref = cs.connected_components(G, connection="weak")
+        assert int(nc) == nc_ref
+        np.testing.assert_array_equal(np.asarray(lab), lab_ref)
+
+
+class TestMST:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_vs_scipy(self, seed):
+        A, G, dense = random_graph(seed, n=24, m=70, symmetric=True)
+        T = minimum_spanning_tree(A)
+        T_ref = cs.minimum_spanning_tree(G)
+        td = np.asarray(T.to_dense())
+        assert np.isclose(td.sum(), T_ref.sum())
+        # edge count: n - n_components
+        nc = cs.connected_components(G, connection="weak",
+                                     return_labels=False)
+        assert int(T.nnz) == dense.shape[0] - nc
+
+    def test_distinct_weights_exact_pattern(self):
+        # with all-distinct weights the MST is unique -> exact match
+        rng = np.random.default_rng(5)
+        n = 16
+        iu = np.triu_indices(n, 1)
+        w = rng.permutation(len(iu[0])).astype(float) + 1
+        keep = rng.uniform(size=len(w)) < 0.4
+        dense = np.zeros((n, n))
+        dense[iu[0][keep], iu[1][keep]] = w[keep]
+        dense = dense + dense.T
+        rr, cc = dense.nonzero()
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (n, n))
+        T = np.asarray(minimum_spanning_tree(A).to_dense())
+        T_ref = cs.minimum_spanning_tree(sp.csr_matrix(dense)).toarray()
+        np.testing.assert_allclose(T + T.T, T_ref + T_ref.T)
+
+    def test_jit(self):
+        A, G, _ = random_graph(2, symmetric=True)
+        T = jax.jit(minimum_spanning_tree)(A)
+        assert np.isclose(np.asarray(T.to_dense()).sum(),
+                          cs.minimum_spanning_tree(G).sum())
+
+
+class TestLaplacian:
+    def test_vs_scipy(self):
+        A, G, _ = random_graph(3, symmetric=True)
+        np.testing.assert_allclose(np.asarray(laplacian(A).to_dense()),
+                                   cs.laplacian(G, normed=False).toarray())
+
+    def test_normed_vs_scipy(self):
+        A, G, _ = random_graph(4, symmetric=True)
+        np.testing.assert_allclose(
+            np.asarray(laplacian(A, normed=True).to_dense()),
+            cs.laplacian(G, normed=True).toarray(), atol=1e-12)
+
+    def test_input_diagonal_ignored(self):
+        dense = np.array([[7.0, 2.0], [2.0, 9.0]])
+        rr, cc = dense.nonzero()
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (2, 2))
+        np.testing.assert_allclose(
+            np.asarray(laplacian(A).to_dense()),
+            cs.laplacian(sp.csr_matrix(dense)).toarray())
+
+    def test_return_diag(self):
+        A, G, _ = random_graph(5, symmetric=True)
+        L, d = laplacian(A, return_diag=True)
+        ref_L, ref_d = cs.laplacian(G, return_diag=True)
+        np.testing.assert_allclose(np.asarray(d), ref_d)
+
+
+class TestSemiring:
+    def test_or_and_reachability(self):
+        A, G, dense = random_graph(6)
+        n = dense.shape[0]
+        x = jnp.zeros(n).at[0].set(1.0)
+        # iterate to fixpoint -> reachable set of node 0
+        for _ in range(n):
+            x = jnp.maximum(x, spmv_semiring(A, x, OR_AND))
+        ref = np.isfinite(cs.bellman_ford(G, indices=[0])[0])
+        np.testing.assert_array_equal(np.asarray(x) > 0, ref)
+
+    def test_max_min_bottleneck(self):
+        # widest-path: maximize the minimum edge capacity along the path
+        A, G, dense = random_graph(7)
+        n = dense.shape[0]
+        x = jnp.full(n, -jnp.inf).at[0].set(jnp.inf)
+        for _ in range(n):
+            x = jnp.maximum(x, spmv_semiring(A, x, MAX_MIN))
+        # brute-force oracle on the small graph
+        cap = np.where(dense > 0, dense, -np.inf)
+        ref = np.full(n, -np.inf)
+        ref[0] = np.inf
+        for _ in range(n):
+            ref = np.maximum(ref, np.max(
+                np.minimum(ref[:, None], cap), axis=0))
+        np.testing.assert_allclose(np.asarray(x), ref)
+
+    def test_min_plus_is_one_relaxation(self):
+        A, _, dense = random_graph(8)
+        n = dense.shape[0]
+        x = jnp.where(jnp.arange(n) == 0, 0.0, jnp.inf)
+        y = spmv_semiring(A, x, MIN_PLUS)
+        ref = np.where(dense[0] != 0, dense[0], np.inf)
+        np.testing.assert_allclose(np.asarray(y), ref)
+
+    def test_batched_frontier(self):
+        A, G, _ = random_graph(9)
+        n = int(A.shape[0])
+        X = jnp.full((n, 2), jnp.inf).at[0, 0].set(0.0).at[3, 1].set(0.0)
+        Y = spmv_semiring(A, X, MIN_PLUS)
+        y0 = spmv_semiring(A, X[:, 0], MIN_PLUS)
+        np.testing.assert_allclose(np.asarray(Y[:, 0]), np.asarray(y0))
+
+    def test_duplicates_absorbed(self):
+        # duplicate entries: min-plus takes the lighter parallel edge
+        A = SparseCOO.from_arrays(np.array([[0, 1], [0, 1]]),
+                                  np.array([5.0, 2.0]), (2, 2))
+        x = jnp.array([0.0, jnp.inf])
+        np.testing.assert_allclose(
+            np.asarray(spmv_semiring(A, x, MIN_PLUS)), [np.inf, 2.0])
