@@ -1,7 +1,8 @@
 """Sparse operator layer: multiply chains, SpMV/SpMM, SpGEMM, kernels."""
 
 from .multiply import multiply, multiply_mv, multiply_chain, expansion_size
-from .spgemm import spgemm, spgemm_aat, plan_spgemm_caps, best_spgemm
+from .spgemm import (spgemm, spgemm_aat, plan_spgemm_caps, best_spgemm,
+                     coo_matrix_power)
 from .spgemm_tiled import spgemm_tiled, plan_tiled_spgemm, densify_tiled
 from .general import (PreparedGeneral, prepare_general, spmm_general,
                       spmv_general)
@@ -12,6 +13,7 @@ from .tiled_ops import spmv_tiled, spmm_tiled
 __all__ = [
     "multiply", "multiply_mv", "multiply_chain", "expansion_size",
     "spgemm", "spgemm_aat", "plan_spgemm_caps", "best_spgemm",
+    "coo_matrix_power",
     "spgemm_tiled", "plan_tiled_spgemm", "densify_tiled",
     "PreparedGeneral", "prepare_general", "spmm_general", "spmv_general",
     "spmv", "spmm", "spmm_bsr",

@@ -17,7 +17,8 @@ from ..core.errors import DuplicatePolicy
 from ..core.structure import to_csr
 from .multiply import multiply
 
-__all__ = ["spgemm", "spgemm_aat", "plan_spgemm_caps", "best_spgemm"]
+__all__ = ["spgemm", "spgemm_aat", "plan_spgemm_caps", "best_spgemm",
+           "coo_matrix_power"]
 
 Array = Any
 
@@ -68,12 +69,49 @@ def best_spgemm(A: SparseCOO, B: SparseCOO, *, transpose_b: bool = False,
         live = int(np.sum(np.asarray(tl.vals) != 0))
         return live / max(int(tl.n_tiles), 1)
 
-    if min(fill(A), fill(B)) >= DENSE_FILL_THRESHOLD:
+    # The tiled engine stores f32 blocks (MXU layout, densify_tiled) —
+    # correct for f32/bf16 operands but a silent precision downgrade for
+    # f64, so f64 operands always take the exact ESC path.
+    f64 = np.dtype(A.dtype) == np.float64 or np.dtype(B.dtype) == np.float64
+    if not f64 and min(fill(A), fill(B)) >= DENSE_FILL_THRESHOLD:
         # use_pallas=None: the pair-stream kernel on TPU, the XLA batched
         # matmul elsewhere.
         out = spgemm_tiled(A, B, transpose_b=transpose_b, cap=cap)
         return out.consolidate((0, 1))
     return spgemm(A, B, transpose_b=transpose_b, cap=cap)
+
+
+def coo_matrix_power(A: SparseCOO, k: int) -> SparseCOO:
+    """``A**k`` for a square matrix by binary exponentiation over
+    :func:`best_spgemm` (scipy.sparse.linalg.matrix_power) —
+    ``O(log k)`` products, each structure-dispatched (tiled MXU vs ESC).
+
+    Eager/host-side by design: intermediate capacities are
+    data-dependent (fill-in grows with each square), exactly the case
+    the framework's static-cap contract routes to eager planning
+    (CLAUDE.md conventions). ``k == 0`` returns the identity. For the
+    action of a matrix *power series* on a vector under jit, use
+    :func:`spsparse_tpu.solvers.funm_multiply` instead."""
+    from ..core.construct import coo_eye
+    from ..core.errors import SpSparseError
+    k = int(k)
+    if k < 0:
+        raise SpSparseError("coo_matrix_power: negative powers need an "
+                            "explicit solve; k must be >= 0")
+    if A.rank != 2 or A.shape[0] != A.shape[1]:
+        raise SpSparseError(f"coo_matrix_power needs a square matrix, "
+                            f"got {A.shape}")
+    if k == 0:
+        return coo_eye(int(A.shape[0]), dtype=A.dtype)
+    result = None
+    base = A
+    while k:
+        if k & 1:
+            result = base if result is None else best_spgemm(result, base)
+        k >>= 1
+        if k:
+            base = best_spgemm(base, base)
+    return result
 
 
 def plan_spgemm_caps(A: SparseCOO, B: SparseCOO, *,

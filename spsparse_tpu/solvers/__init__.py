@@ -6,7 +6,7 @@ preconditioning) for single-chip and row-partitioned multi-chip
 execution."""
 
 from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
-                        bicgstab_solve, minres_solve,
+                        bicgstab_solve, cgs_solve, tfqmr_solve, minres_solve,
                         chebyshev_solve, cg_solve_implicit, gmres_solve,
                         lanczos_bounds,
                         jacobi_preconditioner, power_iteration, CGState)
@@ -17,9 +17,10 @@ from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
                        funm_multiply, expm_multiply)
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
 from .linop import LinearOperator, aslinearoperator, identity_operator
+from .norms import onenormest
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
-           "bicgstab_solve", "minres_solve",
+           "bicgstab_solve", "cgs_solve", "tfqmr_solve", "minres_solve",
            "chebyshev_solve", "cg_solve_implicit", "gmres_solve",
            "lanczos_bounds",
            "jacobi_preconditioner", "power_iteration",
@@ -29,4 +30,5 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
            "funm_multiply", "expm_multiply",
            "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",
-           "LinearOperator", "aslinearoperator", "identity_operator"]
+           "LinearOperator", "aslinearoperator", "identity_operator",
+           "onenormest"]

@@ -247,6 +247,106 @@ def bicgstab_solve(matvec: Callable[[Array], Array], b: Array, *,
     return x, jnp.vdot(r, r)
 
 
+def cgs_solve(matvec: Callable[[Array], Array], b: Array, *,
+              iters: int, minv: Array | Callable[[Array], Array]
+              | None = None, x0: Array | None = None
+              ) -> tuple[Array, Array]:
+    """Conjugate Gradient Squared (Sonneveld) for general ``A`` — the
+    transpose-free cousin of BiCG (scipy.sparse.linalg.cgs): two matvecs
+    per iteration, no ``A^T`` stream (on TPU a second transposed operator
+    stream would double the HBM traffic, which is why the transpose-free
+    variants are the ones shipped — see also :func:`tfqmr_solve`).
+    Convergence is faster than BiCGStab when it converges but the squared
+    polynomial makes residuals oscillate; prefer BiCGStab/GMRES when
+    smooth decay matters. Fixed ``iters`` under ``lax.scan`` with the
+    same ``safe_div`` breakdown masking as :func:`bicgstab_solve`.
+    Returns ``(x, final_residual_norm_sq)`` of the recurrence residual.
+    """
+    apply_m = ((lambda r: r) if minv is None
+               else minv if callable(minv) else (lambda r: minv * r))
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    rtld = r0
+
+    def body(state, _):
+        x, r, p, q, rho = state
+        rho_new = jnp.vdot(rtld, r)
+        beta = safe_div(rho_new, rho)
+        u = r + beta * q
+        p = u + beta * (q + beta * p)
+        vhat = matvec(apply_m(p))
+        alpha = safe_div(rho_new, jnp.vdot(rtld, vhat))
+        q = u - alpha * vhat
+        uhat = apply_m(u + q)
+        x = x + alpha * uhat
+        r = r - alpha * matvec(uhat)
+        return (x, r, p, q, rho_new), None
+
+    one = jnp.ones((), b.dtype)
+    state = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one)
+    (x, r, *_), _ = jax.lax.scan(body, state, None, length=iters)
+    return x, jnp.vdot(r, r)
+
+
+def tfqmr_solve(matvec: Callable[[Array], Array], b: Array, *,
+                iters: int, x0: Array | None = None
+                ) -> tuple[Array, Array]:
+    """Transpose-Free QMR (Freund 1993; scipy.sparse.linalg.tfqmr) for
+    general ``A``: CGS's two matvecs per iteration but with the
+    quasi-minimal-residual smoothing, so the residual decays monotonely
+    instead of oscillating. No ``A^T`` needed (see :func:`cgs_solve` for
+    why the transpose-free variants are the TPU-native menu; QMR/BiCG
+    proper are deliberately not shipped — their ``A^T`` stream doubles
+    operator traffic and TFQMR/CGS dominate them in practice).
+
+    Fixed ``iters`` (each = one even+odd half-step pair) under
+    ``lax.scan``; ``safe_div`` masks Lanczos breakdowns. Returns
+    ``(x, true_final_residual_norm_sq)`` (one extra matvec at the end —
+    the QMR ``tau`` only bounds the residual)."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    dt = b.dtype
+    rtld = r0
+
+    def half(x, d, w, tau, theta, eta, y, Ay, alpha):
+        w = w - alpha * Ay
+        d = y + safe_div(theta * theta * eta, alpha) * d
+        theta = safe_div(jnp.sqrt(jnp.vdot(w, w)), tau)
+        c2 = safe_div(jnp.ones((), dt), 1 + theta * theta)
+        tau = tau * theta * jnp.sqrt(c2)
+        eta = c2 * alpha
+        x = x + eta * d
+        return x, d, w, tau, theta, eta
+
+    def body(state, _):
+        x, w, y1, Ay1, v, d, tau, theta, eta, rho = state
+        sigma = jnp.vdot(rtld, v)
+        alpha = safe_div(rho, sigma)
+        y2 = y1 - alpha * v
+        Ay2 = matvec(y2)
+        # NB the odd half-step needs A@y1 itself — v only equals A@y1 on
+        # the very first iteration (afterwards v is the CGS direction
+        # image A@p), so Ay1 is carried explicitly.
+        x, d, w, tau, theta, eta = half(x, d, w, tau, theta, eta,
+                                        y1, Ay1, alpha)
+        x, d, w, tau, theta, eta = half(x, d, w, tau, theta, eta,
+                                        y2, Ay2, alpha)
+        rho_new = jnp.vdot(rtld, w)
+        beta = safe_div(rho_new, rho)
+        y1 = w + beta * y2
+        Ay1 = matvec(y1)
+        v = Ay1 + beta * (Ay2 + beta * v)
+        return (x, w, y1, Ay1, v, d, tau, theta, eta, rho_new), None
+
+    tau0 = jnp.sqrt(jnp.vdot(r0, r0))
+    Ar0 = matvec(r0)
+    state = (x0, r0, r0, Ar0, Ar0, jnp.zeros_like(b), tau0,
+             jnp.zeros((), dt), jnp.zeros((), dt), jnp.vdot(rtld, r0))
+    (x, *_), _ = jax.lax.scan(body, state, None, length=iters)
+    r = b - matvec(x)
+    return x, jnp.vdot(r, r)
+
+
 def minres_solve(matvec: Callable[[Array], Array], b: Array, *,
                  iters: int, x0: Array | None = None
                  ) -> tuple[Array, Array]:

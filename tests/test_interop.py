@@ -53,3 +53,63 @@ def test_scipy_round_trip(rng):
                                rtol=1e-12)
     back = to_scipy(A)
     np.testing.assert_allclose(back.toarray(), M.toarray(), rtol=1e-12)
+
+
+class TestNpzInterop:
+    """scipy.sparse save_npz/load_npz container, both directions."""
+
+    def _random(self, seed, shape=(9, 7), density=0.3):
+        import scipy.sparse as sps
+        return sps.random(*shape, density=density, random_state=seed)
+
+    @pytest.mark.parametrize("fmt", ["coo", "csr", "csc"])
+    def test_read_scipy_written(self, tmp_path, fmt):
+        import scipy.sparse as sps
+        from spsparse_tpu.io import load_npz
+        m = self._random(1).asformat(fmt)
+        p = tmp_path / f"m_{fmt}.npz"
+        sps.save_npz(p, m)
+        A = load_npz(p)
+        assert A.shape == m.shape
+        np.testing.assert_allclose(np.asarray(A.to_dense()), m.toarray())
+
+    def test_scipy_reads_ours(self, tmp_path):
+        import scipy.sparse as sps
+        from spsparse_tpu.core.interop import from_scipy
+        from spsparse_tpu.io import save_npz
+        m = self._random(2)
+        A = from_scipy(m)
+        p = tmp_path / "ours.npz"
+        save_npz(p, A)
+        back = sps.load_npz(p)
+        np.testing.assert_allclose(back.toarray(), m.toarray())
+
+    def test_round_trip_padding_dropped(self, tmp_path):
+        from spsparse_tpu import SparseCOO
+        from spsparse_tpu.io import load_npz, save_npz
+        A = SparseCOO.from_arrays(np.array([[0, 1], [2, 3]]),
+                                  np.array([1.5, -2.5]), (4, 5), cap=16)
+        p = tmp_path / "pad.npz"
+        save_npz(p, A)
+        B = load_npz(p)
+        assert int(B.nnz) == 2
+        np.testing.assert_allclose(np.asarray(B.to_dense()),
+                                   np.asarray(A.to_dense()))
+
+    def test_rank2_only(self, tmp_path):
+        from spsparse_tpu import SparseCOO
+        from spsparse_tpu.core.errors import SpSparseError
+        from spsparse_tpu.io import save_npz
+        A = SparseCOO.from_arrays(np.array([[0, 0, 0]]), np.array([1.0]),
+                                  (2, 2, 2))
+        with pytest.raises(SpSparseError, match="rank-2"):
+            save_npz(tmp_path / "r3.npz", A)
+
+    def test_uncompressed_variant(self, tmp_path):
+        import scipy.sparse as sps
+        from spsparse_tpu.core.interop import from_scipy
+        from spsparse_tpu.io import save_npz
+        m = self._random(3)
+        p = tmp_path / "unc.npz"
+        save_npz(p, from_scipy(m), compressed=False)
+        np.testing.assert_allclose(sps.load_npz(p).toarray(), m.toarray())

@@ -433,3 +433,49 @@ class TestOperandConsolidationSemantics:
                           duplicate_policy=DuplicatePolicy.REPLACE,
                           zero_nan=True)
         assert dict(zip(*got.to_lists()))[(0,)] == pytest.approx(30.0)
+
+
+class TestMatrixPower:
+    """coo_matrix_power (scipy.sparse.linalg.matrix_power parity)."""
+
+    def test_small_powers_vs_dense(self):
+        rng = np.random.default_rng(0)
+        n = 12
+        D = np.where(rng.uniform(size=(n, n)) < 0.3,
+                     rng.uniform(-1, 1, (n, n)), 0.0)
+        ii, jj = D.nonzero()
+        A = SparseCOO.from_arrays(np.stack([ii, jj], 1), D[ii, jj], (n, n))
+        from spsparse_tpu.ops import coo_matrix_power
+        for k in range(5):
+            P = coo_matrix_power(A, k)
+            np.testing.assert_allclose(np.asarray(P.to_dense()),
+                                       np.linalg.matrix_power(D, k),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_f64_stays_exact_through_best_spgemm(self):
+        # dense-ish f64 operand: best_spgemm must not route through the
+        # f32 tiled engine (silent precision downgrade)
+        rng = np.random.default_rng(1)
+        n = 40
+        D = np.diag(rng.uniform(3, 5, n)) + 0.3 * rng.standard_normal((n, n))
+        ii, jj = D.nonzero()
+        A = SparseCOO.from_arrays(np.stack([ii, jj], 1), D[ii, jj], (n, n))
+        from spsparse_tpu.ops import coo_matrix_power
+        P = coo_matrix_power(A, 3)
+        np.testing.assert_allclose(np.asarray(P.to_dense()),
+                                   np.linalg.matrix_power(D, 3),
+                                   rtol=1e-10)
+
+    def test_identity_and_errors(self):
+        from spsparse_tpu.core.errors import SpSparseError
+        from spsparse_tpu.ops import coo_matrix_power
+        A = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([2.0]),
+                                  (3, 3))
+        I = coo_matrix_power(A, 0)
+        np.testing.assert_allclose(np.asarray(I.to_dense()), np.eye(3))
+        with pytest.raises(SpSparseError):
+            coo_matrix_power(A, -1)
+        B = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([2.0]),
+                                  (3, 4))
+        with pytest.raises(SpSparseError):
+            coo_matrix_power(B, 2)

@@ -485,3 +485,126 @@ class TestBatchedCG:
         from spsparse_tpu.solvers import cg_solve_mrhs
         with pytest.raises(ValueError):
             cg_solve_mrhs(lambda M: M, jnp.ones(8), iters=1)
+
+
+class TestCGS:
+    def test_nonsymmetric_matches_dense_solve(self, rng):
+        n = 48
+        A = np.eye(n) * 4 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+        b = rng.uniform(-1, 1, n)
+        from spsparse_tpu.solvers import cgs_solve
+        x, rs = cgs_solve(lambda v: jnp.asarray(A) @ v,
+                          jnp.asarray(b), iters=n)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-7, atol=1e-9)
+        assert float(rs) < 1e-16
+
+    def test_preconditioned(self, rng):
+        n = 32
+        A = np.diag(rng.uniform(2, 5, n))
+        A[np.arange(n - 1), np.arange(1, n)] = rng.uniform(-0.5, 0.5, n - 1)
+        b = rng.uniform(-1, 1, n)
+        from spsparse_tpu.solvers import cgs_solve
+        x, _ = cgs_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                         iters=24, minv=jnp.asarray(1 / np.diag(A)))
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_breakdown_guard_zero_rhs(self, rng):
+        from spsparse_tpu.solvers import cgs_solve
+        A, _ = spd_banded(rng, 16)
+        x, _ = jax.jit(lambda bv: cgs_solve(
+            lambda v: jnp.asarray(A) @ v, bv, iters=8))(jnp.zeros(16))
+        np.testing.assert_array_equal(np.asarray(x), np.zeros(16))
+
+
+class TestTFQMR:
+    def test_nonsymmetric_matches_dense_solve(self, rng):
+        n = 48
+        A = np.eye(n) * 4 + rng.uniform(-1, 1, (n, n)) / np.sqrt(n)
+        b = rng.uniform(-1, 1, n)
+        from spsparse_tpu.solvers import tfqmr_solve
+        x, rs = tfqmr_solve(lambda v: jnp.asarray(A) @ v,
+                            jnp.asarray(b), iters=n)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-7, atol=1e-9)
+        assert float(rs) < 1e-16
+
+    def test_matches_scipy_tfqmr(self, rng):
+        import scipy.sparse.linalg as spl
+        n = 24
+        A = np.eye(n) * 3 + rng.uniform(-1, 1, (n, n)) / n
+        b = rng.uniform(-1, 1, n)
+        from spsparse_tpu.solvers import tfqmr_solve
+        x, _ = tfqmr_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                           iters=n)
+        x_ref, info = spl.tfqmr(A, b, rtol=1e-12, maxiter=2 * n)
+        assert info == 0
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6,
+                                   atol=1e-9)
+
+    def test_sparse_operator_jit(self, rng):
+        n = 64
+        A = np.zeros((n, n))
+        A[np.arange(n), np.arange(n)] = rng.uniform(2, 3, n)
+        A[np.arange(n - 1), np.arange(1, n)] = rng.uniform(-1, 1, n - 1)
+        ii, jj = np.nonzero(A)
+        bld = CooBuilder((n, n), dtype=np.float64)
+        bld.add_many(np.stack([ii, jj], 1), A[ii, jj])
+        csr = to_csr(bld.build())
+        from spsparse_tpu.solvers import tfqmr_solve
+        b = jnp.asarray(rng.uniform(-1, 1, n))
+        x, _ = jax.jit(lambda bv: tfqmr_solve(
+            lambda v: spmv(csr, v), bv, iters=48))(b)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(A, np.asarray(b)),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_breakdown_guard_zero_rhs(self, rng):
+        from spsparse_tpu.solvers import tfqmr_solve
+        A, _ = spd_banded(rng, 16)
+        x, _ = tfqmr_solve(lambda v: jnp.asarray(A) @ v, jnp.zeros(16),
+                           iters=8)
+        assert np.all(np.isfinite(np.asarray(x)))
+        np.testing.assert_array_equal(np.asarray(x), np.zeros(16))
+
+
+class TestOnenormest:
+    def test_lower_bound_and_quality(self, rng):
+        from spsparse_tpu.solvers import onenormest
+        ratios = []
+        for s in range(10):
+            E = np.random.default_rng(s).standard_normal((40, 40))
+            ii, jj = E.nonzero()
+            bld = CooBuilder((40, 40), dtype=np.float64)
+            bld.add_many(np.stack([ii, jj], 1), E[ii, jj])
+            est = float(onenormest(bld.build(), t=2, itmax=5, seed=s))
+            true = np.abs(E).sum(axis=0).max()
+            assert est <= true * (1 + 1e-12)      # always a lower bound
+            ratios.append(est / true)
+        assert np.mean(ratios) > 0.9              # and usually sharp
+
+    def test_exact_on_diagonal(self):
+        from spsparse_tpu.solvers import onenormest
+        d = np.array([1.0, -7.0, 3.0, 2.0])
+        bld = CooBuilder((4, 4), dtype=np.float64)
+        bld.add_many(np.stack([np.arange(4)] * 2, 1), d)
+        assert np.isclose(float(onenormest(bld.build(), t=2, itmax=4)), 7.0)
+
+    def test_operator_product(self, rng):
+        # ||A @ A||_1 without materializing the product
+        from spsparse_tpu.solvers import aslinearoperator, onenormest
+        E = rng.standard_normal((30, 30))
+        ii, jj = E.nonzero()
+        bld = CooBuilder((30, 30), dtype=np.float64)
+        bld.add_many(np.stack([ii, jj], 1), E[ii, jj])
+        op = aslinearoperator(bld.build())
+        est = float(onenormest(op @ op, t=4, itmax=6))
+        true = np.abs(E @ E).sum(axis=0).max()
+        assert est <= true * (1 + 1e-12) and est > 0.7 * true
+
+    def test_rejects_rectangular(self, rng):
+        from spsparse_tpu.core.errors import SpSparseError
+        from spsparse_tpu.solvers import onenormest
+        with pytest.raises(SpSparseError, match="square"):
+            onenormest(random_coo(rng, (4, 6), 5))
