@@ -12,6 +12,9 @@ Commands::
     python -m spsparse_tpu.tools eigs FILE VNAME       # spectral analysis
         [--k N] [--which LA|SA] [--svd] [--iters N]
     python -m spsparse_tpu.tools reorder SRC DST VNAME # RCM bandwidth cut
+    python -m spsparse_tpu.tools graph FILE VNAME      # graph analysis
+        [--op cc|sssp|mst|laplacian] [--source N] [--undirected]
+        [--strong] [--normed] [--out FILE]
 
 Works on classic NetCDF (CDF-1/2/5, in-tree codec) and NetCDF-4/HDF5
 (h5py) containers holding the reference spsparse schema.
@@ -143,15 +146,19 @@ def cmd_solve(args) -> int:
         x, rs = pcg_solve(mv, b, iters=args.iters, minv=minv)
     elif args.method == "bicgstab":
         x, rs = bicgstab_solve(mv, b, iters=args.iters, minv=minv)
-    elif args.method == "minres":
-        from ..solvers import minres_solve
+    elif args.method == "cgs":
+        from ..solvers import cgs_solve
+        x, rs = cgs_solve(mv, b, iters=args.iters, minv=minv)
+    elif args.method in ("minres", "tfqmr"):
+        from ..solvers import minres_solve, tfqmr_solve
         if args.precond != "none":
-            # minres_solve takes no preconditioner; reporting one as
-            # applied would falsify CLI comparisons.
-            print("note: minres ignores --precond (running "
+            # these take no preconditioner; reporting one as applied
+            # would falsify CLI comparisons.
+            print(f"note: {args.method} ignores --precond (running "
                   "unpreconditioned)", file=sys.stderr)
             args.precond = "none"
-        x, rs = minres_solve(mv, b, iters=args.iters)
+        fn = minres_solve if args.method == "minres" else tfqmr_solve
+        x, rs = fn(mv, b, iters=args.iters)
     else:
         x, rs = gmres_solve(mv, b, m=min(30, n),
                             restarts=max(1, args.iters // 30), minv=minv)
@@ -232,6 +239,57 @@ def cmd_reorder(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    from ..io.netcdf import load_netcdf, save_netcdf
+    from .. import CooBuilder
+
+    A = load_netcdf(args.file, args.vname)
+    if A.rank != 2 or A.shape[0] != A.shape[1]:
+        print("graph requires a square rank-2 array", file=sys.stderr)
+        return 1
+    n = A.shape[0]
+    out = {"vname": args.vname, "op": args.op, "n": n, "nnz": int(A.nnz)}
+    if args.op == "cc":
+        from ..graph import connected_components
+        nc, lab = connected_components(
+            A, connection="strong" if args.strong else "weak")
+        sizes = np.bincount(np.asarray(lab), minlength=int(nc))
+        out.update(n_components=int(nc),
+                   largest=int(sizes.max()) if len(sizes) else 0,
+                   isolated=int((sizes == 1).sum()))
+    elif args.op == "sssp":
+        from ..graph import bellman_ford
+        d = np.asarray(bellman_ford(A, [args.source],
+                                    directed=not args.undirected))[0]
+        fin = np.isfinite(d)
+        out.update(source=args.source, reachable=int(fin.sum()),
+                   max_dist=float(d[fin].max()) if fin.any() else None,
+                   mean_dist=float(d[fin].mean()) if fin.any() else None)
+        if args.out:
+            bx = CooBuilder((n,), dtype=np.float64)
+            keep = fin
+            bx.add_many(np.nonzero(keep)[0][:, None], d[keep])
+            save_netcdf(args.out, {"dist": bx.build()})
+            out["dst"] = args.out
+    elif args.op == "mst":
+        from ..graph import minimum_spanning_tree
+        T = minimum_spanning_tree(A)
+        iv, vv = T.to_lists()
+        out.update(tree_edges=int(T.nnz), tree_weight=float(np.sum(vv)))
+        if args.out:
+            save_netcdf(args.out, {args.vname + ".mst": T})
+            out["dst"] = args.out
+    else:  # laplacian
+        from ..graph import laplacian
+        L = laplacian(A, normed=args.normed)
+        if args.out:
+            save_netcdf(args.out, {args.vname + ".laplacian": L})
+            out["dst"] = args.out
+        out.update(laplacian_nnz=int(L.nnz), normed=bool(args.normed))
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m spsparse_tpu.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -253,7 +311,8 @@ def main(argv=None) -> int:
     p.add_argument("--rhs", default=None,
                    help="FILE:VNAME rank-1 rhs (default: ones)")
     p.add_argument("--method", default="cg",
-                   choices=("cg", "bicgstab", "gmres", "minres"))
+                   choices=("cg", "bicgstab", "cgs", "tfqmr", "gmres",
+                            "minres"))
     p.add_argument("--precond", default="jacobi",
                    choices=("none", "jacobi", "blockjacobi"))
     p.add_argument("--iters", type=int, default=100)
@@ -275,6 +334,22 @@ def main(argv=None) -> int:
     p.add_argument("dst")
     p.add_argument("vname")
     p.set_defaults(fn=cmd_reorder)
+    p = sub.add_parser("graph",
+                       help="graph analysis (connected components, "
+                            "shortest paths, MST, Laplacian)")
+    p.add_argument("file")
+    p.add_argument("vname")
+    p.add_argument("--op", default="cc",
+                   choices=("cc", "sssp", "mst", "laplacian"))
+    p.add_argument("--source", type=int, default=0,
+                   help="sssp source node")
+    p.add_argument("--undirected", action="store_true")
+    p.add_argument("--strong", action="store_true",
+                   help="strong components (cc)")
+    p.add_argument("--normed", action="store_true",
+                   help="normalized Laplacian")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_graph)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -132,3 +132,90 @@ def test_reorder(tmp_path, capsys):
                     ).astype(np.int64)
     Bd = np.asarray(B.to_dense())
     np.testing.assert_array_equal(Bd, S[np.ix_(pv, pv)])
+
+
+def _mk_graph(tmp_path, symmetric=True):
+    rng = np.random.default_rng(7)
+    n = 16
+    dense = np.zeros((n, n))
+    r, c = rng.integers(0, n, 40), rng.integers(0, n, 40)
+    w = rng.uniform(0.5, 3.0, 40)
+    for i, j, v in zip(r, c, w):
+        if i != j:
+            dense[i, j] = v
+    if symmetric:
+        dense = np.maximum(dense, dense.T)
+    rr, cc = dense.nonzero()
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([rr, cc], 1), dense[rr, cc])
+    p = str(tmp_path / "g.nc")
+    save_netcdf(p, {"G": b.build()})
+    return p, dense
+
+
+def test_graph_cc(tmp_path, capsys):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as cs
+    p, dense = _mk_graph(tmp_path)
+    assert main(["graph", p, "G", "--op", "cc"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_components"] == cs.connected_components(
+        sps.csr_matrix(dense), connection="weak")[0]
+
+
+def test_graph_sssp_and_output(tmp_path, capsys):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as cs
+    p, dense = _mk_graph(tmp_path)
+    out_p = str(tmp_path / "d.nc")
+    assert main(["graph", p, "G", "--op", "sssp", "--source", "0",
+                 "--out", out_p]) == 0
+    out = json.loads(capsys.readouterr().out)
+    ref = cs.bellman_ford(sps.csr_matrix(dense), indices=[0])[0]
+    assert out["reachable"] == int(np.isfinite(ref).sum())
+    from spsparse_tpu.io import load_netcdf
+    d = np.asarray(load_netcdf(out_p, "dist").to_dense())
+    fin = np.isfinite(ref)
+    # source dist 0 is a structural zero in the sparse output; compare
+    # the nonzero reachable entries
+    np.testing.assert_allclose(d[fin], np.where(fin, ref, 0)[fin])
+
+
+def test_graph_mst(tmp_path, capsys):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as cs
+    p, dense = _mk_graph(tmp_path)
+    assert main(["graph", p, "G", "--op", "mst"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert np.isclose(out["tree_weight"],
+                      cs.minimum_spanning_tree(sps.csr_matrix(dense)).sum())
+
+
+def test_graph_laplacian_roundtrip(tmp_path, capsys):
+    p, dense = _mk_graph(tmp_path)
+    out_p = str(tmp_path / "l.nc")
+    assert main(["graph", p, "G", "--op", "laplacian", "--out", out_p]) == 0
+    json.loads(capsys.readouterr().out)
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as cs
+    from spsparse_tpu.io import load_netcdf
+    L = np.asarray(load_netcdf(out_p, "G.laplacian").to_dense())
+    np.testing.assert_allclose(
+        L, cs.laplacian(sps.csr_matrix(dense), normed=False).toarray())
+
+
+def test_solve_tfqmr_and_cgs(tmp_path, capsys):
+    rng = np.random.default_rng(3)
+    n = 20
+    A = np.diag(rng.uniform(2, 4, n))
+    A[np.arange(n - 1), np.arange(1, n)] = rng.uniform(-0.5, 0.5, n - 1)
+    rr, cc = A.nonzero()
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([rr, cc], 1), A[rr, cc])
+    p = str(tmp_path / "a.nc")
+    save_netcdf(p, {"A": b.build()})
+    for method in ("tfqmr", "cgs"):
+        assert main(["solve", p, "A", "--method", method,
+                     "--iters", "30"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["residual_norm"] < 1e-8
