@@ -11,6 +11,8 @@ from .spgemm_tiled import (dist_spgemm_tiled, plan_dist_spgemm_tiled,
 from .model import (RingModel, ring_weak_scaling_efficiency,
                     halo_weak_scaling_efficiency)
 from .precond import DistBlockJacobi, dist_block_jacobi
+from .graph import (dist_bellman_ford, dist_bfs_levels,
+                    dist_connected_components)
 
 __all__ = [
     "RowPartitionedCSR", "RowPartitionedBucketed", "partition_rows",
@@ -21,4 +23,5 @@ __all__ = [
     "RowPartitionedCOO", "RingModel", "ring_weak_scaling_efficiency",
     "halo_weak_scaling_efficiency", "dist_spmv_halo",
     "DistBlockJacobi", "dist_block_jacobi",
+    "dist_bellman_ford", "dist_bfs_levels", "dist_connected_components",
 ]
