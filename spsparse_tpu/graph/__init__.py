@@ -23,6 +23,8 @@ from .csgraph import (
     connected_components,
     minimum_spanning_tree,
     laplacian,
+    maximum_bipartite_matching,
+    structural_rank,
     NEG_SENTINEL,
 )
 from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
@@ -32,5 +34,6 @@ __all__ = [
     "PLUS_TIMES", "spmv_semiring", "edge_arrays",
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
     "breadth_first_order", "connected_components", "minimum_spanning_tree",
-    "laplacian", "NEG_SENTINEL", "reverse_cuthill_mckee",
+    "laplacian", "maximum_bipartite_matching", "structural_rank",
+    "NEG_SENTINEL", "reverse_cuthill_mckee",
 ]

@@ -50,7 +50,8 @@ from .semiring import edge_arrays
 __all__ = [
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
     "breadth_first_order", "connected_components", "minimum_spanning_tree",
-    "laplacian", "NEG_SENTINEL",
+    "laplacian", "maximum_bipartite_matching", "structural_rank",
+    "NEG_SENTINEL",
 ]
 
 Array = Any
@@ -442,6 +443,90 @@ def minimum_spanning_tree(a: SparseCOO) -> SparseCOO:
         vals=a.vals, nnz=a.nnz, shape=a.shape)
     tree = filter_compact(und, forest)
     return tree.consolidate((0, 1))
+
+
+# ----------------------------------------------------------------------
+# Bipartite matching
+# ----------------------------------------------------------------------
+
+def maximum_bipartite_matching(a: SparseCOO, *,
+                               perm_type: str = "row") -> np.ndarray:
+    """Maximum-cardinality matching of the bipartite graph whose
+    biadjacency matrix is ``a`` (scipy.sparse.csgraph.
+    maximum_bipartite_matching): Hopcroft-Karp on the host — augmenting
+    paths are sequential pointer chases, the same host/device split as
+    Tarjan/RCM (module docstring). ``perm_type='row'`` returns, per row,
+    the matched column (``-1`` if unmatched); ``'column'`` the reverse.
+    Entry *values* are ignored (explicit zeros are edges, as stored)."""
+    if a.rank != 2:
+        raise SpSparseError("maximum_bipartite_matching needs rank 2")
+    if perm_type not in ("row", "column"):
+        raise SpSparseError(f"perm_type must be 'row' or 'column', "
+                            f"got {perm_type!r}")
+    nr, nc = int(a.shape[0]), int(a.shape[1])
+    live = np.asarray(a.valid_mask())
+    r = np.asarray(a.indices[:, 0])[live].astype(np.int64)
+    c = np.asarray(a.indices[:, 1])[live].astype(np.int64)
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    ptr = np.searchsorted(r, np.arange(nr + 1))
+
+    INF = np.iinfo(np.int64).max
+    match_r = np.full(nr, -1, np.int64)        # row -> col
+    match_c = np.full(nc, -1, np.int64)        # col -> row
+    dist = np.empty(nr, np.int64)
+
+    def bfs() -> bool:
+        q = []
+        for u in range(nr):
+            if match_r[u] == -1:
+                dist[u] = 0
+                q.append(u)
+            else:
+                dist[u] = INF
+        found = False
+        head = 0
+        while head < len(q):
+            u = q[head]
+            head += 1
+            for v in c[ptr[u]:ptr[u + 1]]:
+                w = match_c[v]
+                if w == -1:
+                    found = True
+                elif dist[w] == INF:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return found
+
+    def dfs(u: int) -> bool:
+        for v in c[ptr[u]:ptr[u + 1]]:
+            w = match_c[v]
+            if w == -1 or (dist[w] == dist[u] + 1 and dfs(w)):
+                match_r[u] = v
+                match_c[v] = u
+                return True
+        dist[u] = INF
+        return False
+
+    import sys as _sys
+    old_limit = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_limit, nr + nc + 100))
+    try:
+        while bfs():
+            for u in range(nr):
+                if match_r[u] == -1:
+                    dfs(u)
+    finally:
+        _sys.setrecursionlimit(old_limit)
+    return match_r if perm_type == "row" else match_c
+
+
+def structural_rank(a: SparseCOO) -> int:
+    """Structural rank = maximum-bipartite-matching cardinality of the
+    sparsity pattern (scipy.sparse.csgraph.structural_rank) — an upper
+    bound on the numerical rank that depends only on structure."""
+    m = maximum_bipartite_matching(a)
+    return int((m >= 0).sum())
 
 
 # ----------------------------------------------------------------------

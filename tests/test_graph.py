@@ -302,3 +302,51 @@ class TestSemiring:
         x = jnp.array([0.0, jnp.inf])
         np.testing.assert_allclose(
             np.asarray(spmv_semiring(A, x, MIN_PLUS)), [np.inf, 2.0])
+
+
+class TestBipartiteMatching:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_cardinality_vs_scipy(self, seed):
+        from spsparse_tpu.graph import maximum_bipartite_matching
+        rng = np.random.default_rng(seed)
+        nr, nc_ = 15, 12
+        dense = (rng.uniform(size=(nr, nc_)) < 0.18).astype(float)
+        rr, cc = dense.nonzero()
+        if len(rr) == 0:
+            return
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (nr, nc_))
+        m = maximum_bipartite_matching(A, perm_type="row")
+        ref = cs.maximum_bipartite_matching(
+            sp.csr_matrix(dense), perm_type="column")
+        # same cardinality; our matching must be valid
+        assert (m >= 0).sum() == (ref >= 0).sum()
+        used = set()
+        for u, v in enumerate(m):
+            if v >= 0:
+                assert dense[u, v] != 0 and v not in used
+                used.add(v)
+
+    def test_column_perm_type(self):
+        from spsparse_tpu.graph import maximum_bipartite_matching
+        dense = np.array([[1.0, 1.0], [0.0, 1.0]])
+        rr, cc = dense.nonzero()
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (2, 2))
+        mc = maximum_bipartite_matching(A, perm_type="column")
+        np.testing.assert_array_equal(mc, [0, 1])
+
+    def test_structural_rank_vs_scipy(self):
+        from spsparse_tpu.graph import structural_rank
+        rng = np.random.default_rng(3)
+        dense = (rng.uniform(size=(20, 20)) < 0.12).astype(float)
+        rr, cc = dense.nonzero()
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1), dense[rr, cc],
+                                  (20, 20))
+        assert structural_rank(A) == cs.structural_rank(
+            sp.csr_matrix(dense))
+
+    def test_perfect_matching(self):
+        from spsparse_tpu.graph import structural_rank
+        from spsparse_tpu import coo_eye
+        assert structural_rank(coo_eye(7)) == 7
