@@ -47,6 +47,7 @@ from .core import (
     coo_random,
     coo_slice,
     coo_kron,
+    coo_kronsum,
     coo_filter,
     coo_tril,
     coo_triu,

@@ -31,6 +31,7 @@ from .algebra import (coo_concat, coo_add, coo_scale,
                       coo_hstack, coo_vstack, coo_block_diag)
 from .reorder import rcm_permutation, coo_permute, bandwidth
 from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
+                        coo_kronsum,
                         coo_filter, coo_tril, coo_triu, coo_norm,
                         row_sums, col_sums, scale_rows, scale_cols)
 from .join import JoinResult, join2, join3, intersect_mask
@@ -48,6 +49,7 @@ __all__ = [
     "coo_concat", "coo_add", "coo_scale",
     "coo_hstack", "coo_vstack", "coo_block_diag", "coo_norm",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
+    "coo_kronsum",
     "coo_filter", "coo_tril", "coo_triu",
     "rcm_permutation", "coo_permute", "bandwidth",
     "row_sums", "col_sums", "scale_rows", "scale_cols",

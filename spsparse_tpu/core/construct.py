@@ -96,6 +96,23 @@ def coo_kron(a: SparseCOO, b: SparseCOO) -> SparseCOO:
     return out.build()
 
 
+def coo_kronsum(a: SparseCOO, b: SparseCOO) -> SparseCOO:
+    """Kronecker sum ``kron(I_n, A) + kron(B, I_m)`` for square rank-2
+    ``A (m, m)`` and ``B (n, n)`` — scipy.sparse.kronsum's convention
+    exactly. The standard assembly of a 2-D operator from two 1-D ones
+    (e.g. the 5-point Laplacian from two tridiagonal pieces). Host-side
+    eager, like :func:`coo_kron`."""
+    if a.rank != 2 or a.shape[0] != a.shape[1]:
+        raise SpSparseError(f"coo_kronsum needs square A, got {a.shape}")
+    if b.rank != 2 or b.shape[0] != b.shape[1]:
+        raise SpSparseError(f"coo_kronsum needs square B, got {b.shape}")
+    from .algebra import coo_add
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    left = coo_kron(coo_eye(int(b.shape[0]), dtype=dt), a)
+    right = coo_kron(b, coo_eye(int(a.shape[0]), dtype=dt))
+    return coo_add(left, right)
+
+
 def coo_slice(a: SparseCOO, starts: Sequence[int],
               stops: Sequence[int]) -> SparseCOO:
     """Rectangular submatrix ``a[starts[0]:stops[0], ...]`` (rank-N).

@@ -192,3 +192,43 @@ class TestFilterTrilTriu:
         assert int(none.nnz) == 0
         assert np.all(np.asarray(none.indices) ==
                       np.asarray(none.shape)[None, :])
+
+
+class TestKronsum:
+    def test_vs_scipy(self):
+        from spsparse_tpu import SparseCOO
+        from spsparse_tpu.core.construct import coo_kronsum
+        rng = np.random.default_rng(0)
+        A = np.where(rng.uniform(size=(4, 4)) < 0.5,
+                     rng.uniform(-1, 1, (4, 4)), 0.0)
+        B = np.where(rng.uniform(size=(3, 3)) < 0.5,
+                     rng.uniform(-1, 1, (3, 3)), 0.0)
+        sa = SparseCOO.from_arrays(
+            np.stack(A.nonzero(), 1), A[A.nonzero()], (4, 4))
+        sb = SparseCOO.from_arrays(
+            np.stack(B.nonzero(), 1), B[B.nonzero()], (3, 3))
+        K = coo_kronsum(sa, sb)
+        ref = sps.kronsum(sps.csr_matrix(A), sps.csr_matrix(B)).toarray()
+        np.testing.assert_allclose(np.asarray(K.to_dense()), ref,
+                                   atol=1e-12)
+
+    def test_laplacian_2d_assembly(self):
+        # the classic use: 2-D 5-point Laplacian from 1-D tridiagonals
+        from spsparse_tpu import coo_diags
+        from spsparse_tpu.core.construct import coo_kronsum
+        n = 5
+        T = coo_diags([2.0, -1.0, -1.0], [0, 1, -1], (n, n),
+                      dtype=np.float64)
+        L2 = coo_kronsum(T, T)
+        d = np.asarray(L2.to_dense())
+        assert d.shape == (25, 25)
+        np.testing.assert_allclose(np.diag(d), 4.0)
+        np.testing.assert_allclose(d.sum(axis=1)[12], 0.0, atol=1e-12)
+
+    def test_rejects_rectangular(self):
+        from spsparse_tpu import SparseCOO
+        from spsparse_tpu.core.construct import coo_kronsum
+        A = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([1.0]),
+                                  (2, 3))
+        with pytest.raises(SpSparseError):
+            coo_kronsum(A, A)
