@@ -25,6 +25,8 @@ from .csgraph import (
     laplacian,
     maximum_bipartite_matching,
     structural_rank,
+    maximum_flow,
+    MaximumFlowResult,
     NEG_SENTINEL,
 )
 from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
@@ -35,5 +37,6 @@ __all__ = [
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
     "breadth_first_order", "connected_components", "minimum_spanning_tree",
     "laplacian", "maximum_bipartite_matching", "structural_rank",
+    "maximum_flow", "MaximumFlowResult",
     "NEG_SENTINEL", "reverse_cuthill_mckee",
 ]

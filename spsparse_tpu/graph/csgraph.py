@@ -51,7 +51,7 @@ __all__ = [
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
     "breadth_first_order", "connected_components", "minimum_spanning_tree",
     "laplacian", "maximum_bipartite_matching", "structural_rank",
-    "NEG_SENTINEL",
+    "maximum_flow", "MaximumFlowResult", "NEG_SENTINEL",
 ]
 
 Array = Any
@@ -527,6 +527,123 @@ def structural_rank(a: SparseCOO) -> int:
     bound on the numerical rank that depends only on structure."""
     m = maximum_bipartite_matching(a)
     return int((m >= 0).sum())
+
+
+# ----------------------------------------------------------------------
+# Maximum flow (host Dinic)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MaximumFlowResult:
+    """Result of :func:`maximum_flow` — scipy's shape: the flow value
+    and the per-edge flow as a :class:`SparseCOO` over the *stored*
+    edges (antisymmetric residual bookkeeping stays internal)."""
+
+    flow_value: int
+    flow: SparseCOO
+
+
+def maximum_flow(a: SparseCOO, source: int, sink: int) -> MaximumFlowResult:
+    """Maximum s-t flow with integer capacities
+    (scipy.sparse.csgraph.maximum_flow), via Dinic's algorithm on the
+    host — level-graph BFS + blocking-flow DFS are sequential pointer
+    chases (host/device split, module docstring). Capacities must be
+    non-negative integers (scipy's restriction); raises otherwise."""
+    if a.rank != 2 or a.shape[0] != a.shape[1]:
+        raise SpSparseError(f"maximum_flow needs a square rank-2 array, "
+                            f"got {a.shape}")
+    n = int(a.shape[0])
+    if not (0 <= source < n and 0 <= sink < n and source != sink):
+        raise SpSparseError("maximum_flow: bad source/sink")
+    live = np.asarray(a.valid_mask())
+    t = np.asarray(a.indices[:, 0])[live].astype(np.int64)
+    h = np.asarray(a.indices[:, 1])[live].astype(np.int64)
+    w = np.asarray(a.vals)[live]
+    if not np.all(w == np.round(w)) or np.any(w < 0):
+        raise SpSparseError(
+            "maximum_flow needs non-negative integer capacities "
+            "(scipy parity)")
+    cap0 = w.astype(np.int64)
+    keep = t != h
+    t, h, cap0 = t[keep], h[keep], cap0[keep]
+    m = len(t)
+    # residual edge list: forward edges at 2i, reverse at 2i+1
+    eh = np.empty(2 * m, np.int64)
+    eh[0::2], eh[1::2] = h, t
+    cap = np.zeros(2 * m, np.int64)
+    cap[0::2] = cap0
+    # CSR over residual edges by tail
+    et = np.empty(2 * m, np.int64)
+    et[0::2], et[1::2] = t, h
+    order = np.argsort(et, kind="stable")
+    ptr = np.searchsorted(et[order], np.arange(n + 1))
+    adj = order  # adj[ptr[u]:ptr[u+1]] = residual edge ids out of u
+
+    INF = np.iinfo(np.int64).max
+
+    def bfs_levels_():
+        level = np.full(n, -1, np.int64)
+        level[source] = 0
+        q = [source]
+        head = 0
+        while head < len(q):
+            u = q[head]
+            head += 1
+            for eid in adj[ptr[u]:ptr[u + 1]]:
+                v = eh[eid]
+                if cap[eid] > 0 and level[v] == -1:
+                    level[v] = level[u] + 1
+                    q.append(v)
+        return level if level[sink] != -1 else None
+
+    total = 0
+    while True:
+        level = bfs_levels_()
+        if level is None:
+            break
+        it = ptr[:-1].copy()      # per-node next-edge cursor
+
+        # blocking flow via iterative DFS
+        while True:
+            # find one augmenting path
+            path = []
+            u = source
+            while u != sink:
+                advanced = False
+                while it[u] < ptr[u + 1]:
+                    eid = adj[it[u]]
+                    v = eh[eid]
+                    if cap[eid] > 0 and level[v] == level[u] + 1:
+                        path.append(eid)
+                        u = v
+                        advanced = True
+                        break
+                    it[u] += 1
+                if not advanced:
+                    if not path:
+                        u = None
+                        break
+                    # retreat: dead-end node; pop and advance parent
+                    # cursor (eh[eid ^ 1] = the forward edge's tail)
+                    level[u] = -1
+                    eid = path.pop()
+                    u = eh[eid ^ 1]
+                    it[u] += 1
+            if u is None:
+                break
+            aug = min(int(cap[e]) for e in path)
+            for e in path:
+                cap[e] -= aug
+                cap[e ^ 1] += aug
+            total += aug
+
+    # per-stored-edge flow = reverse residual (what was pushed through)
+    flow_edge = cap[1::2]
+    idx = np.stack([t, h], axis=1)
+    flow = SparseCOO.from_arrays(idx, flow_edge.astype(a.dtype),
+                                 a.shape) if m else \
+        SparseCOO.empty(a.shape, cap=1, dtype=a.dtype)
+    return MaximumFlowResult(flow_value=int(total), flow=flow)
 
 
 # ----------------------------------------------------------------------

@@ -350,3 +350,45 @@ class TestBipartiteMatching:
         from spsparse_tpu.graph import structural_rank
         from spsparse_tpu import coo_eye
         assert structural_rank(coo_eye(7)) == 7
+
+
+class TestMaximumFlow:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_value_vs_scipy_and_validity(self, seed):
+        from spsparse_tpu.graph import maximum_flow
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(6, 25))
+        dense = np.where(rng.uniform(size=(n, n)) < 0.25,
+                         rng.integers(1, 10, (n, n)), 0)
+        np.fill_diagonal(dense, 0)
+        rr, cc = dense.nonzero()
+        if len(rr) == 0:
+            return
+        A = SparseCOO.from_arrays(np.stack([rr, cc], 1),
+                                  dense[rr, cc].astype(np.float64), (n, n))
+        res = maximum_flow(A, 0, n - 1)
+        ref = cs.maximum_flow(sp.csr_matrix(dense.astype(np.int32)),
+                              0, n - 1)
+        assert res.flow_value == ref.flow_value
+        # flow validity: capacity bounds + conservation
+        F = np.zeros((n, n))
+        iv, vv = res.flow.to_lists()
+        for (i, j), v in zip(np.asarray(iv).reshape(-1, 2), vv):
+            F[i, j] += v
+        assert (F <= dense + 1e-9).all()
+        net = (F - F.T).sum(axis=1)
+        np.testing.assert_allclose(net[1:n - 1], 0, atol=1e-9)
+        assert np.isclose(net[0], res.flow_value)
+
+    def test_non_integer_rejected(self):
+        from spsparse_tpu.graph import maximum_flow
+        A = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([1.5]),
+                                  (2, 2))
+        with pytest.raises(SpSparseError, match="integer"):
+            maximum_flow(A, 0, 1)
+
+    def test_disconnected_zero_flow(self):
+        from spsparse_tpu.graph import maximum_flow
+        A = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([3.0]),
+                                  (4, 4))
+        assert maximum_flow(A, 2, 3).flow_value == 0
