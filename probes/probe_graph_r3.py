@@ -28,7 +28,11 @@ def make_graph(n, deg, seed=0):
 
 def main():
     print("devices:", jax.devices())
-    for n, deg in [(1 << 18, 16), (1 << 20, 16), (1 << 22, 8)]:
+    # NB: remote-compile cost of segment_min explodes with nnz (same
+    # cliff as the sort scaling note in CLAUDE.md): 4M-edge relax did
+    # not finish compiling in 900 s. Stay <= ~1M edges per program.
+    import time
+    for n, deg in [(1 << 14, 8), (1 << 16, 8), (1 << 17, 8)]:
         t, h, w = make_graph(n, deg)
         m = int(t.shape[0])
         d0 = jnp.full((n,), jnp.inf, jnp.float32).at[0].set(0.0)
@@ -38,11 +42,14 @@ def main():
             y = jax.ops.segment_min(c, h, num_segments=n)
             return jnp.minimum(d, y)
 
-        sec = bench_fori(round_, d0, iters=16)
+        t0 = time.time()
+        sec = bench_fori(round_, d0, iters=8)
+        compile_s = time.time() - t0
         # bytes per edge: d gather 4 + w 4 + segment write traffic ~4
         gbs = m * 12 / sec / 1e9
         print(f"n={n:>8} m={m:>9}  relax round: {sec*1e3:8.3f} ms  "
-              f"{m/sec/1e9:6.2f} Gedge/s  (~{gbs:5.1f} GB/s est)")
+              f"{m/sec/1e9:6.2f} Gedge/s  (~{gbs:5.1f} GB/s est; "
+              f"compile+first {compile_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ from .semiring import (
     PLUS_TIMES,
     spmv_semiring,
     edge_arrays,
+    RelaxPlan,
+    prepare_relax,
+    relax,
 )
 from .csgraph import (
     bellman_ford,
@@ -34,6 +37,7 @@ from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F40
 __all__ = [
     "Semiring", "MIN_PLUS", "MAX_PLUS", "MIN_MIN", "MAX_MIN", "OR_AND",
     "PLUS_TIMES", "spmv_semiring", "edge_arrays",
+    "RelaxPlan", "prepare_relax", "relax",
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
     "breadth_first_order", "connected_components", "minimum_spanning_tree",
     "laplacian", "maximum_bipartite_matching", "structural_rank",

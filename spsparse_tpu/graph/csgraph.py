@@ -45,7 +45,7 @@ from ..core.consolidate import filter_compact
 from ..core.construct import coo_filter
 from ..core.coo import SparseCOO
 from ..core.errors import SpSparseError
-from .semiring import edge_arrays
+from .semiring import MIN_PLUS, RelaxPlan, edge_arrays, relax
 
 __all__ = [
     "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
@@ -132,7 +132,24 @@ def bellman_ford(a: SparseCOO, sources, *, directed: bool = True,
     (where raising is impossible) the affected distances are left
     partially relaxed and callers can pre-check with ``n`` extra rounds.
     jit/vmap-compatible (static ``k``).
+
+    ``a`` may also be a pre-built :class:`~spsparse_tpu.graph.semiring.
+    RelaxPlan` (in which case ``directed``/``unweighted`` are already
+    baked in and must be left at their defaults) — the scatter-free
+    fast path for iterated solves on the same graph; measured on the
+    TPU: the scatter-based ``segment_min`` round runs ~1000x under the
+    HBM roofline AND its remote compile explodes past ~1M edges
+    (probes/probe_graph_r3.py), while the ELL-by-head plan is a dense
+    gather + lane min with flat compile cost.
     """
+    if isinstance(a, RelaxPlan):
+        if not directed or unweighted:
+            raise SpSparseError(
+                "bellman_ford(plan): direction/weights are baked into "
+                "the RelaxPlan at prepare_relax time; leave the flags "
+                "at their defaults")
+        return _bellman_ford_plan(a, sources, return_predecessors,
+                                  maxiter)
     t, h, w, live = edge_arrays(a, directed=directed, unweighted=unweighted)
     n = int(a.shape[0])
     sources = jnp.atleast_1d(jnp.asarray(sources)).astype(jnp.int32)
@@ -149,6 +166,54 @@ def bellman_ford(a: SparseCOO, sources, *, directed: bool = True,
     if not return_predecessors:
         return dist
     pred = _predecessors(t, h, w, live, n, d).T
+    pred = pred.at[jnp.arange(k), sources].set(NEG_SENTINEL)
+    return dist, pred
+
+
+def _bellman_ford_plan(plan: RelaxPlan, sources, return_predecessors,
+                       maxiter):
+    """Bellman-Ford over the scatter-free ELL-by-head layout."""
+    n = plan.n
+    sources = jnp.atleast_1d(jnp.asarray(sources)).astype(jnp.int32)
+    k = sources.shape[0]
+    dt = plan.weights.dtype if jnp.issubdtype(plan.weights.dtype,
+                                              jnp.floating) else jnp.float64
+    d0 = jnp.full((n, k), jnp.inf, dt)
+    d0 = d0.at[sources, jnp.arange(k)].set(0)
+    rounds = n if maxiter is None else int(maxiter)
+
+    def step(d):
+        return jnp.minimum(d, relax(plan, d, MIN_PLUS))
+
+    def cond(s):
+        it, _, changed = s
+        return jnp.logical_and(it < rounds, changed)
+
+    def body(s):
+        it, d, _ = s
+        nd = step(d)
+        return it + 1, nd, jnp.any(nd < d)
+
+    _, d, _ = lax.while_loop(cond, body, (0, step(d0), jnp.array(True)))
+    improving = jnp.any(step(d) < d)
+    if maxiter is None and not isinstance(improving, jax.core.Tracer):
+        if bool(improving):
+            raise SpSparseError(
+                "bellman_ford: negative-weight cycle reachable from a "
+                "source")
+    dist = d.T
+    if not return_predecessors:
+        return dist
+    # argmin incoming edge per node, straight off the ELL layout
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ok = (~plan.pad) & (plan.tails != rows)         # no pads, no self-loops
+    wl = jnp.where(ok, plan.weights.astype(dt), jnp.inf)
+    c = jnp.take(d, plan.tails, axis=0) + wl[:, :, None]   # (n, K, k)
+    m = jnp.min(c, axis=1)                                  # (n, k)
+    best = (c == m[:, None, :]) & jnp.isfinite(c)
+    cand = jnp.where(best, plan.tails[:, :, None], n).astype(jnp.int32)
+    pred = jnp.min(cand, axis=1)
+    pred = jnp.where(pred >= n, NEG_SENTINEL, pred).T
     pred = pred.at[jnp.arange(k), sources].set(NEG_SENTINEL)
     return dist, pred
 

@@ -36,6 +36,7 @@ from ..core.errors import SpSparseError
 __all__ = [
     "Semiring", "MIN_PLUS", "MAX_PLUS", "MIN_MIN", "MAX_MIN", "OR_AND",
     "PLUS_TIMES", "spmv_semiring", "edge_arrays",
+    "RelaxPlan", "prepare_relax", "relax",
 ]
 
 Array = Any
@@ -103,6 +104,92 @@ def edge_arrays(a: SparseCOO, *, directed: bool = True,
         w = jnp.concatenate([w, w])
         live = jnp.concatenate([live, live])
     return t, h, w, live
+
+
+@dataclasses.dataclass(frozen=True)
+class RelaxPlan:
+    """Scatter-free relaxation layout: incoming edges grouped by head
+    into ELL rows — ``tails (n, K)`` and ``weights (n, K)`` padded with
+    a self-pointing tail and ``+/-inf``/0 weight mask. One relaxation
+    round becomes a dense gather + a lane-axis reduction: no
+    ``segment_*`` scatter at all, which matters twice on this rig — the
+    round itself is a vectorized min instead of a serialized scatter,
+    and the *compile* cost stays flat (measured: the scatter-based
+    segment_min at 4M edges did not finish remote-compiling in 900 s;
+    probes/probe_graph_r3.py). Build once per graph (host-side, like
+    ``to_dia``/``prepare_general``), relax many times under jit.
+    """
+
+    tails: Array      # (n, K) int32, padded entries point at row itself
+    weights: Array    # (n, K) float, padded entries = NaN-free mask value
+    pad: Array        # (n, K) bool, True where padded
+    n: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def k(self) -> int:
+        return int(self.tails.shape[1])
+
+
+jax.tree_util.register_dataclass(
+    RelaxPlan, data_fields=["tails", "weights", "pad"],
+    meta_fields=["n"])
+
+
+def prepare_relax(a: SparseCOO, *, directed: bool = True,
+                  unweighted: bool = False) -> RelaxPlan:
+    """Host-side grouping of edges by head node into the ELL-by-head
+    layout (one-time planning cost, eager). ``K`` = max in-degree
+    (after symmetrization when ``directed=False``); suitable when the
+    in-degree is bounded — the usual case for mesh/coupling graphs. For
+    power-law in-degrees prefer :func:`spmv_semiring` (the segment
+    path), which is fill-insensitive."""
+    if a.rank != 2 or a.shape[0] != a.shape[1]:
+        raise SpSparseError(
+            f"graph algorithms need a square rank-2 array, got {a.shape}")
+    n = int(a.shape[0])
+    live = np.asarray(a.valid_mask())
+    t = np.asarray(a.indices[:, 0])[live].astype(np.int64)
+    h = np.asarray(a.indices[:, 1])[live].astype(np.int64)
+    w = np.asarray(a.vals)[live].astype(np.float64)
+    if unweighted:
+        w = np.ones_like(w)
+    if not directed:
+        t, h = np.concatenate([t, h]), np.concatenate([h, t])
+        w = np.concatenate([w, w])
+    order = np.argsort(h, kind="stable")
+    t, h, w = t[order], h[order], w[order]
+    ptr = np.searchsorted(h, np.arange(n + 1))
+    deg = ptr[1:] - ptr[:-1]
+    K = max(int(deg.max()) if n else 0, 1)
+    tails = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+    weights = np.zeros((n, K))
+    pad = np.ones((n, K), bool)
+    slot = np.arange(len(h)) - ptr[h]           # position within its row
+    tails[h, slot] = t
+    weights[h, slot] = w
+    pad[h, slot] = False
+    return RelaxPlan(tails=jnp.asarray(tails, jnp.int32),
+                     weights=jnp.asarray(weights),
+                     pad=jnp.asarray(pad), n=n)
+
+
+def relax(plan: RelaxPlan, x: Array, semiring: Semiring) -> Array:
+    """One scatter-free relaxation round over the prepared layout:
+    ``y[j] = combine_k extend(weights[j, k], x[tails[j, k]])`` — a dense
+    gather plus a lane-axis min/max/sum. jit/vmap-compatible; same
+    result as :func:`spmv_semiring` on the same graph. ``x`` may be
+    ``(n,)`` or ``(n, k)``."""
+    x = jnp.asarray(x)
+    ident = jnp.asarray(semiring.identity, x.dtype)
+    extra = (...,) + (None,) * (x.ndim - 1)
+    gathered = jnp.take(x, plan.tails, axis=0)       # (n, K[, k])
+    contrib = semiring.extend(plan.weights.astype(x.dtype)[extra], gathered)
+    contrib = jnp.where(plan.pad[extra], ident, contrib)
+    if semiring.combine == "min":
+        return jnp.min(contrib, axis=1)
+    if semiring.combine == "max":
+        return jnp.max(contrib, axis=1)
+    return jnp.sum(contrib, axis=1)
 
 
 def spmv_semiring(a: SparseCOO, x: Array, semiring: Semiring, *,

@@ -392,3 +392,83 @@ class TestMaximumFlow:
         A = SparseCOO.from_arrays(np.array([[0, 1]]), np.array([3.0]),
                                   (4, 4))
         assert maximum_flow(A, 2, 3).flow_value == 0
+
+
+class TestRelaxPlan:
+    """Scatter-free ELL-by-head relaxation plan (semiring.prepare_relax)."""
+
+    def test_relax_matches_spmv_semiring(self):
+        from spsparse_tpu.graph import prepare_relax, relax
+        A, S, dense = random_graph(7)
+        plan = prepare_relax(A)
+        x = np.random.default_rng(1).uniform(0.0, 9.0, A.shape[0])
+        for sr in (MIN_PLUS, MAX_MIN, OR_AND):
+            xs = (x > 4.5) if sr is OR_AND else x
+            got = np.asarray(relax(plan, jnp.asarray(xs), sr))
+            want = np.asarray(spmv_semiring(A, jnp.asarray(xs), sr))
+            np.testing.assert_allclose(got, want)
+
+    def test_relax_multi_column(self):
+        from spsparse_tpu.graph import prepare_relax, relax
+        A, S, dense = random_graph(8)
+        plan = prepare_relax(A)
+        X = np.random.default_rng(2).uniform(0.0, 9.0, (A.shape[0], 3))
+        got = np.asarray(relax(plan, jnp.asarray(X), MIN_PLUS))
+        want = np.stack([np.asarray(spmv_semiring(A, jnp.asarray(X[:, j]),
+                                                  MIN_PLUS))
+                         for j in range(3)], axis=1)
+        np.testing.assert_allclose(got, want)
+
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_bellman_ford_plan_vs_scipy(self, directed):
+        from spsparse_tpu.graph import prepare_relax
+        A, S, dense = random_graph(11)
+        plan = prepare_relax(A, directed=directed)
+        dist, pred = bellman_ford(plan, [0, 5], return_predecessors=True)
+        ref = cs.bellman_ford(S, directed=directed, indices=[0, 5])
+        np.testing.assert_allclose(np.asarray(dist), ref)
+        if directed:
+            d = dense
+        else:
+            # undirected: edge exists in either direction, weight = min
+            both = (dense != 0) & (dense.T != 0)
+            d = np.where(both, np.minimum(dense, dense.T), dense + dense.T)
+        check_tree(dist, pred, d, [0, 5])
+
+    def test_bellman_ford_plan_unweighted(self):
+        from spsparse_tpu.graph import prepare_relax
+        A, S, dense = random_graph(12)
+        plan = prepare_relax(A, unweighted=True)
+        dist = bellman_ford(plan, 0)
+        ref = cs.bellman_ford(S, indices=0, unweighted=True)
+        np.testing.assert_allclose(np.asarray(dist)[0], ref)
+
+    def test_bellman_ford_plan_negative_cycle_raises(self):
+        from spsparse_tpu.graph import prepare_relax
+        dn = np.zeros((4, 4))
+        dn[0, 1] = 1.0
+        dn[1, 2] = -3.0
+        dn[2, 1] = 1.0
+        A = SparseCOO.from_dense(dn)
+        with pytest.raises(SpSparseError, match="negative-weight cycle"):
+            bellman_ford(prepare_relax(A), 0)
+
+    def test_plan_flag_conflict_raises(self):
+        from spsparse_tpu.graph import prepare_relax
+        A, _, _ = random_graph(3)
+        plan = prepare_relax(A, directed=False)
+        with pytest.raises(SpSparseError, match="baked into"):
+            bellman_ford(plan, 0, directed=False)
+
+    def test_plan_jit_fixed_iteration(self):
+        from spsparse_tpu.graph import prepare_relax
+        A, S, dense = random_graph(13)
+        plan = prepare_relax(A)
+
+        @jax.jit
+        def solve(p):
+            return bellman_ford(p, 0, maxiter=A.shape[0])
+
+        dist = solve(plan)
+        ref = cs.bellman_ford(S, indices=0)
+        np.testing.assert_allclose(np.asarray(dist)[0], ref)
