@@ -19,18 +19,25 @@ from .semiring import (
 )
 from .csgraph import (
     bellman_ford,
+    dijkstra,
+    johnson,
     shortest_path,
     floyd_warshall,
     bfs_levels,
     breadth_first_order,
+    depth_first_order,
+    breadth_first_tree,
+    depth_first_tree,
     connected_components,
     minimum_spanning_tree,
     laplacian,
     maximum_bipartite_matching,
+    min_weight_full_bipartite_matching,
     structural_rank,
     maximum_flow,
     MaximumFlowResult,
     NEG_SENTINEL,
+    NegativeCycleError,
 )
 from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
 
@@ -38,9 +45,13 @@ __all__ = [
     "Semiring", "MIN_PLUS", "MAX_PLUS", "MIN_MIN", "MAX_MIN", "OR_AND",
     "PLUS_TIMES", "spmv_semiring", "edge_arrays",
     "RelaxPlan", "prepare_relax", "relax",
-    "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
-    "breadth_first_order", "connected_components", "minimum_spanning_tree",
-    "laplacian", "maximum_bipartite_matching", "structural_rank",
+    "bellman_ford", "dijkstra", "johnson", "shortest_path",
+    "floyd_warshall", "bfs_levels",
+    "breadth_first_order", "depth_first_order",
+    "breadth_first_tree", "depth_first_tree",
+    "connected_components", "minimum_spanning_tree",
+    "laplacian", "maximum_bipartite_matching",
+    "min_weight_full_bipartite_matching", "structural_rank",
     "maximum_flow", "MaximumFlowResult",
-    "NEG_SENTINEL", "reverse_cuthill_mckee",
+    "NEG_SENTINEL", "NegativeCycleError", "reverse_cuthill_mckee",
 ]

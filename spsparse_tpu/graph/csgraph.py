@@ -48,16 +48,26 @@ from ..core.errors import SpSparseError
 from .semiring import MIN_PLUS, RelaxPlan, edge_arrays, relax
 
 __all__ = [
-    "bellman_ford", "shortest_path", "floyd_warshall", "bfs_levels",
-    "breadth_first_order", "connected_components", "minimum_spanning_tree",
-    "laplacian", "maximum_bipartite_matching", "structural_rank",
+    "bellman_ford", "dijkstra", "johnson", "shortest_path",
+    "floyd_warshall", "bfs_levels", "breadth_first_order",
+    "depth_first_order", "breadth_first_tree", "depth_first_tree",
+    "connected_components", "minimum_spanning_tree",
+    "laplacian", "maximum_bipartite_matching",
+    "min_weight_full_bipartite_matching", "structural_rank",
     "maximum_flow", "MaximumFlowResult", "NEG_SENTINEL",
+    "NegativeCycleError",
 ]
 
 Array = Any
 
 #: scipy.sparse.csgraph's "no predecessor" marker.
 NEG_SENTINEL = -9999
+
+
+class NegativeCycleError(SpSparseError):
+    """A negative-weight cycle is reachable from a requested source
+    (scipy.sparse.csgraph.NegativeCycleError). Subclasses
+    :class:`SpSparseError` so framework-level handlers keep working."""
 
 
 def _float_dtype(a: SparseCOO):
@@ -160,7 +170,7 @@ def bellman_ford(a: SparseCOO, sources, *, directed: bool = True,
     d, improving = _relax_rounds(t, h, w, live, n, d0, maxiter or n)
     if maxiter is None and not isinstance(improving, jax.core.Tracer):
         if bool(improving):
-            raise SpSparseError(
+            raise NegativeCycleError(
                 "bellman_ford: negative-weight cycle reachable from a source")
     dist = d.T
     if not return_predecessors:
@@ -198,7 +208,7 @@ def _bellman_ford_plan(plan: RelaxPlan, sources, return_predecessors,
     improving = jnp.any(step(d) < d)
     if maxiter is None and not isinstance(improving, jax.core.Tracer):
         if bool(improving):
-            raise SpSparseError(
+            raise NegativeCycleError(
                 "bellman_ford: negative-weight cycle reachable from a "
                 "source")
     dist = d.T
@@ -244,6 +254,82 @@ def shortest_path(a: SparseCOO, *, method: str = "auto",
                         return_predecessors=return_predecessors)
 
 
+def dijkstra(a: SparseCOO, *, directed: bool = True, indices=None,
+             unweighted: bool = False, return_predecessors: bool = False,
+             limit: float = np.inf, min_only: bool = False):
+    """Shortest paths for non-negative weights
+    (scipy.sparse.csgraph.dijkstra).
+
+    TPU-first divergence (documented, results identical): there is no
+    priority queue — the batched Bellman-Ford relaxation computes the
+    same distances (module docstring), and for negative inputs this
+    implementation therefore returns *correct* shortest paths where
+    scipy's heap-based dijkstra silently returns wrong ones (it only
+    warns; scipy _shortest_path.pyx behavior). We emit the same
+    ``UserWarning`` for scipy parity and keep the correct answer.
+
+    ``limit``: distances strictly greater than ``limit`` are reported as
+    ``inf`` (and their predecessors cleared) — equivalent to scipy's
+    bounded exploration, post-hoc.
+
+    ``min_only`` (requires ``indices``): collapse the source axis —
+    returns ``(dist (n,), predecessors (n,), sources (n,))`` when
+    ``return_predecessors`` else just ``dist``; ``sources[j]`` is the
+    source achieving the min (ties to the first listed), ``-9999`` where
+    unreachable.
+    """
+    n = int(a.shape[0])
+    w_live = np.asarray(a.vals)[np.asarray(a.valid_mask())]
+    if not unweighted and w_live.size and w_live.min() < 0:
+        import warnings
+        warnings.warn("Graph has negative weights: results remain exact "
+                      "here (relaxation engine), unlike scipy's dijkstra.",
+                      UserWarning, stacklevel=2)
+    if min_only and indices is None:
+        raise SpSparseError("dijkstra: min_only requires indices")
+    sources = jnp.arange(n) if indices is None else \
+        jnp.atleast_1d(jnp.asarray(indices))
+    out = bellman_ford(a, sources, directed=directed, unweighted=unweighted,
+                       return_predecessors=return_predecessors)
+    dist, pred = out if return_predecessors else (out, None)
+    lim = jnp.asarray(limit, dist.dtype)
+    over = dist > lim
+    dist = jnp.where(over, jnp.inf, dist)
+    if pred is not None:
+        pred = jnp.where(over, NEG_SENTINEL, pred)
+    if min_only:
+        kbest = jnp.argmin(dist, axis=0)                  # (n,) first-min
+        take = lambda m: jnp.take_along_axis(m, kbest[None, :], 0)[0]
+        dmin = take(dist)
+        src = jnp.where(jnp.isfinite(dmin), sources[kbest], NEG_SENTINEL)
+        if not return_predecessors:
+            return dmin
+        return dmin, take(pred), src.astype(jnp.int32)
+    if return_predecessors:
+        return dist, pred
+    return dist
+
+
+def johnson(a: SparseCOO, *, directed: bool = True, indices=None,
+            return_predecessors: bool = False):
+    """All-pairs shortest paths with negative weights allowed
+    (scipy.sparse.csgraph.johnson).
+
+    scipy's Johnson reweights with a Bellman-Ford potential pass so its
+    Dijkstra core can run; our relaxation engine handles negative
+    weights natively, so the potential pass would be a no-op — this is
+    the same batched computation as :func:`bellman_ford`, kept as a
+    separate entry point for API parity. Raises
+    :class:`NegativeCycleError` on any negative cycle (scipy raises on
+    cycles anywhere in the graph; we raise when one is reachable from a
+    requested source, which is the observable subset)."""
+    n = int(a.shape[0])
+    sources = jnp.arange(n) if indices is None else \
+        jnp.atleast_1d(jnp.asarray(indices))
+    return bellman_ford(a, sources, directed=directed,
+                        return_predecessors=return_predecessors)
+
+
 def floyd_warshall(a: SparseCOO, *, directed: bool = True,
                    unweighted: bool = False,
                    return_predecessors: bool = False):
@@ -269,7 +355,7 @@ def floyd_warshall(a: SparseCOO, *, directed: bool = True,
     D = lax.fori_loop(0, n, body, D)
     neg = jnp.any(jnp.diagonal(D) < 0)
     if not isinstance(neg, jax.core.Tracer) and bool(neg):
-        raise SpSparseError("floyd_warshall: negative-weight cycle")
+        raise NegativeCycleError("floyd_warshall: negative-weight cycle")
     if not return_predecessors:
         return D
     if not directed:
@@ -301,23 +387,144 @@ def breadth_first_order(a: SparseCOO, i_start: int, *,
     """BFS visit order from ``i_start``
     (scipy.sparse.csgraph.breadth_first_order).
 
-    Returns ``node_array`` (the reachable nodes in a valid BFS order:
-    sorted by level, ties by node id — scipy's order depends on its CSR
-    edge order and may differ within a level) and, optionally, the
-    ``(n,)`` predecessor array (``-9999`` at the source and unreachable
-    nodes). Host-returning (variable-length output), like
-    ``rcm_permutation`` — run eagerly.
+    Returns ``node_array`` (the reachable nodes in scipy's queue-BFS
+    discovery order — neighbors explored in ascending node id, which
+    matches scipy exactly for canonical sorted-indices CSR input) and,
+    optionally, the ``(n,)`` predecessor array (``-9999`` at the source
+    and unreachable nodes, parent = first discoverer). Host-returning
+    (variable-length output), like ``rcm_permutation`` — run eagerly.
+    Device-side BFS levels live in :func:`bfs_levels`.
     """
-    dist, pred = bellman_ford(a, jnp.atleast_1d(i_start), directed=directed,
-                              unweighted=True, return_predecessors=True,
-                              maxiter=int(a.shape[0]))
-    lv = np.asarray(dist[0])
-    reach = np.isfinite(lv)
-    order = np.lexsort((np.arange(lv.size), np.where(reach, lv, np.inf)))
-    node_array = order[:int(reach.sum())].astype(np.int32)
+    from collections import deque
+    n = int(a.shape[0])
+    ptr, h, _ = _host_adjacency(a, directed, scipy_order=True)
+    seen = np.zeros(n, bool)
+    pred = np.full(n, NEG_SENTINEL, np.int32)
+    order = []
+    q = deque([int(i_start)])
+    seen[int(i_start)] = True
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for u in h[ptr[v]:ptr[v + 1]]:
+            if not seen[u]:
+                seen[u] = True
+                pred[u] = v
+                q.append(int(u))
+    node_array = np.asarray(order, np.int32)
     if not return_predecessors:
         return node_array
-    return node_array, np.asarray(pred[0])
+    return node_array, pred
+
+
+def _host_adjacency(a: SparseCOO, directed: bool, *,
+                    scipy_order: bool = False):
+    """Host CSR view ``(ptr, heads, weights)`` — the adjacency layout
+    every sequential host-tier traversal shares (same host/device split
+    as Tarjan/RCM). Default: heads sorted ascending within each row
+    (binary-searchable). With ``scipy_order=True`` and
+    ``directed=False``, each row lists the node's out-neighbors (CSR
+    order) before its in-neighbors (transpose order) — scipy's
+    undirected traversal order (csgraph row first, then csgraph.T row);
+    for directed graphs the two orders coincide on canonical input."""
+    live = np.asarray(a.valid_mask())
+    t = np.asarray(a.indices[:, 0])[live].astype(np.int64)
+    h = np.asarray(a.indices[:, 1])[live].astype(np.int64)
+    w = np.asarray(a.vals)[live]
+    if directed:
+        order = np.lexsort((h, t))
+    else:
+        m = t.size
+        t, h = np.concatenate([t, h]), np.concatenate([h, t])
+        w = np.concatenate([w, w])
+        if scipy_order:
+            flag = np.repeat(np.array([0, 1], np.int8), m)
+            order = np.lexsort((h, flag, t))
+        else:
+            order = np.lexsort((h, t))
+    n = int(a.shape[0])
+    t, h, w = t[order], h[order], w[order]
+    ptr = np.searchsorted(t, np.arange(n + 1))
+    return ptr, h, w
+
+
+def depth_first_order(a: SparseCOO, i_start: int, *,
+                      directed: bool = True,
+                      return_predecessors: bool = True):
+    """DFS preorder from ``i_start``
+    (scipy.sparse.csgraph.depth_first_order): neighbors explored in
+    ascending node id, which reproduces scipy's order exactly for
+    canonical (sorted-indices) CSR input. Host-returning
+    (variable-length output) like :func:`breadth_first_order`."""
+    n = int(a.shape[0])
+    ptr, h, _ = _host_adjacency(a, directed, scipy_order=True)
+    seen = np.zeros(n, bool)
+    pred = np.full(n, NEG_SENTINEL, np.int32)
+    order = []
+    stack = [(int(i_start), NEG_SENTINEL)]
+    while stack:
+        v, p = stack.pop()
+        if seen[v]:
+            continue
+        seen[v] = True
+        if p != NEG_SENTINEL:
+            pred[v] = p
+        order.append(v)
+        nbrs = h[ptr[v]:ptr[v + 1]]
+        for u in nbrs[::-1]:
+            if not seen[u]:
+                stack.append((int(u), v))
+    node_array = np.asarray(order, np.int32)
+    if not return_predecessors:
+        return node_array
+    return node_array, pred
+
+
+def _tree_from_pred(a: SparseCOO, pred, *, directed: bool) -> SparseCOO:
+    """Tree edges ``(pred[v], v)`` as a SparseCOO with the traversed
+    edge's stored weight (scipy's *_tree output contract). Parallel
+    edges take the minimum weight (consistent with the min-plus
+    traversal semantics of this module); with ``directed=False`` the
+    minimum of the two stored orientations is used (scipy's
+    ``reconstruct_path`` convention)."""
+    n = int(a.shape[0])
+    pred = np.asarray(pred)
+    child = np.nonzero(pred != NEG_SENTINEL)[0]
+    parent = pred[child]
+    ptr, h, w = _host_adjacency(a, directed)
+
+    def lookup(p, v):
+        lo, hi = ptr[p], ptr[p + 1]
+        k = lo + np.searchsorted(h[lo:hi], v)
+        best = np.inf
+        while k < hi and h[k] == v:
+            best = min(best, w[k])
+            k += 1
+        return best
+
+    vals = np.array([lookup(p, v) for p, v in zip(parent, child)])
+    idx = np.stack([parent, child], axis=1).astype(np.int64)
+    return SparseCOO.from_arrays(idx, vals, (n, n))
+
+
+def breadth_first_tree(a: SparseCOO, i_start: int, *,
+                       directed: bool = True) -> SparseCOO:
+    """The BFS spanning tree rooted at ``i_start`` as a sparse matrix
+    (scipy.sparse.csgraph.breadth_first_tree); matches scipy exactly
+    for canonical CSR input (see :func:`breadth_first_order`)."""
+    _, pred = breadth_first_order(a, i_start, directed=directed,
+                                  return_predecessors=True)
+    return _tree_from_pred(a, pred, directed=directed)
+
+
+def depth_first_tree(a: SparseCOO, i_start: int, *,
+                     directed: bool = True) -> SparseCOO:
+    """The DFS spanning tree rooted at ``i_start``
+    (scipy.sparse.csgraph.depth_first_tree); matches scipy exactly for
+    canonical CSR input (see :func:`depth_first_order`)."""
+    _, pred = depth_first_order(a, i_start, directed=directed,
+                                return_predecessors=True)
+    return _tree_from_pred(a, pred, directed=directed)
 
 
 # ----------------------------------------------------------------------
@@ -584,6 +791,95 @@ def maximum_bipartite_matching(a: SparseCOO, *,
     finally:
         _sys.setrecursionlimit(old_limit)
     return match_r if perm_type == "row" else match_c
+
+
+def min_weight_full_bipartite_matching(a: SparseCOO, *,
+                                       maximize: bool = False):
+    """Minimum-weight full matching of the bipartite graph whose
+    biadjacency matrix is ``a``
+    (scipy.sparse.csgraph.min_weight_full_bipartite_matching).
+
+    Only explicitly stored entries are admissible edges (stored zeros
+    ARE zero-weight edges, scipy's sparse contract). Every vertex on
+    the smaller side must be matched; raises :class:`SpSparseError`
+    when no full matching exists (scipy raises ValueError).
+
+    Hungarian algorithm with dual potentials, successive shortest
+    augmenting paths over the sparse adjacency — sequential pointer
+    chasing, so host tier (module docstring convention); O(R·C·rounds)
+    worst case. Returns ``(row_ind, col_ind)`` sorted by row index.
+    Parallel duplicate edges take the minimum weight (maximum under
+    ``maximize``)."""
+    if a.rank != 2:
+        raise SpSparseError("min_weight_full_bipartite_matching needs "
+                            "rank 2")
+    nr, nc = int(a.shape[0]), int(a.shape[1])
+    live = np.asarray(a.valid_mask())
+    r = np.asarray(a.indices[:, 0])[live].astype(np.int64)
+    c = np.asarray(a.indices[:, 1])[live].astype(np.int64)
+    w = np.asarray(a.vals)[live].astype(np.float64)
+    transposed = nr > nc
+    if transposed:
+        r, c, nr, nc = c, r, nc, nr
+    if maximize:
+        w = -w
+    # columns shifted +1: column 0 is the virtual root of the
+    # alternating tree (classic potentials formulation)
+    order = np.lexsort((c, r))
+    r, c, w = r[order], c[order] + 1, w[order]
+    ptr = np.searchsorted(r, np.arange(nr + 1))
+    if nr and (ptr[1:] == ptr[:-1]).any():
+        raise SpSparseError("min_weight_full_bipartite_matching: a row "
+                            "has no admissible edges — no full matching "
+                            "exists")
+    INF = np.inf
+    u = np.zeros(nr + 1)              # row potentials (u[nr] = virtual)
+    v = np.zeros(nc + 1)              # column potentials
+    p = np.full(nc + 1, nr, np.int64)  # p[j] = row matched to column j
+    way = np.zeros(nc + 1, np.int64)
+    for i in range(nr):
+        p[0] = i
+        j0 = 0
+        minv = np.full(nc + 1, INF)
+        used = np.zeros(nc + 1, bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            # relax only over the sparse adjacency of i0
+            lo, hi = ptr[i0], ptr[i0 + 1]
+            js, ws = c[lo:hi], w[lo:hi]
+            cur = ws - u[i0] - v[js]
+            upd = (~used[js]) & (cur < minv[js])
+            minv[js] = np.where(upd, cur, minv[js])
+            way[js[upd]] = j0
+            minv_masked = np.where(used, INF, minv)
+            j1 = int(np.argmin(minv_masked))
+            delta = minv_masked[j1]
+            if not np.isfinite(delta):
+                raise SpSparseError(
+                    "min_weight_full_bipartite_matching: no full "
+                    "matching exists")
+            u[p[used]] += delta
+            v[used] -= delta
+            minv[~used] -= delta
+            j0 = j1
+            if p[j0] == nr:
+                break
+        while j0:                      # augment along the stored path
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    col_of_row = np.full(nr, -1, np.int64)
+    for j in range(1, nc + 1):
+        if p[j] != nr:
+            col_of_row[p[j]] = j - 1
+    row_ind = np.arange(nr, dtype=np.int64)
+    col_ind = col_of_row
+    if transposed:
+        row_ind, col_ind = col_ind.copy(), row_ind
+        srt = np.argsort(row_ind)
+        row_ind, col_ind = row_ind[srt], col_ind[srt]
+    return row_ind, col_ind
 
 
 def structural_rank(a: SparseCOO) -> int:

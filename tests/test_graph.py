@@ -472,3 +472,144 @@ class TestRelaxPlan:
         dist = solve(plan)
         ref = cs.bellman_ford(S, indices=0)
         np.testing.assert_allclose(np.asarray(dist)[0], ref)
+
+
+class TestDijkstraJohnson:
+    """dijkstra/johnson entry points (scipy _shortest_path.pyx parity;
+    no reference counterpart — SURVEY.md §2 graph tier)."""
+
+    @pytest.mark.parametrize("seed", [3, 11, 47])
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_dijkstra_vs_scipy(self, seed, directed):
+        from spsparse_tpu.graph import dijkstra
+        A, S, dense = random_graph(seed)
+        ref = cs.dijkstra(S, directed=directed, indices=[0, 5])
+        got = dijkstra(A, directed=directed, indices=np.array([0, 5]))
+        np.testing.assert_allclose(np.asarray(got), ref)
+
+    def test_dijkstra_limit_and_predecessors(self):
+        from spsparse_tpu.graph import dijkstra
+        A, S, dense = random_graph(7)
+        ref_d, _ = cs.dijkstra(S, indices=[2], limit=4.0,
+                               return_predecessors=True)
+        got_d, got_p = dijkstra(A, indices=np.array([2]), limit=4.0,
+                                return_predecessors=True)
+        np.testing.assert_allclose(np.asarray(got_d), ref_d)
+        check_tree(got_d, got_p, dense, [2])
+
+    def test_dijkstra_min_only(self):
+        from spsparse_tpu.graph import dijkstra
+        A, S, dense = random_graph(9)
+        idx = [1, 4, 8]
+        ref_d, _, ref_s = cs.dijkstra(S, indices=idx, min_only=True,
+                                      return_predecessors=True)
+        got_d, got_p, got_s = dijkstra(A, indices=np.array(idx),
+                                       min_only=True,
+                                       return_predecessors=True)
+        np.testing.assert_allclose(np.asarray(got_d), ref_d)
+        np.testing.assert_array_equal(np.asarray(got_s), ref_s)
+
+    def test_dijkstra_negative_warns_but_exact(self):
+        from spsparse_tpu.graph import dijkstra
+        dense = np.array([[0, 2.0, 0], [0, 0, -1.0], [0, 0, 0]])
+        A = SparseCOO.from_dense(dense)
+        with pytest.warns(UserWarning, match="negative"):
+            d = dijkstra(A, indices=np.array([0]))
+        # exact (Bellman-Ford engine), unlike scipy's heap dijkstra
+        np.testing.assert_allclose(np.asarray(d)[0], [0.0, 2.0, 1.0])
+
+    @pytest.mark.parametrize("seed", [5, 21])
+    def test_johnson_negative_weights_vs_scipy(self, seed):
+        from spsparse_tpu.graph import johnson
+        rng = np.random.default_rng(seed)
+        # negative edges on a DAG-ish graph: guaranteed no negative cycle
+        n = 12
+        dense = np.zeros((n, n))
+        for _ in range(30):
+            i, j = sorted(rng.integers(0, n, 2))
+            if i != j:
+                dense[i, j] = rng.uniform(-1.0, 4.0)
+        A = SparseCOO.from_dense(dense)
+        ref = cs.johnson(sp.csr_matrix(dense))
+        np.testing.assert_allclose(np.asarray(johnson(A)), ref)
+
+    def test_johnson_negative_cycle_raises(self):
+        from spsparse_tpu.graph import johnson, NegativeCycleError
+        dense = np.array([[0, 1.0, 0], [0, 0, -3.0], [1.0, 0, 0]])
+        A = SparseCOO.from_dense(dense)
+        with pytest.raises(NegativeCycleError):
+            johnson(A)
+
+
+class TestTraversalTrees:
+    """breadth/depth_first_order + *_tree: exact scipy parity for
+    canonical (sorted, deduplicated) input, both directions."""
+
+    @pytest.mark.parametrize("seed", [0, 13, 29])
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_orders_and_trees_vs_scipy(self, seed, directed):
+        from spsparse_tpu.graph import (breadth_first_order,
+                                        depth_first_order,
+                                        breadth_first_tree,
+                                        depth_first_tree)
+        A, S, dense = random_graph(seed)
+        o_ref, p_ref = cs.breadth_first_order(S, 0, directed=directed)
+        o_got, p_got = breadth_first_order(A, 0, directed=directed)
+        np.testing.assert_array_equal(o_got, o_ref)
+        np.testing.assert_array_equal(p_got, p_ref)
+        o_ref, p_ref = cs.depth_first_order(S, 0, directed=directed)
+        o_got, p_got = depth_first_order(A, 0, directed=directed)
+        np.testing.assert_array_equal(o_got, o_ref)
+        np.testing.assert_array_equal(p_got, p_ref)
+        t_ref = cs.breadth_first_tree(S, 0, directed=directed).toarray()
+        t_got = np.asarray(
+            breadth_first_tree(A, 0, directed=directed).to_dense())
+        np.testing.assert_allclose(t_got, t_ref)
+        t_ref = cs.depth_first_tree(S, 0, directed=directed).toarray()
+        t_got = np.asarray(
+            depth_first_tree(A, 0, directed=directed).to_dense())
+        np.testing.assert_allclose(t_got, t_ref)
+
+
+class TestMinWeightMatching:
+    """min_weight_full_bipartite_matching (scipy LAPJVsp parity on the
+    optimal cost; the assignment itself may differ on cost ties)."""
+
+    @pytest.mark.parametrize("seed", [1, 17, 33])
+    def test_cost_vs_scipy(self, seed):
+        from spsparse_tpu.graph import min_weight_full_bipartite_matching
+        rng = np.random.default_rng(seed)
+        n, m = 7, 9
+        dense = np.where(rng.random((n, m)) < 0.7,
+                         rng.uniform(1.0, 9.0, (n, m)), 0.0)
+        # guarantee feasibility: a diagonal of stored entries
+        for i in range(n):
+            if dense[i, i] == 0:
+                dense[i, i] = rng.uniform(1.0, 9.0)
+        S = sp.csr_matrix(dense)
+        r_ref, c_ref = cs.min_weight_full_bipartite_matching(S)
+        A = SparseCOO.from_dense(dense)
+        r_got, c_got = min_weight_full_bipartite_matching(A)
+        r_got, c_got = np.asarray(r_got), np.asarray(c_got)
+        # valid assignment over stored entries, optimal cost
+        assert len(set(c_got.tolist())) == n
+        assert all(dense[i, j] != 0 for i, j in zip(r_got, c_got))
+        assert np.isclose(dense[r_got, c_got].sum(),
+                          dense[r_ref, c_ref].sum())
+
+    def test_infeasible_raises(self):
+        from spsparse_tpu.graph import min_weight_full_bipartite_matching
+        dense = np.array([[1.0, 0.0], [2.0, 0.0]])   # col 1 unmatched
+        with pytest.raises(SpSparseError):
+            min_weight_full_bipartite_matching(SparseCOO.from_dense(dense))
+
+    def test_maximize(self):
+        from spsparse_tpu.graph import min_weight_full_bipartite_matching
+        dense = np.array([[1.0, 5.0], [2.0, 1.0]])
+        S = sp.csr_matrix(dense)
+        r_ref, c_ref = cs.min_weight_full_bipartite_matching(
+            S, maximize=True)
+        A = SparseCOO.from_dense(dense)
+        r_got, c_got = min_weight_full_bipartite_matching(A, maximize=True)
+        assert np.isclose(dense[np.asarray(r_got), np.asarray(c_got)].sum(),
+                          dense[r_ref, c_ref].sum())
