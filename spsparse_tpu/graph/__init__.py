@@ -38,6 +38,9 @@ from .csgraph import (
     MaximumFlowResult,
     NEG_SENTINEL,
     NegativeCycleError,
+    yen,
+    reconstruct_path,
+    construct_dist_matrix,
 )
 from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
 
@@ -54,4 +57,5 @@ __all__ = [
     "min_weight_full_bipartite_matching", "structural_rank",
     "maximum_flow", "MaximumFlowResult",
     "NEG_SENTINEL", "NegativeCycleError", "reverse_cuthill_mckee",
+    "yen", "reconstruct_path", "construct_dist_matrix",
 ]

@@ -55,7 +55,7 @@ __all__ = [
     "laplacian", "maximum_bipartite_matching",
     "min_weight_full_bipartite_matching", "structural_rank",
     "maximum_flow", "MaximumFlowResult", "NEG_SENTINEL",
-    "NegativeCycleError",
+    "NegativeCycleError", "yen", "reconstruct_path", "construct_dist_matrix",
 ]
 
 Array = Any
@@ -1053,3 +1053,176 @@ def _dense_diag_coo(d: Array, like: SparseCOO) -> SparseCOO:
                      vals=d.astype(like.dtype),
                      nnz=jnp.asarray(n, jnp.int32),
                      shape=like.shape, sort_order=(0, 1))
+
+
+# ----------------------------------------------------------------------
+# Path utilities (scipy.sparse.csgraph._tools) + Yen's k-shortest paths
+# ----------------------------------------------------------------------
+
+def reconstruct_path(a: SparseCOO, predecessors, *,
+                     directed: bool = True) -> SparseCOO:
+    """The shortest-path tree encoded by one predecessor row as a sparse
+    matrix (scipy.sparse.csgraph.reconstruct_path): entry ``(pred[v],
+    v)`` carries the stored edge weight (min of the two orientations
+    when ``directed=False``, scipy's convention)."""
+    predecessors = np.asarray(predecessors)
+    if predecessors.shape != (int(a.shape[0]),):
+        raise SpSparseError(
+            f"reconstruct_path: predecessors must be ({int(a.shape[0])},), "
+            f"got {predecessors.shape}")
+    return _tree_from_pred(a, predecessors, directed=directed)
+
+
+def construct_dist_matrix(a: SparseCOO, predecessors, *,
+                          directed: bool = True,
+                          null_value: float = np.inf):
+    """Distance matrix from a full ``(n, n)`` predecessor matrix
+    (scipy.sparse.csgraph.construct_dist_matrix): walks each row's
+    predecessor chains and sums the stored edge weights; unreachable
+    entries get ``null_value``. Host-returning numpy ``(n, n)``."""
+    n = int(a.shape[0])
+    pred = np.asarray(predecessors)
+    if pred.shape != (n, n):
+        raise SpSparseError(f"construct_dist_matrix: predecessors must be "
+                            f"({n}, {n}), got {pred.shape}")
+    ptr, h, w = _host_adjacency(a, directed)
+
+    def edge_w(p, v):
+        lo, hi = ptr[p], ptr[p + 1]
+        k = lo + np.searchsorted(h[lo:hi], v)
+        best = np.inf
+        while k < hi and h[k] == v:
+            best = min(best, w[k])
+            k += 1
+        return best
+
+    dist = np.full((n, n), np.inf)
+    for i in range(n):
+        dist[i, i] = 0.0
+        # resolve chains iteratively: a node is ready once its
+        # predecessor's distance is known
+        state = np.zeros(n, np.int8)            # 0 unseen, 1 done
+        state[i] = 1
+        for j in range(n):
+            chain = []
+            v = j
+            while state[v] == 0 and pred[i, v] != NEG_SENTINEL:
+                chain.append(v)
+                v = pred[i, v]
+            if state[v] == 1:
+                for u in reversed(chain):
+                    dist[i, u] = dist[i, pred[i, u]] + edge_w(pred[i, u], u)
+                    state[u] = 1
+    dist[~np.isfinite(dist)] = null_value
+    np.fill_diagonal(dist, 0.0)
+    return dist
+
+
+def _host_dijkstra_masked(ptr, h, w, n, source, sink, blocked_nodes,
+                          blocked_edges, undirected):
+    """Heap Dijkstra from ``source`` to ``sink`` over the host adjacency,
+    skipping ``blocked_nodes`` (bool mask) and ``blocked_edges`` (set of
+    (u, v) keys, canonicalized when undirected). Returns (cost, path) or
+    (inf, None). Host tier — the sequential spur searches of Yen's
+    algorithm (scipy _shortest_path.pyx yen) don't vectorize."""
+    import heapq
+    dist = np.full(n, np.inf)
+    prev = np.full(n, NEG_SENTINEL, np.int64)
+    dist[source] = 0.0
+    heap = [(0.0, source)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if d > dist[v]:
+            continue
+        if v == sink:
+            break
+        for k in range(ptr[v], ptr[v + 1]):
+            u = int(h[k])
+            if blocked_nodes[u]:
+                continue
+            key = (min(v, u), max(v, u)) if undirected else (v, int(u))
+            if key in blocked_edges:
+                continue
+            nd = d + w[k]
+            if nd < dist[u]:
+                dist[u] = nd
+                prev[u] = v
+                heapq.heappush(heap, (nd, u))
+    if not np.isfinite(dist[sink]):
+        return np.inf, None
+    path = [sink]
+    while path[-1] != source:
+        path.append(int(prev[path[-1]]))
+    return float(dist[sink]), path[::-1]
+
+
+def yen(a: SparseCOO, source: int, sink: int, K: int, *,
+        directed: bool = True, unweighted: bool = False,
+        return_predecessors: bool = False):
+    """Yen's K loopless shortest paths
+    (scipy.sparse.csgraph.yen): returns the (at most K) smallest
+    simple-path costs sorted ascending, and optionally a ``(k, n)``
+    predecessor matrix, one row per path. Host tier: the spur-node
+    searches are inherently sequential (same split as
+    :func:`maximum_flow`'s Dinic)."""
+    n = int(a.shape[0])
+    source, sink = int(source), int(sink)
+    ptr, h, w = _host_adjacency(a, directed)
+    if unweighted:
+        w = np.ones_like(w)
+    undirected = not directed
+    no_nodes = np.zeros(n, bool)
+
+    c0, p0 = _host_dijkstra_masked(ptr, h, w, n, source, sink,
+                                   no_nodes, frozenset(), undirected)
+    if p0 is None:
+        found: list = []
+    else:
+        found = [(c0, p0)]
+    candidates: list = []
+    seen = {tuple(p0)} if p0 is not None else set()
+
+    while found and len(found) < K:
+        _, prev_path = found[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[:i + 1]
+            root_cost = 0.0
+            for u, v in zip(root, root[1:]):
+                lo, hi = ptr[u], ptr[u + 1]
+                k = lo + np.searchsorted(h[lo:hi], v)
+                best = np.inf
+                while k < hi and h[k] == v:
+                    best = min(best, w[k]); k += 1
+                root_cost += best
+            blocked_edges = set()
+            for c, p in found + [c for c in candidates]:
+                if len(p) > i and p[:i + 1] == root:
+                    u, v = p[i], p[i + 1]
+                    blocked_edges.add(
+                        (min(u, v), max(u, v)) if undirected else (u, v))
+            blocked_nodes = no_nodes.copy()
+            blocked_nodes[root[:-1]] = True
+            sc, sp = _host_dijkstra_masked(ptr, h, w, n, spur, sink,
+                                           blocked_nodes,
+                                           frozenset(blocked_edges),
+                                           undirected)
+            if sp is not None:
+                cand = root[:-1] + sp
+                t = tuple(cand)
+                if t not in seen:
+                    seen.add(t)
+                    candidates.append((root_cost + sc, cand))
+        if not candidates:
+            break
+        candidates.sort(key=lambda cp: cp[0])
+        found.append(candidates.pop(0))
+
+    dists = np.array([c for c, _ in found])
+    if not return_predecessors:
+        return dists
+    preds = np.full((len(found), n), NEG_SENTINEL, np.int32)
+    for r, (_, p) in enumerate(found):
+        for u, v in zip(p, p[1:]):
+            preds[r, v] = u
+    return dists, preds

@@ -613,3 +613,72 @@ class TestMinWeightMatching:
         r_got, c_got = min_weight_full_bipartite_matching(A, maximize=True)
         assert np.isclose(dense[np.asarray(r_got), np.asarray(c_got)].sum(),
                           dense[r_ref, c_ref].sum())
+
+
+class TestPathTools:
+    """yen / reconstruct_path / construct_dist_matrix
+    (scipy.sparse.csgraph._tools + _shortest_path.yen parity)."""
+
+    @pytest.mark.parametrize("seed", [2, 19, 41])
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_yen_vs_scipy(self, seed, directed):
+        from spsparse_tpu.graph import yen
+        A, S, dense = random_graph(seed)
+        n = dense.shape[0]
+        for K in (1, 4):
+            ref = cs.yen(S, 0, n - 1, K, directed=directed)
+            got = np.asarray(yen(A, 0, n - 1, K, directed=directed))
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref)
+
+    def test_yen_predecessors_trace_valid_paths(self):
+        from spsparse_tpu.graph import yen
+        A, S, dense = random_graph(23)
+        n = dense.shape[0]
+        d, p = yen(A, 0, n - 1, 3, return_predecessors=True)
+        for r in range(d.size):
+            cost, v = 0.0, n - 1
+            while v != 0:
+                u = p[r, v]
+                assert u >= 0 and dense[u, v] != 0
+                cost += dense[u, v]
+                v = u
+            assert np.isclose(cost, d[r])
+
+    def test_yen_unweighted_and_unreachable(self):
+        from spsparse_tpu.graph import yen
+        dense = np.array([[0, 2.0, 0], [0, 0, 5.0], [0, 0, 0]])
+        A = SparseCOO.from_dense(dense)
+        np.testing.assert_allclose(
+            np.asarray(yen(A, 0, 2, 3, unweighted=True)), [2.0])
+        assert np.asarray(yen(A, 2, 0, 3)).size == 0
+
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_reconstruct_path_vs_scipy(self, directed):
+        from spsparse_tpu.graph import reconstruct_path
+        A, S, dense = random_graph(31)
+        _, pp = cs.shortest_path(S, directed=directed, indices=[0],
+                                 return_predecessors=True)
+        ref = cs.reconstruct_path(S, pp[0], directed=directed).toarray()
+        got = np.asarray(
+            reconstruct_path(A, pp[0], directed=directed).to_dense())
+        np.testing.assert_allclose(got, ref)
+
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_construct_dist_matrix_vs_scipy(self, directed):
+        from spsparse_tpu.graph import construct_dist_matrix
+        A, S, dense = random_graph(37)
+        _, pp = cs.shortest_path(S, directed=directed,
+                                 return_predecessors=True)
+        ref = cs.construct_dist_matrix(dense, pp, directed=directed)
+        got = construct_dist_matrix(A, pp, directed=directed)
+        np.testing.assert_allclose(got, ref)
+
+    def test_shape_errors(self):
+        from spsparse_tpu.graph import (reconstruct_path,
+                                        construct_dist_matrix)
+        A, S, dense = random_graph(2)
+        with pytest.raises(SpSparseError):
+            reconstruct_path(A, np.zeros(3, np.int32))
+        with pytest.raises(SpSparseError):
+            construct_dist_matrix(A, np.zeros((2, 2), np.int32))
