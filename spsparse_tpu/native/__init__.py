@@ -28,7 +28,8 @@ from ..core.errors import DuplicatePolicy
 logger = logging.getLogger("spsparse_tpu.native")
 
 __all__ = ["available", "consolidate_host", "dim_beginnings_host",
-           "csr_row_ptr_host", "check_bounds_host"]
+           "csr_row_ptr_host", "check_bounds_host",
+           "lu_factor_host", "trisolve_host"]
 
 _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _SO = os.path.join(_CSRC, "libspsparse_host.so")
@@ -81,6 +82,24 @@ def _lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    _i64p, _f64p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(
+        ctypes.c_double)
+    lib.spsparse_lu_factor_f64.restype = ctypes.c_void_p
+    lib.spsparse_lu_factor_f64.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _f64p, _i64p, ctypes.c_double, _i64p]
+    lib.spsparse_lu_nnz_l.restype = ctypes.c_int64
+    lib.spsparse_lu_nnz_l.argtypes = [ctypes.c_void_p]
+    lib.spsparse_lu_nnz_u.restype = ctypes.c_int64
+    lib.spsparse_lu_nnz_u.argtypes = [ctypes.c_void_p]
+    lib.spsparse_lu_get.restype = None
+    lib.spsparse_lu_get.argtypes = [
+        ctypes.c_void_p, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64p]
+    lib.spsparse_lu_free.restype = None
+    lib.spsparse_lu_free.argtypes = [ctypes.c_void_p]
+    lib.spsparse_trisolve_csc_f64.restype = ctypes.c_int64
+    lib.spsparse_trisolve_csc_f64.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _f64p, ctypes.c_int32, ctypes.c_int32,
+        _f64p, ctypes.c_int64, ctypes.c_int64]
     return lib
 
 
@@ -199,3 +218,119 @@ def check_bounds_host(indices, shape) -> int:
     bad = (indices < 0) | (indices >= shape_a)
     rows = np.nonzero(bad.any(axis=1))[0]
     return int(rows[0]) if rows.size else -1
+
+
+def _numpy_lu(n, colptr, rowind, val, perm_c, pivot_threshold):
+    """Dense partial-pivot LU fallback (O(n^3)); same output contract as
+    the native Gilbert-Peierls factor. Only sensible for small n."""
+    A = np.zeros((n, n))
+    for j in range(n):
+        for p in range(colptr[j], colptr[j + 1]):
+            A[rowind[p], j] += val[p]
+    A = A[:, perm_c]
+    piv = np.arange(n)
+    for k in range(n):
+        col = np.abs(A[k:, k])
+        if col.max() == 0:
+            return None, k
+        m = k + int(np.argmax(col))
+        if np.abs(A[k, k]) >= pivot_threshold * col.max() and A[k, k] != 0:
+            m = k
+        if m != k:
+            A[[k, m]] = A[[m, k]]
+            piv[[k, m]] = piv[[m, k]]
+        A[k + 1:, k] /= A[k, k]
+        A[k + 1:, k + 1:] -= np.outer(A[k + 1:, k], A[k, k + 1:])
+    L = np.tril(A, -1)
+    U = np.triu(A)
+    def to_csc(M):
+        cp = [0]; ri = []; v = []
+        for j in range(n):
+            nz = np.nonzero(M[:, j])[0]
+            ri.extend(nz.tolist()); v.extend(M[nz, j].tolist())
+            cp.append(len(ri))
+        return (np.asarray(cp, np.int64), np.asarray(ri, np.int64),
+                np.asarray(v, np.float64))
+    return (to_csc(L), to_csc(U), piv.astype(np.int64)), -1
+
+
+def lu_factor_host(n: int, colptr, rowind, val, perm_c=None,
+                   pivot_threshold: float = 1.0):
+    """Sparse LU of CSC input: ``A[:, perm_c] = P^T L U`` (native
+    Gilbert-Peierls left-looking with threshold partial pivoting; dense
+    numpy fallback). Returns ``((l_colptr, l_rowind, l_val),
+    (u_colptr, u_rowind, u_val), perm_r)`` — L unit-diagonal (diagonal
+    not stored), U includes the diagonal, both CSC in pivoted row
+    coordinates. Raises ``ValueError`` naming the failing column when
+    singular."""
+    colptr = np.ascontiguousarray(colptr, np.int64)
+    rowind = np.ascontiguousarray(rowind, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    pc = np.ascontiguousarray(
+        perm_c if perm_c is not None else np.arange(n), np.int64)
+    lib = _lib()
+    if lib is not None:
+        info = np.empty(1, np.int64)
+        h = lib.spsparse_lu_factor_f64(n, _p64(colptr), _p64(rowind),
+                                       _pf64(val), _p64(pc),
+                                       float(pivot_threshold), _p64(info))
+        if not h:
+            raise ValueError(f"matrix is singular at column {int(info[0])}")
+        try:
+            nl = lib.spsparse_lu_nnz_l(h)
+            nu = lib.spsparse_lu_nnz_u(h)
+            lcp = np.empty(n + 1, np.int64)
+            lri = np.empty(max(nl, 1), np.int64)
+            lv = np.empty(max(nl, 1), np.float64)
+            ucp = np.empty(n + 1, np.int64)
+            uri = np.empty(max(nu, 1), np.int64)
+            uv = np.empty(max(nu, 1), np.float64)
+            pr = np.empty(n, np.int64)
+            lib.spsparse_lu_get(h, _p64(lcp), _p64(lri), _pf64(lv),
+                                _p64(ucp), _p64(uri), _pf64(uv), _p64(pr))
+        finally:
+            lib.spsparse_lu_free(h)
+        return ((lcp, lri[:nl], lv[:nl]), (ucp, uri[:nu], uv[:nu]), pr)
+    out, bad = _numpy_lu(n, colptr, rowind, val, pc, pivot_threshold)
+    if out is None:
+        raise ValueError(f"matrix is singular at column {bad}")
+    return out
+
+
+def trisolve_host(n: int, colptr, rowind, val, b, *, lower: bool,
+                  unit_diagonal: bool = False):
+    """Sequential CSC triangular solve on the host (fallback path for
+    deep-level factors — solvers/direct.py). ``b``: (n,) or (n, k);
+    returns the solution with b's trailing shape. Raises ``ValueError``
+    on a zero/missing diagonal."""
+    colptr = np.ascontiguousarray(colptr, np.int64)
+    rowind = np.ascontiguousarray(rowind, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    b = np.asarray(b, np.float64)
+    squeeze = b.ndim == 1
+    # always copy: the C kernel solves in place and must never alias the
+    # caller's buffer (a 1-D b reshaped/transposed is a contiguous VIEW)
+    B = np.array(b.reshape(n, -1).T, np.float64, order="C", copy=True)
+    lib = _lib()
+    if lib is not None:
+        r = lib.spsparse_trisolve_csc_f64(
+            n, _p64(colptr), _p64(rowind), _pf64(val),
+            int(bool(lower)), int(bool(unit_diagonal)),
+            _pf64(B), B.shape[0], n)
+        if r >= 0:
+            raise ValueError(f"zero diagonal at column {int(r)}")
+    else:
+        for x in B:                                   # numpy fallback
+            cols = range(n) if lower else range(n - 1, -1, -1)
+            for j in cols:
+                lo, hi = colptr[j], colptr[j + 1]
+                rs, vs = rowind[lo:hi], val[lo:hi]
+                if not unit_diagonal:
+                    dm = rs == j
+                    if not dm.any() or vs[dm][0] == 0:
+                        raise ValueError(f"zero diagonal at column {j}")
+                    x[j] /= vs[dm][0]
+                off = rs > j if lower else rs < j
+                x[rs[off]] -= vs[off] * x[j]
+    out = B.T
+    return out[:, 0] if squeeze else out.reshape(b.shape)

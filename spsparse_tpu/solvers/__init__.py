@@ -1,7 +1,9 @@
-"""Iterative solvers and preconditioners built on the sparse ops — the
-framework's end-to-end "model" layer (conjugate gradients, BiCGStab,
-MINRES, GMRES, Chebyshev; least squares via CGLS/LSQR; spectral via
-Lanczos eigsh / LOBPCG / Golub-Kahan svds; Jacobi/block-Jacobi/Neumann
+"""Iterative and direct solvers plus preconditioners built on the
+sparse ops — the framework's end-to-end "model" layer (conjugate
+gradients, BiCGStab, MINRES, GMRES, Chebyshev; least squares via
+CGLS/LSQR/LSMR; spectral via Lanczos eigsh / LOBPCG / Golub-Kahan
+svds; direct via native sparse LU `splu`/`spsolve` with device
+level-sweep triangular solves; Jacobi/block-Jacobi/Neumann
 preconditioning) for single-chip and row-partitioned multi-chip
 execution."""
 
@@ -18,6 +20,8 @@ from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
 from .linop import LinearOperator, aslinearoperator, identity_operator
 from .norms import onenormest
+from .direct import (SparseLU, splu, spsolve, factorized,
+                     spsolve_triangular)
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "cgs_solve", "tfqmr_solve", "minres_solve",
@@ -31,4 +35,6 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "funm_multiply", "expm_multiply",
            "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",
            "LinearOperator", "aslinearoperator", "identity_operator",
-           "onenormest"]
+           "onenormest",
+           "SparseLU", "splu", "spsolve", "factorized",
+           "spsolve_triangular"]
