@@ -49,13 +49,21 @@ extern "C" {
 //   pivot_threshold: in [0,1]; 1.0 = classic partial pivoting, smaller
 //     values allow keeping the diagonal entry when
 //     |diag| >= threshold * max|col| (threshold pivoting).
+//   drop_tol / max_keep_l / max_keep_u: ILUT controls (SuperLU-spilu
+//     style). drop_tol > 0 drops U entries with |x| < drop_tol *
+//     ||A[:,j]||_2 and L multipliers with |l| < drop_tol; max_keep_*
+//     >= 0 additionally keeps only the largest-|.| entries per column
+//     (the U diagonal always survives). drop_tol = 0, max_keep = -1
+//     reproduces the exact factorization.
 // Returns a handle (>0 cast of pointer) on success, 0 on singular or
 // invalid input. Writes the zero-based index of the failing column to
 // *info (or -1 on success).
-void* spsparse_lu_factor_f64(int64_t n, const int64_t* colptr,
-                             const int64_t* rowind, const double* val,
-                             const int64_t* perm_c, double pivot_threshold,
-                             int64_t* info) {
+void* spsparse_lu_factor_ex_f64(int64_t n, const int64_t* colptr,
+                                const int64_t* rowind, const double* val,
+                                const int64_t* perm_c,
+                                double pivot_threshold, double drop_tol,
+                                int64_t max_keep_l, int64_t max_keep_u,
+                                int64_t* info) {
   *info = -1;
   if (n <= 0) { *info = 0; return nullptr; }
   auto* f = new LuFactors();
@@ -74,6 +82,7 @@ void* spsparse_lu_factor_f64(int64_t n, const int64_t* colptr,
   poststack.reserve(n);
   std::vector<int64_t> dfs_ptr(n);     // per-node resume position for DFS
   std::vector<uint8_t> mark(n, 0);
+  std::vector<std::pair<int64_t, double>> ucand, lcand;  // per-column emit
 
   for (int64_t jj = 0; jj < n; ++jj) {
     const int64_t j = perm_c ? perm_c[jj] : jj;
@@ -153,29 +162,53 @@ void* spsparse_lu_factor_f64(int64_t n, const int64_t* colptr,
     pinv[piv] = jj;
     f->perm_r[jj] = piv;
 
+    // ---- ILUT drop threshold for this column (scaled to ||A[:, j]||)
+    double utol = 0.0;
+    if (drop_tol > 0.0) {
+      double s = 0.0;
+      for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+        s += val[p] * val[p];
+      utol = drop_tol * std::sqrt(s);
+    }
+
     // ---- emit U (pivotal rows, in pivoted coordinates) and L (scaled)
+    ucand.clear();
+    lcand.clear();
     for (int64_t t : pattern) {
       if (pinv[t] >= 0 && t != piv) {
-        if (x[t] != 0.0) {
-          f->u_rowind.push_back(pinv[t]);
-          f->u_val.push_back(x[t]);
-        }
+        if (x[t] != 0.0 && std::fabs(x[t]) >= utol)
+          ucand.emplace_back(pinv[t], x[t]);
+      } else if (pinv[t] < 0) {              // strictly-below-pivot rows
+        const double lv2 = x[t] / pv;
+        if (lv2 != 0.0 && std::fabs(lv2) >= drop_tol)
+          lcand.emplace_back(t, lv2);        // orig row id (pivoted later)
       }
       // piv itself becomes the U diagonal below.
+      x[t] = 0.0;
+      mark[t] = 0;
+    }
+    auto cap_keep = [](std::vector<std::pair<int64_t, double>>& v,
+                       int64_t keep) {
+      if (keep >= 0 && static_cast<int64_t>(v.size()) > keep) {
+        std::nth_element(v.begin(), v.begin() + keep, v.end(),
+                         [](const auto& a, const auto& b) {
+                           return std::fabs(a.second) > std::fabs(b.second);
+                         });
+        v.resize(keep);
+      }
+    };
+    cap_keep(ucand, max_keep_u);
+    cap_keep(lcand, max_keep_l);
+    for (const auto& [r, v2] : ucand) {
+      f->u_rowind.push_back(r);
+      f->u_val.push_back(v2);
     }
     f->u_rowind.push_back(jj);               // diagonal of U, last in column
     f->u_val.push_back(pv);
     f->u_colptr.push_back(static_cast<int64_t>(f->u_rowind.size()));
-    for (int64_t t : pattern) {
-      if (pinv[t] < 0) {                     // strictly-below-pivot rows
-        const double lv = x[t] / pv;
-        if (lv != 0.0) {
-          f->l_rowind.push_back(t);          // orig row id (pivoted later)
-          f->l_val.push_back(lv);
-        }
-      }
-      x[t] = 0.0;
-      mark[t] = 0;
+    for (const auto& [r, v2] : lcand) {
+      f->l_rowind.push_back(r);
+      f->l_val.push_back(v2);
     }
     f->l_colptr.push_back(static_cast<int64_t>(f->l_rowind.size()));
   }
@@ -183,6 +216,15 @@ void* spsparse_lu_factor_f64(int64_t n, const int64_t* colptr,
   // every row has a pivot step.
   for (auto& r : f->l_rowind) r = pinv[r];
   return f;
+}
+
+// Exact-LU convenience wrapper (original entry point).
+void* spsparse_lu_factor_f64(int64_t n, const int64_t* colptr,
+                             const int64_t* rowind, const double* val,
+                             const int64_t* perm_c, double pivot_threshold,
+                             int64_t* info) {
+  return spsparse_lu_factor_ex_f64(n, colptr, rowind, val, perm_c,
+                                   pivot_threshold, 0.0, -1, -1, info);
 }
 
 int64_t spsparse_lu_nnz_l(void* h) {

@@ -87,6 +87,10 @@ def _lib():
     lib.spsparse_lu_factor_f64.restype = ctypes.c_void_p
     lib.spsparse_lu_factor_f64.argtypes = [
         ctypes.c_int64, _i64p, _i64p, _f64p, _i64p, ctypes.c_double, _i64p]
+    lib.spsparse_lu_factor_ex_f64.restype = ctypes.c_void_p
+    lib.spsparse_lu_factor_ex_f64.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _f64p, _i64p, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64, _i64p]
     lib.spsparse_lu_nnz_l.restype = ctypes.c_int64
     lib.spsparse_lu_nnz_l.argtypes = [ctypes.c_void_p]
     lib.spsparse_lu_nnz_u.restype = ctypes.c_int64
@@ -255,14 +259,21 @@ def _numpy_lu(n, colptr, rowind, val, perm_c, pivot_threshold):
 
 
 def lu_factor_host(n: int, colptr, rowind, val, perm_c=None,
-                   pivot_threshold: float = 1.0):
+                   pivot_threshold: float = 1.0, drop_tol: float = 0.0,
+                   max_keep_l: int = -1, max_keep_u: int = -1):
     """Sparse LU of CSC input: ``A[:, perm_c] = P^T L U`` (native
     Gilbert-Peierls left-looking with threshold partial pivoting; dense
     numpy fallback). Returns ``((l_colptr, l_rowind, l_val),
     (u_colptr, u_rowind, u_val), perm_r)`` — L unit-diagonal (diagonal
     not stored), U includes the diagonal, both CSC in pivoted row
     coordinates. Raises ``ValueError`` naming the failing column when
-    singular."""
+    singular.
+
+    ``drop_tol``/``max_keep_l``/``max_keep_u`` enable incomplete (ILUT)
+    factorization — see csrc/spsparse_lu.cpp. The numpy fallback
+    applies the drop rules post-hoc to the exact factors (a coarser
+    approximation than the native incremental drops; ILU factors are
+    approximate by definition either way)."""
     colptr = np.ascontiguousarray(colptr, np.int64)
     rowind = np.ascontiguousarray(rowind, np.int64)
     val = np.ascontiguousarray(val, np.float64)
@@ -271,9 +282,12 @@ def lu_factor_host(n: int, colptr, rowind, val, perm_c=None,
     lib = _lib()
     if lib is not None:
         info = np.empty(1, np.int64)
-        h = lib.spsparse_lu_factor_f64(n, _p64(colptr), _p64(rowind),
-                                       _pf64(val), _p64(pc),
-                                       float(pivot_threshold), _p64(info))
+        h = lib.spsparse_lu_factor_ex_f64(n, _p64(colptr), _p64(rowind),
+                                          _pf64(val), _p64(pc),
+                                          float(pivot_threshold),
+                                          float(drop_tol),
+                                          int(max_keep_l), int(max_keep_u),
+                                          _p64(info))
         if not h:
             raise ValueError(f"matrix is singular at column {int(info[0])}")
         try:
@@ -294,6 +308,35 @@ def lu_factor_host(n: int, colptr, rowind, val, perm_c=None,
     out, bad = _numpy_lu(n, colptr, rowind, val, pc, pivot_threshold)
     if out is None:
         raise ValueError(f"matrix is singular at column {bad}")
+    if drop_tol > 0.0 or max_keep_l >= 0 or max_keep_u >= 0:
+        (lcp, lri, lv), (ucp, uri, uv), pr = out
+        colnorm = np.zeros(n)
+        np.add.at(colnorm,
+                  np.repeat(np.arange(n), np.diff(colptr)), val ** 2)
+        colnorm = np.sqrt(colnorm)[pc]
+
+        def drop(cp, ri, v, tol_per_col, keep, protect_diag):
+            ncp = [0]; nri = []; nv = []
+            for j in range(n):
+                lo, hi = cp[j], cp[j + 1]
+                r, x = ri[lo:hi], v[lo:hi]
+                is_diag = (r == j) if protect_diag else np.zeros(r.size,
+                                                                 bool)
+                ok = is_diag | (np.abs(x) >= tol_per_col[j])
+                if keep >= 0 and ok.sum() > keep + is_diag.sum():
+                    mag = np.where(is_diag, np.inf, np.abs(x))
+                    thresh = np.sort(mag[ok])[::-1][keep + is_diag.sum()
+                                                    - 1]
+                    ok &= mag >= thresh
+                nri.extend(r[ok].tolist()); nv.extend(x[ok].tolist())
+                ncp.append(len(nri))
+            return (np.asarray(ncp, np.int64), np.asarray(nri, np.int64),
+                    np.asarray(nv, np.float64))
+
+        ltol = np.full(n, drop_tol)
+        utol = drop_tol * colnorm
+        out = (drop(lcp, lri, lv, ltol, max_keep_l, False),
+               drop(ucp, uri, uv, utol, max_keep_u, True), pr)
     return out
 
 

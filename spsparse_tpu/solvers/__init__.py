@@ -20,7 +20,7 @@ from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
 from .linop import LinearOperator, aslinearoperator, identity_operator
 from .norms import onenormest
-from .direct import (SparseLU, splu, spsolve, factorized,
+from .direct import (SparseLU, splu, spilu, spsolve, factorized,
                      spsolve_triangular)
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
@@ -36,5 +36,5 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",
            "LinearOperator", "aslinearoperator", "identity_operator",
            "onenormest",
-           "SparseLU", "splu", "spsolve", "factorized",
+           "SparseLU", "splu", "spilu", "spsolve", "factorized",
            "spsolve_triangular"]

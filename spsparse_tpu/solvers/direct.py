@@ -50,7 +50,7 @@ from ..core.errors import SpSparseError
 from ..core.structure import to_csr  # noqa: F401  (re-export convenience)
 from .. import native
 
-__all__ = ["SparseLU", "splu", "spsolve", "factorized",
+__all__ = ["SparseLU", "splu", "spilu", "spsolve", "factorized",
            "spsolve_triangular"]
 
 
@@ -194,7 +194,8 @@ class SparseLU:
     triangular, ``U`` upper triangular, both :class:`SparseCOO`."""
 
     def __init__(self, a: SparseCOO, permc_spec: str = "NATURAL",
-                 pivot_threshold: float = 1.0, solve_method: str = "auto"):
+                 pivot_threshold: float = 1.0, solve_method: str = "auto",
+                 drop_tol: float = 0.0, fill_factor: float | None = None):
         if a.rank != 2 or a.shape[0] != a.shape[1]:
             raise SpSparseError(f"splu needs a square rank-2 matrix, "
                                 f"got {a.shape}")
@@ -209,9 +210,17 @@ class SparseLU:
         else:
             raise SpSparseError(
                 f"permc_spec must be 'NATURAL' or 'RCM', got {permc_spec!r}")
+        max_keep = -1
+        if fill_factor is not None:
+            # per-column budget: fill_factor x the average column fill
+            # of A, split between L and U (SuperLU-spilu semantics)
+            max_keep = max(1, int(np.ceil(
+                fill_factor * max(1, rowind.size) / max(1, n))))
         try:
             (lcp, lri, lv), (ucp, uri, uv), pr = native.lu_factor_host(
-                n, colptr, rowind, val, pc, pivot_threshold)
+                n, colptr, rowind, val, pc, pivot_threshold,
+                drop_tol=drop_tol, max_keep_l=max_keep,
+                max_keep_u=max_keep)
         except ValueError as e:
             raise SpSparseError(f"splu: {e}") from None
         self._solve_method = solve_method
@@ -307,6 +316,26 @@ def splu(a: SparseCOO, *, permc_spec: str = "NATURAL",
     return SparseLU(a, permc_spec=permc_spec,
                     pivot_threshold=pivot_threshold,
                     solve_method=solve_method)
+
+
+def spilu(a: SparseCOO, *, drop_tol: float = 1e-4,
+          fill_factor: float = 10.0, permc_spec: str = "NATURAL",
+          pivot_threshold: float = 1.0,
+          solve_method: str = "auto") -> SparseLU:
+    """Incomplete LU (scipy.sparse.linalg.spilu; SuperLU ILUTP
+    contract): dual-threshold ILUT — U entries below ``drop_tol *
+    ||A[:, j]||`` and L multipliers below ``drop_tol`` are dropped, and
+    each factor column keeps at most ``fill_factor * nnz(A)/n``
+    entries. The returned object's approximate :meth:`SparseLU.solve`
+    is the preconditioner ``M^-1`` to hand to the Krylov solvers
+    (``pcg_solve``/``bicgstab_solve`` ``minv=ilu.solve``) — this is the
+    triangular-solve preconditioner class solvers/precond.py originally
+    excluded, made viable by the device level-sweep substitution
+    (module docstring; shallow ILU factors have few levels)."""
+    return SparseLU(a, permc_spec=permc_spec,
+                    pivot_threshold=pivot_threshold,
+                    solve_method=solve_method, drop_tol=drop_tol,
+                    fill_factor=fill_factor)
 
 
 def factorized(a: SparseCOO, **kw):

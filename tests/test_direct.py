@@ -235,3 +235,62 @@ class TestNativeLuDirect:
         S = ssp.csc_matrix(A)
         with pytest.raises(ValueError, match="column 1"):
             native.lu_factor_host(2, S.indptr, S.indices, S.data)
+
+
+def _poisson2d(m):
+    n = m * m
+    A = np.zeros((n, n))
+    for i in range(m):
+        for j in range(m):
+            k = i * m + j
+            A[k, k] = 4.0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < m and 0 <= jj < m:
+                    A[k, ii * m + jj] = -1.0
+    return A
+
+
+class TestSpilu:
+    """spilu (SuperLU-ILUTP contract; csrc dual-threshold ILUT)."""
+
+    def test_no_drops_is_exact(self):
+        from spsparse_tpu.solvers import spilu
+        A, As, b = random_system(41)
+        ilu = spilu(As, drop_tol=0.0, fill_factor=1e9)
+        np.testing.assert_allclose(np.asarray(ilu.solve(b)),
+                                   np.linalg.solve(A, b), atol=1e-8)
+
+    def test_drops_reduce_fill(self):
+        from spsparse_tpu.solvers import spilu, splu
+        A = _poisson2d(12)
+        As = SparseCOO.from_dense(A)
+        assert spilu(As, drop_tol=1e-2,
+                     fill_factor=4).nnz < splu(As).nnz
+
+    def test_preconditions_cg(self):
+        """The whole point: ILU-PCG beats plain CG by orders of
+        magnitude on a Poisson system at equal iteration count."""
+        from spsparse_tpu.solvers import spilu, pcg_solve, cg_solve
+        from spsparse_tpu.ops.spmm import spmv
+        from spsparse_tpu.core.structure import to_csr
+        A = _poisson2d(14)
+        As = SparseCOO.from_dense(A)
+        csr = to_csr(As)
+        mv = lambda x: spmv(csr, x)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        ilu = spilu(As, drop_tol=1e-2, fill_factor=4)
+        xp, _ = pcg_solve(mv, jnp.asarray(b), iters=20, minv=ilu.solve)
+        xu, _ = cg_solve(mv, jnp.asarray(b), iters=20)
+        rp = np.linalg.norm(A @ np.asarray(xp) - b)
+        ru = np.linalg.norm(A @ np.asarray(xu) - b)
+        assert rp < 0.2 * ru
+
+    def test_ilu_levels_shallower_than_exact(self):
+        """Dropping shortens dependency chains — the property that
+        keeps the device sweep path cheap for preconditioning."""
+        from spsparse_tpu.solvers import spilu, splu
+        A = _poisson2d(12)
+        As = SparseCOO.from_dense(A)
+        assert (spilu(As, drop_tol=1e-2, fill_factor=4)._lplan.nlev
+                < splu(As)._lplan.nlev)
