@@ -15,8 +15,8 @@ from .iterative import (cg_solve, cg_step, pcg_solve, cg_solve_mrhs,
 from .precond import (extract_diagonal, extract_diag_blocks,
                       block_jacobi_preconditioner, neumann_preconditioner)
 from .lstsq import cgls_solve, lsqr_solve, lsmr_solve
-from .spectral import (lanczos_eigsh, lobpcg_solve, svds_lanczos,
-                       funm_multiply, expm_multiply)
+from .spectral import (lanczos_eigsh, arnoldi_eigs, lobpcg_solve,
+                       svds_lanczos, funm_multiply, expm_multiply)
 from .amg import amg_setup, amg_vcycle, AmgHierarchy, AmgLevel
 from .linop import LinearOperator, aslinearoperator, identity_operator
 from .norms import onenormest
@@ -31,7 +31,7 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "CGState", "extract_diagonal", "extract_diag_blocks",
            "block_jacobi_preconditioner", "neumann_preconditioner",
            "cgls_solve", "lsqr_solve", "lsmr_solve",
-           "lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
+           "lanczos_eigsh", "arnoldi_eigs", "lobpcg_solve", "svds_lanczos",
            "funm_multiply", "expm_multiply",
            "amg_setup", "amg_vcycle", "AmgHierarchy", "AmgLevel",
            "LinearOperator", "aslinearoperator", "identity_operator",

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-__all__ = ["lanczos_eigsh", "lobpcg_solve", "svds_lanczos",
-           "funm_multiply", "expm_multiply"]
+__all__ = ["lanczos_eigsh", "arnoldi_eigs", "lobpcg_solve",
+           "svds_lanczos", "funm_multiply", "expm_multiply"]
 
 
 def _cgs2(V: Array, w: Array, j, m: int):
@@ -361,3 +361,112 @@ def svds_lanczos(matvec: Callable[[Array], Array],
     U = U / jnp.maximum(jnp.linalg.norm(U, axis=0), 1e-30)[None, :]
     Vt = Vt / jnp.maximum(jnp.linalg.norm(Vt, axis=1), 1e-30)[:, None]
     return U, s_k, Vt
+
+
+# ----------------------------------------------------------------------
+# Nonsymmetric eigenpairs: explicitly-restarted Arnoldi
+# ----------------------------------------------------------------------
+
+def _arnoldi_decomp(matvec: Callable[[Array], Array], v0: Array,
+                    iters: int):
+    """Arnoldi with CGS2 reorthogonalization: returns ``(V, H)`` with
+    ``V (iters+1, n)`` orthonormal rows and ``H (iters+1, iters)``
+    upper-Hessenberg, ``A V[:m].T = V.T H`` (dead rows zero after an
+    invariant-subspace breakdown, mirroring :func:`_lanczos_decomp`).
+    Device-resident, one compile per (n, iters)."""
+    n = v0.shape[0]
+    dt = v0.dtype
+    m = iters
+    nrm0 = jnp.sqrt(jnp.vdot(v0, v0))
+    V = jnp.zeros((m + 1, n), dt).at[0].set(
+        v0 / jnp.where(nrm0 == 0, 1, nrm0))
+    H = jnp.zeros((m + 1, m), dt)
+
+    def step(j, carry):
+        V, H, alive = carry
+        w = matvec(V[j])
+        mask = (jnp.arange(m + 1) <= j).astype(dt)
+        h1 = (V @ w) * mask
+        w = w - h1 @ V
+        h2 = (V @ w) * mask            # CGS second pass
+        w = w - h2 @ V
+        h = h1 + h2
+        b_ = jnp.sqrt(jnp.vdot(w, w))
+        scale = jnp.maximum(jnp.max(jnp.abs(h)), 1)
+        alive_next = alive & (b_ > jnp.asarray(1e-12, dt) * scale)
+        V = V.at[j + 1].set(
+            jnp.where(alive_next, w / jnp.where(b_ == 0, 1, b_), 0))
+        hcol = jnp.where(alive, h.at[j + 1].set(
+            jnp.where(alive_next, b_, 0)), 0)
+        return V, H.at[:, j].set(hcol), alive_next
+
+    V, H, _ = jax.lax.fori_loop(0, m, step, (V, H, jnp.asarray(nrm0 > 0)))
+    return V, H
+
+
+def _select_ritz(w, which: str, k: int):
+    """Indices of the k wanted Ritz values (scipy's which codes)."""
+    import numpy as np
+    key = {"LM": -np.abs(w), "SM": np.abs(w),
+           "LR": -w.real, "SR": w.real,
+           "LI": -w.imag, "SI": w.imag}.get(which)
+    if key is None:
+        raise ValueError(f"which must be one of LM/SM/LR/SR/LI/SI, "
+                         f"got {which!r}")
+    return np.argsort(key, kind="stable")[:k]
+
+
+def arnoldi_eigs(matvec: Callable[[Array], Array], v0: Array, *, k: int = 6,
+                 which: str = "LM", iters: int | None = None,
+                 restarts: int = 8, tol: float = 1e-10):
+    """``k`` eigenpairs of a general (nonsymmetric) operator — the
+    ``scipy.sparse.linalg.eigs`` capability (same ``which`` codes,
+    complex output).
+
+    TPU-first split: the Krylov decomposition (matvecs + skinny CGS2
+    matmuls) runs on device (:func:`_arnoldi_decomp`); the small
+    ``(iters, iters)`` Hessenberg eigenproblem runs on the host
+    (numpy — complex Schur work is not a TPU shape). Convergence is by
+    *explicit* restarts — the start vector is re-seeded with the sum of
+    the wanted Ritz vectors and the decomposition re-run (``restarts``
+    cycles, each one compile-cached) — rather than ARPACK's implicit
+    QR shifts; with ``tol > 0`` cycles stop early once every wanted
+    pair's residual bound ``|h_{m+1,m}| |y_m|`` is below
+    ``tol * |ritz|``. Eager / host-returning; the jittable symmetric
+    path is :func:`lanczos_eigsh`.
+
+    Returns ``(vals (k,) complex, vecs (n, k) complex)``, wanted-order
+    like scipy (no further sorting guarantee within ties)."""
+    import numpy as np
+    n = v0.shape[0]
+    if iters is None:
+        iters = min(max(3 * k + 20, 36), n)
+    if not (0 < k <= iters):
+        raise ValueError(f"need 0 < k={k} <= iters={iters}")
+    m = iters
+    v = jnp.asarray(v0)
+    vals = vecs = None
+    for _ in range(max(1, restarts)):
+        V, H = _arnoldi_decomp(matvec, v, m)
+        Hn = np.asarray(H)
+        Vn = np.asarray(V)
+        w, Y = np.linalg.eig(Hn[:m, :m])
+        lifted = Vn[:m].T @ Y                       # (n, m) complex
+        lnorm = np.linalg.norm(lifted, axis=0)
+        # spurious post-breakdown pairs -> push to the unwanted end
+        dead = lnorm < 0.5
+        w = np.where(dead, np.inf if which in ("SM", "SR", "SI")
+                     else 0, w)
+        sel = _select_ritz(w, which, k)
+        vals = w[sel]
+        vecs = lifted[:, sel] / np.where(lnorm[sel] == 0, 1, lnorm[sel])
+        res = np.abs(Hn[m, m - 1]) * np.abs(Y[m - 1, sel])
+        if tol > 0 and np.all(res <= tol * np.maximum(np.abs(vals), 1e-30)):
+            break
+        # explicit restart: re-seed with the wanted Ritz directions
+        seed = vecs.real.sum(axis=1) + vecs.imag.sum(axis=1)
+        nr = np.linalg.norm(seed)
+        if nr == 0:
+            break
+        v = jnp.asarray(seed / nr, jnp.asarray(v0).dtype)
+    return vals, vecs

@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from spsparse_tpu import CooBuilder, to_csr
+from spsparse_tpu import CooBuilder, SparseCOO, to_csr
 from spsparse_tpu.ops.spmm import spmv
 from spsparse_tpu.solvers import (cgls_solve, expm_multiply, funm_multiply,
                                   lanczos_eigsh, lobpcg_solve,
@@ -417,3 +417,66 @@ class TestLsmr:
         expect, *_ = np.linalg.lstsq(d, np.asarray(b), rcond=None)
         np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-8,
                                    atol=1e-9)
+
+
+class TestArnoldiEigs:
+    """arnoldi_eigs (scipy.sparse.linalg.eigs capability; explicit
+    restarts — solvers/spectral.py docstring)."""
+
+    @staticmethod
+    def _conj_close(got, ref, atol):
+        """Multiset match up to per-element conjugation (a real
+        operator's complex pairs: k may split a conjugate pair and
+        either member is a correct answer)."""
+        ref = list(ref)
+        for g in got:
+            d = [min(abs(g - r), abs(np.conj(g) - r)) for r in ref]
+            i = int(np.argmin(d))
+            if d[i] > atol:
+                return False
+            ref.pop(i)
+        return True
+
+    @pytest.mark.parametrize("which", ["LM", "LR", "SR"])
+    def test_vs_scipy(self, which):
+        import scipy.sparse as ssp
+        import scipy.sparse.linalg as sla
+        from spsparse_tpu.core.structure import to_csr
+        from spsparse_tpu.ops.spmm import spmv
+        from spsparse_tpu.solvers import arnoldi_eigs
+        rng = np.random.default_rng(3)
+        n = 80
+        A = (rng.random((n, n)) < 0.1) * rng.standard_normal((n, n))
+        csr = to_csr(SparseCOO.from_dense(A))
+        mv = lambda x: spmv(csr, x)
+        vals, vecs = arnoldi_eigs(mv, jnp.asarray(rng.standard_normal(n)),
+                                  k=4, which=which, iters=48, restarts=12,
+                                  tol=1e-12)
+        ref = sla.eigs(ssp.csr_matrix(A), k=4, which=which,
+                       return_eigenvectors=False, maxiter=5000)
+        assert self._conj_close(vals, ref, 1e-7)
+        R = A @ vecs - vecs * vals[None, :]
+        assert np.abs(R).max() < 1e-7
+
+    def test_symmetric_agrees_with_eigsh(self):
+        from spsparse_tpu.core.structure import to_csr
+        from spsparse_tpu.ops.spmm import spmv
+        from spsparse_tpu.solvers import arnoldi_eigs, lanczos_eigsh
+        rng = np.random.default_rng(5)
+        n = 60
+        M = rng.standard_normal((n, n))
+        A = (M + M.T) / 2
+        csr = to_csr(SparseCOO.from_dense(A))
+        mv = lambda x: spmv(csr, x)
+        v0 = jnp.asarray(rng.standard_normal(n))
+        vals, _ = arnoldi_eigs(mv, v0, k=3, which="LR", iters=48,
+                               restarts=12, tol=1e-12)
+        ref, _ = lanczos_eigsh(mv, v0, k=3, which="LA", iters=48)
+        np.testing.assert_allclose(np.sort(vals.real), np.sort(ref),
+                                   atol=1e-7)
+        assert np.abs(vals.imag).max() < 1e-9
+
+    def test_bad_which(self):
+        from spsparse_tpu.solvers import arnoldi_eigs
+        with pytest.raises(ValueError, match="which"):
+            arnoldi_eigs(lambda x: x, jnp.ones(8), k=2, which="XX")
