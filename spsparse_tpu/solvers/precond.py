@@ -5,11 +5,13 @@ preconditioner code in ``/root/reference``); production regridding
 pipelines run Krylov iterations around those products, so this layer is
 part of the framework's end-to-end surface (ROADMAP item 9).
 
-On TPU the classic strong preconditioners (ILU(0), SSOR) are hostile:
-their triangular solves are length-``n`` serial dependency chains that
-map to neither the VPU nor the MXU, and under ``jit`` they would force a
-``lax.scan`` of scalar steps — orders of magnitude slower than the SpMV
-they wrap. The TPU-native menu implemented here instead:
+On TPU the classic strong preconditioners (ILU(0), SSOR) were long
+considered hostile: naive triangular solves are length-``n`` serial
+dependency chains. This module's menu avoids them entirely; since the
+direct tier landed, :func:`spsparse_tpu.solvers.spilu` *is* available
+as a triangular-solve preconditioner — its ILUT factors are shallow
+enough that the level-sweep substitution (solvers/direct.py) runs as a
+few fully-vectorized SpMV sweeps. Menu implemented here:
 
 * **Jacobi** (:func:`spsparse_tpu.solvers.jacobi_preconditioner`) —
   elementwise inverse diagonal; free.
