@@ -7,10 +7,10 @@ Commands::
         [--version {1,2,4,5}]                          # target (default 5)
     python -m spsparse_tpu.tools stats FILE VNAME      # matrix statistics
     python -m spsparse_tpu.tools solve FILE VNAME      # iterative solve
-        [--rhs FILE:VNAME] [--method cg|bicgstab|gmres|minres]
-        [--precond none|jacobi|blockjacobi] [--iters N] [--out FILE]
+        [--rhs FILE:VNAME] [--method cg|bicgstab|gmres|minres|direct]
+        [--precond none|jacobi|blockjacobi|ilu] [--iters N] [--out FILE]
     python -m spsparse_tpu.tools eigs FILE VNAME       # spectral analysis
-        [--k N] [--which LA|SA] [--svd] [--iters N]
+        [--k N] [--which LA|SA|LM|SM|LR|SR] [--svd] [--iters N]
     python -m spsparse_tpu.tools reorder SRC DST VNAME # RCM bandwidth cut
     python -m spsparse_tpu.tools graph FILE VNAME      # graph analysis
         [--op cc|sssp|mst|laplacian] [--source N] [--undirected]
@@ -141,8 +141,19 @@ def cmd_solve(args) -> int:
         minv = jacobi_preconditioner(extract_diagonal(csr))
     elif args.precond == "blockjacobi":
         minv = block_jacobi_preconditioner(A, bs=min(128, n))
+    elif args.precond == "ilu":
+        from ..solvers import spilu
+        minv = spilu(A).solve
     b = jnp.asarray(rhs)
-    if args.method == "cg":
+    if args.method == "direct":
+        from ..solvers import splu
+        if args.precond != "none":
+            print("note: direct ignores --precond", file=sys.stderr)
+            args.precond = "none"
+        x = splu(A, permc_spec="RCM").solve(b)
+        rs = jnp.vdot(b - mv(x), b - mv(x))
+        args.iters = 0
+    elif args.method == "cg":
         x, rs = pcg_solve(mv, b, iters=args.iters, minv=minv)
     elif args.method == "bicgstab":
         x, rs = bicgstab_solve(mv, b, iters=args.iters, minv=minv)
@@ -204,13 +215,23 @@ def cmd_eigs(args) -> int:
     if A.shape[0] != A.shape[1]:
         print("--svd required for rectangular arrays", file=sys.stderr)
         return 1
-    vals, _ = lanczos_eigsh(lambda v: spmv(csr, v),
-                            jnp.asarray(rng.standard_normal(A.shape[0])),
-                            k=args.k, iters=args.iters, which=args.which)
+    v0 = jnp.asarray(rng.standard_normal(A.shape[0]))
+    if args.which in ("LA", "SA"):
+        vals, _ = lanczos_eigsh(lambda v: spmv(csr, v), v0,
+                                k=args.k, iters=args.iters,
+                                which=args.which)
+        out_vals = [float(v) for v in np.asarray(vals)]
+        note = "operator treated as symmetric"
+    else:                                  # LM/SM/LR/SR: general Arnoldi
+        from ..solvers import arnoldi_eigs
+        vals, _ = arnoldi_eigs(lambda v: spmv(csr, v), v0,
+                               k=args.k, iters=args.iters,
+                               which=args.which)
+        out_vals = [[float(v.real), float(v.imag)] for v in vals]
+        note = "general operator (Arnoldi); values as [re, im]"
     print(json.dumps({"vname": args.vname, "kind": "eigenvalues",
                       "which": args.which, "k": args.k,
-                      "note": "operator treated as symmetric",
-                      "values": [float(v) for v in np.asarray(vals)]},
+                      "note": note, "values": out_vals},
                      indent=1))
     return 0
 
@@ -312,9 +333,9 @@ def main(argv=None) -> int:
                    help="FILE:VNAME rank-1 rhs (default: ones)")
     p.add_argument("--method", default="cg",
                    choices=("cg", "bicgstab", "cgs", "tfqmr", "gmres",
-                            "minres"))
+                            "minres", "direct"))
     p.add_argument("--precond", default="jacobi",
-                   choices=("none", "jacobi", "blockjacobi"))
+                   choices=("none", "jacobi", "blockjacobi", "ilu"))
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_solve)
@@ -322,7 +343,10 @@ def main(argv=None) -> int:
     p.add_argument("file")
     p.add_argument("vname")
     p.add_argument("--k", type=int, default=4)
-    p.add_argument("--which", default="LA", choices=("LA", "SA"))
+    p.add_argument("--which", default="LA",
+                   choices=("LA", "SA", "LM", "SM", "LR", "SR"),
+                   help="LA/SA: symmetric Lanczos; LM/SM/LR/SR: "
+                        "general Arnoldi (complex output)")
     p.add_argument("--svd", action="store_true",
                    help="singular values (Golub-Kahan) instead of eigsh")
     p.add_argument("--iters", type=int, default=48)

@@ -219,3 +219,32 @@ def test_solve_tfqmr_and_cgs(tmp_path, capsys):
                      "--iters", "30"]) == 0
         out = json.loads(capsys.readouterr().out)
         assert out["residual_norm"] < 1e-8
+
+
+def test_solve_direct_and_ilu_precond(tmp_path, capsys):
+    p, A = _mk_spd(tmp_path)
+    assert main(["solve", p, "A", "--method", "direct"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["method"] == "direct" and out["residual_norm"] < 1e-5
+    assert main(["solve", p, "A", "--method", "bicgstab",
+                 "--precond", "ilu", "--iters", "30"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["precond"] == "ilu" and out["residual_norm"] < 1e-6
+
+
+def test_eigs_general_arnoldi(tmp_path, capsys):
+    # nonsymmetric operator -> LM routes to arnoldi_eigs, [re, im] pairs
+    rng = np.random.default_rng(5)
+    n = 20
+    A = np.triu(rng.standard_normal((n, n)), 1) + np.diag(
+        rng.uniform(1, 3, n))
+    ii, jj = np.nonzero(A)
+    b = CooBuilder((n, n), dtype=np.float64)
+    b.add_many(np.stack([ii, jj], 1), A[ii, jj])
+    p = str(tmp_path / "gen.nc")
+    save_netcdf(p, {"A": b.build()})
+    assert main(["eigs", p, "A", "--k", "3", "--which", "LM"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    got = sorted(abs(complex(re, im)) for re, im in out["values"])
+    lam = np.sort(np.abs(np.linalg.eigvals(A)))[-3:]
+    np.testing.assert_allclose(got, lam, rtol=1e-5)
