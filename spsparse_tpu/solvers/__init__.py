@@ -22,6 +22,7 @@ from .linop import LinearOperator, aslinearoperator, identity_operator
 from .norms import onenormest
 from .direct import (SparseLU, splu, spilu, spsolve, factorized,
                      spsolve_triangular)
+from .matfuncs import inv, expm
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "cgs_solve", "tfqmr_solve", "minres_solve",
@@ -37,4 +38,4 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "LinearOperator", "aslinearoperator", "identity_operator",
            "onenormest",
            "SparseLU", "splu", "spilu", "spsolve", "factorized",
-           "spsolve_triangular"]
+           "spsolve_triangular", "inv", "expm"]

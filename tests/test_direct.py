@@ -294,3 +294,41 @@ class TestSpilu:
         As = SparseCOO.from_dense(A)
         assert (spilu(As, drop_tol=1e-2, fill_factor=4)._lplan.nlev
                 < splu(As)._lplan.nlev)
+
+
+class TestMatfuncs:
+    """inv / full expm (solvers.matfuncs; scipy.sparse.linalg parity)."""
+
+    def test_inv(self):
+        from spsparse_tpu.solvers import inv
+        A, As, _ = random_system(43, n=25)
+        np.testing.assert_allclose(np.asarray(inv(As).to_dense()),
+                                   np.linalg.inv(A), atol=1e-8)
+
+    @pytest.mark.parametrize("scale", [0.01, 0.2, 0.8, 1.8, 4.5, 12.0])
+    def test_expm_all_pade_degrees(self, scale):
+        """Each scale lands in a different Higham theta band (degrees
+        3/5/7/9/13 + squaring)."""
+        from scipy.linalg import expm as dense_expm
+        from spsparse_tpu.solvers import expm
+        rng = np.random.default_rng(11)
+        n = 20
+        A = ((rng.random((n, n)) < 0.3)
+             * rng.standard_normal((n, n))) * scale / np.sqrt(n)
+        E = np.asarray(expm(SparseCOO.from_dense(A)).to_dense())
+        ref = dense_expm(A)
+        assert (np.abs(E - ref).max() / max(1.0, np.abs(ref).max())
+                < 1e-9)
+
+    def test_expm_diagonal_exact(self):
+        from spsparse_tpu.solvers import expm
+        d = np.array([0.5, -1.0, 2.0])
+        E = np.asarray(expm(SparseCOO.from_dense(np.diag(d))).to_dense())
+        np.testing.assert_allclose(E, np.diag(np.exp(d)), rtol=1e-12)
+
+    def test_nonsquare_raises(self):
+        from spsparse_tpu.solvers import expm, inv
+        R = SparseCOO.from_dense(np.ones((2, 3)))
+        for f in (expm, inv):
+            with pytest.raises(SpSparseError):
+                f(R)
