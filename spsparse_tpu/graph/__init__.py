@@ -41,6 +41,10 @@ from .csgraph import (
     yen,
     reconstruct_path,
     construct_dist_matrix,
+    csgraph_from_dense,
+    csgraph_to_dense,
+    csgraph_from_masked,
+    csgraph_to_masked,
 )
 from ..core.reorder import rcm_permutation as reverse_cuthill_mckee  # noqa: F401 — scipy spelling
 
@@ -58,4 +62,6 @@ __all__ = [
     "maximum_flow", "MaximumFlowResult",
     "NEG_SENTINEL", "NegativeCycleError", "reverse_cuthill_mckee",
     "yen", "reconstruct_path", "construct_dist_matrix",
+    "csgraph_from_dense", "csgraph_to_dense",
+    "csgraph_from_masked", "csgraph_to_masked",
 ]

@@ -56,6 +56,8 @@ __all__ = [
     "min_weight_full_bipartite_matching", "structural_rank",
     "maximum_flow", "MaximumFlowResult", "NEG_SENTINEL",
     "NegativeCycleError", "yen", "reconstruct_path", "construct_dist_matrix",
+    "csgraph_from_dense", "csgraph_to_dense", "csgraph_from_masked",
+    "csgraph_to_masked",
 ]
 
 Array = Any
@@ -1226,3 +1228,63 @@ def yen(a: SparseCOO, source: int, sink: int, K: int, *,
         for u, v in zip(p, p[1:]):
             preds[r, v] = u
     return dists, preds
+
+
+# ----------------------------------------------------------------------
+# Graph <-> dense/masked conversions (scipy.sparse.csgraph._tools)
+# ----------------------------------------------------------------------
+
+def csgraph_from_dense(dense, *, null_value: float = 0.0) -> SparseCOO:
+    """Dense adjacency -> :class:`SparseCOO` graph
+    (scipy.sparse.csgraph.csgraph_from_dense): entries equal to
+    ``null_value``, ``inf`` or ``nan`` are non-edges; everything else —
+    including explicit zeros when ``null_value != 0`` — is a stored
+    edge (this module's stored-zeros-are-edges convention)."""
+    dense = np.asarray(dense, np.float64)
+    if dense.ndim != 2:
+        raise SpSparseError(f"csgraph_from_dense needs a 2-D array, "
+                            f"got {dense.shape}")
+    if np.isnan(null_value):
+        edge = ~np.isnan(dense)
+    else:
+        edge = dense != null_value
+    edge &= np.isfinite(dense)
+    r, c = np.nonzero(edge)
+    idx = np.stack([r, c], axis=1).astype(np.int64)
+    return SparseCOO.from_arrays(idx, dense[r, c], dense.shape)
+
+
+def csgraph_to_dense(a: SparseCOO, *, null_value: float = 0.0):
+    """Graph -> dense adjacency with ``null_value`` at non-edges
+    (scipy.sparse.csgraph.csgraph_to_dense): stored entries keep their
+    value (explicit zeros stay ``0``, distinct from ``null_value``).
+    Host-returning numpy array."""
+    live = np.asarray(a.valid_mask())
+    r = np.asarray(a.indices[:, 0])[live]
+    c = np.asarray(a.indices[:, 1])[live]
+    v = np.asarray(a.vals)[live]
+    out = np.full(tuple(int(s) for s in a.shape), float(null_value))
+    # scipy keeps the minimum on duplicate entries
+    order = np.lexsort((-v, c, r))
+    out[r[order], c[order]] = v[order]
+    return out
+
+
+def csgraph_from_masked(masked) -> SparseCOO:
+    """Masked-array adjacency -> graph
+    (scipy.sparse.csgraph.csgraph_from_masked): masked entries are
+    non-edges, every unmasked entry (incl. zeros) is stored."""
+    masked = np.ma.asarray(masked)
+    edge = ~np.ma.getmaskarray(masked)
+    r, c = np.nonzero(edge)
+    idx = np.stack([r, c], axis=1).astype(np.int64)
+    return SparseCOO.from_arrays(idx, np.asarray(masked.data,
+                                                 np.float64)[r, c],
+                                 masked.shape)
+
+
+def csgraph_to_masked(a: SparseCOO):
+    """Graph -> masked-array adjacency (non-edges masked)
+    (scipy.sparse.csgraph.csgraph_to_masked)."""
+    dense = csgraph_to_dense(a, null_value=np.inf)
+    return np.ma.masked_invalid(dense)

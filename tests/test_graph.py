@@ -682,3 +682,43 @@ class TestPathTools:
             reconstruct_path(A, np.zeros(3, np.int32))
         with pytest.raises(SpSparseError):
             construct_dist_matrix(A, np.zeros((2, 2), np.int32))
+
+
+class TestConversions:
+    """csgraph_{from,to}_{dense,masked} (scipy _tools parity)."""
+
+    def test_from_to_dense_vs_scipy(self):
+        from spsparse_tpu.graph import csgraph_from_dense, csgraph_to_dense
+        rng = np.random.default_rng(0)
+        n = 8
+        D = rng.random((n, n)) * 5
+        D[rng.random((n, n)) < 0.5] = 0
+        D[rng.random((n, n)) < 0.1] = np.inf     # inf is a non-edge too
+        ref = cs.csgraph_from_dense(D, null_value=0)
+        got = csgraph_from_dense(D)
+        assert ref.nnz == int(np.asarray(got.valid_mask()).sum())
+        np.testing.assert_allclose(csgraph_to_dense(got), ref.toarray())
+        np.testing.assert_allclose(
+            csgraph_to_dense(got, null_value=-7),
+            cs.csgraph_to_dense(ref, null_value=-7))
+
+    def test_nonzero_null_value_keeps_explicit_zeros(self):
+        from spsparse_tpu.graph import csgraph_from_dense, csgraph_to_dense
+        D = np.array([[-1.0, 0.0], [2.0, -1.0]])
+        g = csgraph_from_dense(D, null_value=-1)
+        assert int(np.asarray(g.valid_mask()).sum()) == 2  # the 0 edge too
+        np.testing.assert_allclose(csgraph_to_dense(g, null_value=-1), D)
+
+    def test_masked_roundtrip_vs_scipy(self):
+        from spsparse_tpu.graph import (csgraph_from_masked,
+                                        csgraph_to_masked)
+        rng = np.random.default_rng(1)
+        M = np.ma.masked_invalid(
+            np.where(rng.random((6, 6)) < 0.4, rng.random((6, 6)), np.nan))
+        got = csgraph_from_masked(M)
+        ref = cs.csgraph_from_masked(M)
+        assert ref.nnz == int(np.asarray(got.valid_mask()).sum())
+        back = csgraph_to_masked(got)
+        refb = cs.csgraph_to_masked(ref)
+        assert (np.ma.getmaskarray(back) == np.ma.getmaskarray(refb)).all()
+        assert np.ma.allclose(back, refb)
