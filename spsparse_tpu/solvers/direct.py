@@ -94,9 +94,27 @@ def _levels_from_csc(n, colptr, rowind, *, lower: bool):
     return lev
 
 
-def _strict_coo(n, colptr, rowind, val, *, lower: bool):
-    """Strict triangle of a CSC factor as padded device COO + the
-    diagonal vector (1.0 where absent — callers validate separately)."""
+#: widest ELL row accepted before the sweep plan falls back to the
+#: COO-scatter formulation (keeps the (n, K) gather table bounded).
+_ELL_MAX_WIDTH = 128
+
+
+def _strict_parts(n, colptr, rowind, val, *, lower: bool):
+    """Strict triangle of a CSC factor split out for the device sweep,
+    plus the diagonal vector (1.0 where absent — callers validate
+    separately). Returns ``(kind, payload, diag)``:
+
+    * ``kind='ell'`` — scatter-free layout (the TPU-first one, same
+      trick as graph.prepare_relax's ELL-by-head): ``payload =
+      (C (n, K) int32 column table, W (n, K) weights)``, padding slots
+      read x[0] with weight 0. Each sweep is a dense gather + lane sum
+      — no scatter, so it runs at gather bandwidth on TPU where the
+      ``segment-add`` alternative is ~1000x under roofline
+      (docs/PERFORMANCE.md, "CSR gather" measurements).
+    * ``kind='coo'`` — ``payload = (rows, cols, w)`` padded COO with a
+      sentinel row; used only when a skewed row would blow the ELL
+      table past ``_ELL_MAX_WIDTH`` columns.
+    """
     m = rowind.size
     c = np.repeat(np.arange(n, dtype=np.int64),
                   np.diff(colptr).astype(np.int64)) if m else \
@@ -104,21 +122,51 @@ def _strict_coo(n, colptr, rowind, val, *, lower: bool):
     r = rowind
     diag = np.ones(n, np.float64)
     on_diag = r == c
-    diag_idx = c[on_diag]
-    diag[diag_idx] = val[on_diag]
+    diag[c[on_diag]] = val[on_diag]
     strict = (r > c) if lower else (r < c)
     rs, cs, vs = r[strict], c[strict], val[strict]
+    counts = np.bincount(rs, minlength=n) if rs.size else \
+        np.zeros(n, np.int64)
+    K = int(counts.max()) if rs.size else 0
+    if 0 < K <= _ELL_MAX_WIDTH:
+        order = np.lexsort((cs, rs))
+        rs, cs, vs = rs[order], cs[order], vs[order]
+        # slot index within each row (rows are contiguous after sort)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.arange(rs.size) - starts[rs]
+        C = np.zeros((n, K), np.int32)
+        W = np.zeros((n, K), np.float64)
+        C[rs, slot] = cs
+        W[rs, slot] = vs
+        return "ell", (C, W), diag
     cap = max(1, 1 << int(np.ceil(np.log2(max(1, rs.size)))))
     pad = cap - rs.size
     rs = np.concatenate([rs, np.full(pad, n, np.int64)])      # sentinel
     cs = np.concatenate([cs, np.zeros(pad, np.int64)])
     vs = np.concatenate([vs, np.zeros(pad, np.float64)])
-    return rs, cs, vs, diag
+    return "coo", (rs, cs, vs), diag
+
+
+def _sweep_solve_ell(C, W, dinv, b, nsweeps: int):
+    """Scatter-free device fixed-point triangular solve (exact after
+    ``nsweeps`` sweeps — nilpotency of D^-1 N). ``b``: (n,) or (n, k)."""
+    C = jnp.asarray(C)
+    W = jnp.asarray(W, b.dtype)
+    dinv = jnp.asarray(dinv, b.dtype)
+    di = dinv if b.ndim == 1 else dinv[:, None]
+    x0 = di * b
+
+    def body(_, x):
+        g = x[C]                                   # (n, K[, k]) gather
+        nx = (jnp.einsum("ik,ik->i", W, g) if b.ndim == 1
+              else jnp.einsum("ik,ikj->ij", W, g))
+        return di * (b - nx)
+
+    return lax.fori_loop(0, nsweeps, body, x0)
 
 
 def _sweep_solve(rows, cols, w, dinv, b, nsweeps: int):
-    """Device fixed-point triangular solve: exact after ``nsweeps``
-    sweeps (nilpotency of D^-1 N). ``b``: (n,) or (n, k)."""
+    """COO-scatter variant of the sweep (skewed-row fallback)."""
     rows = jnp.asarray(rows)
     cols = jnp.asarray(cols)
     w = jnp.asarray(w, b.dtype)
@@ -142,7 +190,7 @@ class _TriPlan:
         self.colptr, self.rowind, self.val = colptr, rowind, val
         lev = _levels_from_csc(n, colptr, rowind, lower=lower)
         self.nlev = int(lev.max()) + 1 if n else 0
-        self.rows, self.cols, self.w, diag = _strict_coo(
+        self.kind, self.payload, diag = _strict_parts(
             n, colptr, rowind, val, lower=lower)
         if unit_diag:
             diag = np.ones(n, np.float64)
@@ -160,8 +208,12 @@ class _TriPlan:
             method = "device" if self.nlev <= max(64, self.n // 64) \
                 else "host"
         if method == "device":
-            return _sweep_solve(self.rows, self.cols, self.w, self.dinv,
-                                jnp.asarray(b), max(self.nlev - 1, 0))
+            ns = max(self.nlev - 1, 0)
+            if self.kind == "ell":
+                return _sweep_solve_ell(*self.payload, self.dinv,
+                                        jnp.asarray(b), ns)
+            return _sweep_solve(*self.payload, self.dinv,
+                                jnp.asarray(b), ns)
 
         def host(bb):
             return np.asarray(
