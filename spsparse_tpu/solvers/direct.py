@@ -98,6 +98,10 @@ def _levels_from_csc(n, colptr, rowind, *, lower: bool):
 #: COO-scatter formulation (keeps the (n, K) gather table bounded).
 _ELL_MAX_WIDTH = 128
 
+#: most distinct diagonals accepted for the DIA sweep layout (banded
+#: factors — the shape RCM ordering produces).
+_DIA_MAX_OFFSETS = 256
+
 
 def _strict_parts(n, colptr, rowind, val, *, lower: bool):
     """Strict triangle of a CSC factor split out for the device sweep,
@@ -111,6 +115,11 @@ def _strict_parts(n, colptr, rowind, val, *, lower: bool):
       — no scatter, so it runs at gather bandwidth on TPU where the
       ``segment-add`` alternative is ~1000x under roofline
       (docs/PERFORMANCE.md, "CSR gather" measurements).
+    * ``kind='dia'`` — banded factors (what RCM ordering produces):
+      ``payload`` is a :class:`~spsparse_tpu.core.dia.SparseDIA` of the
+      strict part, so each sweep rides the DIA SpMV (the framework's
+      fastest kernel class — 180 Gnnz/s measured on v5e vs ~0.1 Gnnz/s
+      for random gathers, docs/PERFORMANCE.md).
     * ``kind='coo'`` — ``payload = (rows, cols, w)`` padded COO with a
       sentinel row; used only when a skewed row would blow the ELL
       table past ``_ELL_MAX_WIDTH`` columns.
@@ -128,6 +137,20 @@ def _strict_parts(n, colptr, rowind, val, *, lower: bool):
     counts = np.bincount(rs, minlength=n) if rs.size else \
         np.zeros(n, np.int64)
     K = int(counts.max()) if rs.size else 0
+    if rs.size:
+        offs = np.unique(cs - rs)
+        # accept the DIA table when its padding blowup is bounded (4x
+        # the strict nnz) or the table is small in absolute terms
+        if offs.size <= _DIA_MAX_OFFSETS and \
+                offs.size * n <= max(4 * rs.size, 1 << 20):
+            from ..core.dia import SparseDIA
+            pos = {int(o): d for d, o in enumerate(offs)}
+            data = np.zeros((offs.size, n), np.float64)
+            data[np.searchsorted(offs, cs - rs), rs] = vs
+            dia = SparseDIA(data=jnp.asarray(data),
+                            offsets=tuple(int(o) for o in offs),
+                            shape=(n, n))
+            return "dia", dia, diag
     if 0 < K <= _ELL_MAX_WIDTH:
         order = np.lexsort((cs, rs))
         rs, cs, vs = rs[order], cs[order], vs[order]
@@ -161,6 +184,22 @@ def _sweep_solve_ell(C, W, dinv, b, nsweeps: int):
         nx = (jnp.einsum("ik,ik->i", W, g) if b.ndim == 1
               else jnp.einsum("ik,ikj->ij", W, g))
         return di * (b - nx)
+
+    return lax.fori_loop(0, nsweeps, body, x0)
+
+
+def _sweep_solve_dia(dia, dinv, b, nsweeps: int):
+    """Banded-factor sweep: N @ x through the DIA kernel class (on TPU
+    the Pallas streaming kernel via ``best_spmv``)."""
+    from ..ops.spmv_kernels import best_spmv
+    dinv = jnp.asarray(dinv, b.dtype)
+    di = dinv if b.ndim == 1 else dinv[:, None]
+    x0 = di * b
+    mv = (lambda x: best_spmv(dia, x)) if b.ndim == 1 else \
+        jax.vmap(lambda x: best_spmv(dia, x), in_axes=1, out_axes=1)
+
+    def body(_, x):
+        return di * (b - mv(x).astype(b.dtype))
 
     return lax.fori_loop(0, nsweeps, body, x0)
 
@@ -201,14 +240,31 @@ class _TriPlan:
         self.dinv = 1.0 / diag
 
     def solve(self, b, method: str = "auto"):
-        """auto: device sweeps unless the level depth makes the
-        sweep-work blowup (nnz * nlev) worse than the host's sequential
-        substitution by more than the device's ~100x throughput edge."""
+        """``auto`` routing by a measured cost model
+        (probes/probe_direct_r3.py, v5e): host sequential substitution
+        runs at ~0.32 Gnnz/s; a device sweep costs ``max(nnz/rate,
+        50us)`` with rate ~44 Gnnz/s for the DIA layout and ~0.1 Gnnz/s
+        (the TPU random-gather floor) for ELL/COO — times ``nlev - 1``
+        sweeps. The sweep path therefore wins exactly for *shallow*
+        factors (ILUT drops, block-structured systems); a contiguous
+        band has ``nlev = n`` and always routes to the host, no matter
+        how fast one sweep is."""
         if method == "auto":
-            method = "device" if self.nlev <= max(64, self.n // 64) \
-                else "host"
+            ns = max(self.nlev - 1, 1)
+            nnz = max(int(self.rowind.size), 1)
+            if jax.default_backend() == "tpu":
+                host_t = nnz / 0.32e9
+                rate = 44e9 if self.kind == "dia" else 0.1e9
+                dev_t = ns * max(nnz / rate, 5e-5)
+                method = "device" if dev_t < host_t else "host"
+            else:
+                method = "device" if self.nlev <= max(64, self.n // 64) \
+                    else "host"
         if method == "device":
             ns = max(self.nlev - 1, 0)
+            if self.kind == "dia":
+                return _sweep_solve_dia(self.payload, self.dinv,
+                                        jnp.asarray(b), ns)
             if self.kind == "ell":
                 return _sweep_solve_ell(*self.payload, self.dinv,
                                         jnp.asarray(b), ns)

@@ -332,3 +332,59 @@ class TestMatfuncs:
         for f in (expm, inv):
             with pytest.raises(SpSparseError):
                 f(R)
+
+
+class TestSweepRepresentations:
+    """The device sweep picks its layout by factor structure
+    (solvers.direct._strict_parts): DIA for banded, ELL for bounded
+    scattered rows, COO scatter for skew. Each must solve exactly."""
+
+    @staticmethod
+    def _plan(T):
+        from spsparse_tpu.solvers.direct import _TriPlan
+        S = ssp.csc_matrix(T)
+        return _TriPlan(T.shape[0], S.indptr.astype(np.int64),
+                        S.indices.astype(np.int64),
+                        S.data.astype(np.float64), lower=True)
+
+    def test_banded_routes_to_dia(self):
+        rng = np.random.default_rng(0)
+        n = 300
+        T = np.diag(rng.uniform(1, 2, n))
+        for k in (1, 3):
+            T += np.diag(rng.standard_normal(n - k) * 0.2, -k)
+        p = self._plan(T)
+        assert p.kind == "dia"
+        b = rng.standard_normal(n)
+        np.testing.assert_allclose(np.asarray(p.solve(b, "device")),
+                                   np.linalg.solve(T, b), atol=1e-9)
+
+    def test_scattered_routes_to_ell(self):
+        rng = np.random.default_rng(1)
+        n = 3000
+        T = np.diag(rng.uniform(1, 2, n))
+        # ~5 scattered strict-lower entries per row -> ~6000 offsets
+        for _ in range(5 * n):
+            i = rng.integers(1, n)
+            j = rng.integers(0, i)
+            T[i, j] = rng.standard_normal() * 0.1
+        p = self._plan(T)
+        assert p.kind == "ell"
+        b = rng.standard_normal(n)
+        np.testing.assert_allclose(np.asarray(p.solve(b, "device")),
+                                   np.linalg.solve(T, b), atol=1e-8)
+
+    def test_skewed_routes_to_coo(self):
+        rng = np.random.default_rng(2)
+        n = 400
+        T = np.diag(rng.uniform(1, 2, n))
+        T[-1, :-1] = rng.standard_normal(n - 1) * 0.05   # one dense row
+        # spread offsets so DIA declines: scattered strict entries
+        for _ in range(3 * n):
+            i = rng.integers(1, n)
+            T[i, rng.integers(0, i)] = rng.standard_normal() * 0.05
+        p = self._plan(T)
+        assert p.kind == "coo"
+        b = rng.standard_normal(n)
+        np.testing.assert_allclose(np.asarray(p.solve(b, "device")),
+                                   np.linalg.solve(T, b), atol=1e-8)
