@@ -23,6 +23,7 @@ from .norms import onenormest
 from .direct import (SparseLU, splu, spilu, spsolve, factorized,
                      spsolve_triangular)
 from .matfuncs import inv, expm
+from .eigs_api import eigs, eigsh
 
 __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "bicgstab_solve", "cgs_solve", "tfqmr_solve", "minres_solve",
@@ -38,4 +39,4 @@ __all__ = ["cg_solve", "cg_step", "pcg_solve", "cg_solve_mrhs",
            "LinearOperator", "aslinearoperator", "identity_operator",
            "onenormest",
            "SparseLU", "splu", "spilu", "spsolve", "factorized",
-           "spsolve_triangular", "inv", "expm"]
+           "spsolve_triangular", "inv", "expm", "eigs", "eigsh"]

@@ -480,3 +480,77 @@ class TestArnoldiEigs:
         from spsparse_tpu.solvers import arnoldi_eigs
         with pytest.raises(ValueError, match="which"):
             arnoldi_eigs(lambda x: x, jnp.ones(8), k=2, which="XX")
+
+
+class TestEigsApi:
+    """scipy-signature eigs/eigsh wrappers incl. shift-invert
+    (solvers.eigs_api; inner solve = native LU)."""
+
+    def _sym(self, n=100, seed=0):
+        rng = np.random.default_rng(seed)
+        M = rng.standard_normal((n, n))
+        return (M + M.T) / 2
+
+    def test_eigsh_shift_invert_vs_scipy(self):
+        import scipy.sparse as ssp
+        import scipy.sparse.linalg as sla
+        from spsparse_tpu.solvers import eigsh
+        A = self._sym()
+        lam = np.linalg.eigvalsh(A)
+        sigma = float(lam[50] + 0.01)
+        As = SparseCOO.from_dense(A)
+        vals, vecs = eigsh(As, k=4, sigma=sigma)
+        ref = sla.eigsh(ssp.csc_matrix(A), k=4, sigma=sigma,
+                        return_eigenvectors=False)
+        np.testing.assert_allclose(np.sort(np.asarray(vals)),
+                                   np.sort(ref), atol=1e-7)
+        R = A @ np.asarray(vecs) - np.asarray(vecs) * np.asarray(vals)
+        assert np.abs(R).max() < 1e-6
+
+    def test_eigsh_lm_both_ends(self):
+        import scipy.sparse as ssp
+        import scipy.sparse.linalg as sla
+        from spsparse_tpu.solvers import eigsh
+        A = self._sym(seed=3)
+        As = SparseCOO.from_dense(A)
+        vals = np.asarray(eigsh(As, k=3, which="LM",
+                                return_eigenvectors=False))
+        ref = sla.eigsh(ssp.csc_matrix(A), k=3, which="LM",
+                        return_eigenvectors=False)
+        np.testing.assert_allclose(np.sort(vals), np.sort(ref),
+                                   atol=1e-7)
+
+    def test_eigsh_sm_refused_without_sigma(self):
+        from spsparse_tpu.core.errors import SpSparseError
+        from spsparse_tpu.solvers import eigsh
+        with pytest.raises(SpSparseError, match="sigma"):
+            eigsh(SparseCOO.from_dense(self._sym(n=10)), k=2, which="SM")
+
+    def test_eigs_shift_invert_vs_scipy(self):
+        import scipy.sparse as ssp
+        import scipy.sparse.linalg as sla
+        from spsparse_tpu.solvers import eigs
+        rng = np.random.default_rng(0)
+        n = 100
+        B = (rng.random((n, n)) < 0.15) * rng.standard_normal((n, n))
+        vals, vecs = eigs(SparseCOO.from_dense(B), k=4, sigma=0.3)
+        ref = sla.eigs(ssp.csc_matrix(B), k=4, sigma=0.3,
+                       return_eigenvectors=False)
+        got = list(np.asarray(vals))
+        refl = list(ref)
+        for g in got:
+            d = [min(abs(g - r), abs(np.conj(g) - r)) for r in refl]
+            i = int(np.argmin(d))
+            assert d[i] < 1e-6
+            refl.pop(i)
+        R = B @ np.asarray(vecs) - np.asarray(vecs) * np.asarray(vals)
+        assert np.abs(R).max() < 1e-6
+
+    def test_linear_operator_input(self):
+        from spsparse_tpu.solvers import aslinearoperator, eigsh
+        A = self._sym(n=60, seed=5)
+        lam = np.linalg.eigvalsh(A)
+        op = aslinearoperator(SparseCOO.from_dense(A))
+        vals = np.asarray(eigsh(op, k=2, which="LA",
+                                return_eigenvectors=False))
+        np.testing.assert_allclose(np.sort(vals), lam[-2:], atol=1e-7)
