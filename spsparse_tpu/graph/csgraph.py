@@ -927,6 +927,7 @@ def maximum_flow(a: SparseCOO, source: int, sink: int) -> MaximumFlowResult:
             "maximum_flow needs non-negative integer capacities "
             "(scipy parity)")
     cap0 = w.astype(np.int64)
+    t0, h0 = t, h                       # stored edge list incl. self-loops
     keep = t != h
     t, h, cap0 = t[keep], h[keep], cap0[keep]
     m = len(t)
@@ -1000,11 +1001,15 @@ def maximum_flow(a: SparseCOO, source: int, sink: int) -> MaximumFlowResult:
                 cap[e ^ 1] += aug
             total += aug
 
-    # per-stored-edge flow = reverse residual (what was pushed through)
-    flow_edge = cap[1::2]
-    idx = np.stack([t, h], axis=1)
-    flow = SparseCOO.from_arrays(idx, flow_edge.astype(a.dtype),
-                                 a.shape) if m else \
+    # per-stored-edge flow = reverse residual (what was pushed through).
+    # Self-loops carry no s-t flow but ARE stored edges: re-insert them
+    # with flow 0 so the output sparsity equals the input's stored edges
+    # (filtering them from the residual network stays internal).
+    flow_all = np.zeros(len(t0), np.int64)
+    flow_all[keep] = cap[1::2]
+    idx = np.stack([t0, h0], axis=1)
+    flow = SparseCOO.from_arrays(idx, flow_all.astype(a.dtype),
+                                 a.shape) if len(t0) else \
         SparseCOO.empty(a.shape, cap=1, dtype=a.dtype)
     return MaximumFlowResult(flow_value=int(total), flow=flow)
 
@@ -1111,6 +1116,12 @@ def construct_dist_matrix(a: SparseCOO, predecessors, *,
             while state[v] == 0 and pred[i, v] != NEG_SENTINEL:
                 chain.append(v)
                 v = pred[i, v]
+                if len(chain) > n:
+                    # malformed predecessor matrix (cycle) — raise
+                    # instead of walking forever
+                    raise SpSparseError(
+                        "construct_dist_matrix: cycle detected in "
+                        f"predecessor matrix (source row {i})")
             if state[v] == 1:
                 for u in reversed(chain):
                     dist[i, u] = dist[i, pred[i, u]] + edge_w(pred[i, u], u)

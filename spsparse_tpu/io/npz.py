@@ -48,7 +48,10 @@ def load_npz(path) -> SparseCOO:
     is left unset (consolidate to claim it)."""
     with np.load(path) as z:
         try:
-            fmt = bytes(np.asarray(z["format"]).item()).decode()
+            # scipy accepts both bytes and str `format` members on load;
+            # third-party writers may store either
+            _f = np.asarray(z["format"]).item()
+            fmt = _f.decode() if isinstance(_f, bytes) else str(_f)
             shape = tuple(int(s) for s in z["shape"])
             data = z["data"]
             if fmt == "coo":

@@ -112,8 +112,11 @@ def expm(a: SparseCOO) -> SparseCOO:
     for m in (3, 5, 7, 9):
         if nrm <= _THETA[m]:
             b = _PADE_B[m]
+            # exactly (m+1)//2 even powers [I, A2, ..., A^(m-1)] — one
+            # term per b[1::2]/b[0::2] coefficient; building one more
+            # would cost a full (discarded) SpGEMM at the densest fill
             powers = [I, A2]
-            while len(powers) < (m + 1) // 2 + 1:
+            while len(powers) < (m + 1) // 2:
                 powers.append(mul(powers[-1], A2))
             U = mul(A, poly(powers, b[1::2]))
             V = poly(powers, b[0::2])

@@ -453,10 +453,18 @@ def arnoldi_eigs(matvec: Callable[[Array], Array], v0: Array, *, k: int = 6,
         w, Y = np.linalg.eig(Hn[:m, :m])
         lifted = Vn[:m].T @ Y                       # (n, m) complex
         lnorm = np.linalg.norm(lifted, axis=0)
-        # spurious post-breakdown pairs -> push to the unwanted end
+        # spurious post-breakdown pairs -> push to the unwanted end.
+        # The sentinel must be worst under the *specific* sort key
+        # (_select_ritz): 0 is only safe for LM (|0| minimal) — for
+        # LR/LI a 0 sentinel would outrank genuinely negative-real/imag
+        # eigenvalues, and for SI a +inf real sentinel has imag 0.
         dead = lnorm < 0.5
-        w = np.where(dead, np.inf if which in ("SM", "SR", "SI")
-                     else 0, w)
+        sent = {"LM": 0.0, "SM": np.inf,
+                "LR": complex(-np.inf, 0.0), "SR": complex(np.inf, 0.0),
+                "LI": complex(0.0, -np.inf),
+                "SI": complex(0.0, np.inf)}.get(which, 0.0)
+        # (unknown `which` falls through to _select_ritz's ValueError)
+        w = np.where(dead, sent, w)
         sel = _select_ritz(w, which, k)
         vals = w[sel]
         vecs = lifted[:, sel] / np.where(lnorm[sel] == 0, 1, lnorm[sel])

@@ -393,6 +393,21 @@ class TestMaximumFlow:
                                   (4, 4))
         assert maximum_flow(A, 2, 3).flow_value == 0
 
+    def test_self_loops_kept_in_output_with_zero_flow(self):
+        # stored self-loop entries stay in the output sparsity (flow 0);
+        # they are only filtered from the internal residual network
+        from spsparse_tpu.graph import maximum_flow
+        idx = np.array([[0, 1], [1, 1], [1, 2], [0, 0]])
+        A = SparseCOO.from_arrays(idx, np.array([2.0, 5.0, 3.0, 7.0]),
+                                  (3, 3))
+        res = maximum_flow(A, 0, 2)
+        assert res.flow_value == 2
+        iv, vv = res.flow.to_lists()
+        got = {tuple(i): float(v)
+               for i, v in zip(np.asarray(iv).reshape(-1, 2), vv)}
+        assert got == {(0, 1): 2.0, (1, 1): 0.0, (1, 2): 2.0,
+                       (0, 0): 0.0}
+
 
 class TestRelaxPlan:
     """Scatter-free ELL-by-head relaxation plan (semiring.prepare_relax)."""
@@ -682,6 +697,16 @@ class TestPathTools:
             reconstruct_path(A, np.zeros(3, np.int32))
         with pytest.raises(SpSparseError):
             construct_dist_matrix(A, np.zeros((2, 2), np.int32))
+
+    def test_predecessor_cycle_raises(self):
+        # malformed pred matrix with a 2-cycle must raise, not hang
+        from spsparse_tpu.graph import construct_dist_matrix
+        idx = np.array([[0, 1], [1, 2], [2, 1]])
+        A = SparseCOO.from_arrays(idx, np.ones(3), (3, 3))
+        pred = np.full((3, 3), NEG_SENTINEL, np.int32)
+        pred[0, 1], pred[0, 2] = 2, 1          # 1 <- 2 <- 1 cycle
+        with pytest.raises(SpSparseError, match="cycle"):
+            construct_dist_matrix(A, pred)
 
 
 class TestConversions:

@@ -105,6 +105,19 @@ class TestNpzInterop:
         with pytest.raises(SpSparseError, match="rank-2"):
             save_npz(tmp_path / "r3.npz", A)
 
+    def test_unicode_format_member(self, tmp_path):
+        # scipy accepts both bytes and str `format` on load; third-party
+        # writers may store a unicode string — we must too
+        from spsparse_tpu.io import load_npz
+        p = tmp_path / "uni.npz"
+        np.savez(p, format="coo", shape=np.array([3, 4]),
+                 data=np.array([2.0, -1.0]), row=np.array([0, 2]),
+                 col=np.array([1, 3]))
+        A = load_npz(p)
+        dense = np.zeros((3, 4))
+        dense[0, 1], dense[2, 3] = 2.0, -1.0
+        np.testing.assert_allclose(np.asarray(A.to_dense()), dense)
+
     def test_uncompressed_variant(self, tmp_path):
         import scipy.sparse as sps
         from spsparse_tpu.core.interop import from_scipy

@@ -481,6 +481,29 @@ class TestArnoldiEigs:
         with pytest.raises(ValueError, match="which"):
             arnoldi_eigs(lambda x: x, jnp.ones(8), k=2, which="XX")
 
+    @pytest.mark.parametrize("which,d", [
+        ("LR", [-1.0, -2.0]),           # all live Ritz have negative real
+        ("LI", [-1.0, -2.0]),           # ... and zero imaginary part
+        ("LM", [-0.5, -0.25]),          # all live Ritz have |.| < 1
+    ])
+    def test_breakdown_dead_pairs_not_selected(self, which, d):
+        # v0 spans a 2-dim invariant subspace -> Arnoldi breaks down and
+        # the Hessenberg eigenproblem grows spurious zero ("dead") Ritz
+        # pairs; the dead sentinel must rank them behind every genuine
+        # eigenvalue for EVERY `which` key (a 0 sentinel outranks
+        # negative-real/imag or sub-unit-|.| eigenvalues)
+        from spsparse_tpu.solvers import arnoldi_eigs
+        n = 16
+        diag = np.zeros(n)
+        diag[:2] = d
+        mv = lambda x: jnp.asarray(diag) * x
+        v0 = jnp.asarray(np.array([1.0, 0.7] + [0.0] * (n - 2)))
+        vals, vecs = arnoldi_eigs(mv, v0, k=2, which=which, iters=8,
+                                  restarts=1, tol=1e-10)
+        np.testing.assert_allclose(np.sort(vals.real), np.sort(d),
+                                   atol=1e-9)
+        assert np.abs(vals.imag).max() < 1e-9
+
 
 class TestEigsApi:
     """scipy-signature eigs/eigsh wrappers incl. shift-invert
