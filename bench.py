@@ -530,6 +530,38 @@ def extra_configs(on_cpu: bool) -> list[dict]:
     return out
 
 
+def write_detail(configs: list[dict], path: str = "bench_detail.json") -> None:
+    """Persist the full bench matrix for round-over-round comparison
+    (VERDICT r3 item 4): every computed config with its bytes model and
+    ``pct_of_roofline``, plus platform metadata. The stdout contract
+    (exactly one headline JSON line) is untouched — this goes to a file.
+    """
+    import datetime
+    import os
+
+    target = os.environ.get("SPSPARSE_BENCH_DETAIL", path)
+    if target.lower() in ("0", "none", "off"):
+        return
+    doc = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "written_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "configs": configs,
+    }
+    # bench.py may be exec'd without __file__ (the contract test does) —
+    # fall back to the cwd
+    fp = globals().get("__file__")
+    base = os.path.dirname(os.path.abspath(fp)) if fp else os.getcwd()
+    out = target if os.path.isabs(target) else os.path.join(base, target)
+    try:
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # pragma: no cover - read-only checkouts
+        print(f"bench_detail write failed: {e}", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
@@ -542,10 +574,13 @@ def main() -> None:
     use_pallas = not args.no_pallas and not on_cpu
     res = bench_spmv(n, band=5, use_pallas=use_pallas)
 
+    detail = [res]
     if args.all:
         print(json.dumps(res, indent=1), file=sys.stderr)
         for cfg in extra_configs(on_cpu):
             print(json.dumps(cfg, indent=1), file=sys.stderr)
+            detail.append(cfg)
+    write_detail(detail)
 
     headline = {
         "metric": res["metric"],

@@ -36,6 +36,11 @@ from .core import (
     to_csc,
     to_ell,
     coo_concat,
+    coo_binop,
+    coo_multiply,
+    coo_maximum,
+    coo_minimum,
+    coo_power,
     coo_add,
     coo_scale,
     coo_hstack,

@@ -28,7 +28,9 @@ from .structure import (
     to_ell,
 )
 from .algebra import (coo_concat, coo_add, coo_scale,
-                      coo_hstack, coo_vstack, coo_block_diag)
+                      coo_hstack, coo_vstack, coo_block_diag,
+                      coo_binop, coo_multiply, coo_maximum, coo_minimum,
+                      coo_power)
 from .reorder import rcm_permutation, coo_permute, bandwidth
 from .construct import (coo_eye, coo_diags, coo_random, coo_slice, coo_kron,
                         coo_kronsum,
@@ -47,6 +49,7 @@ __all__ = [
     "dim_beginnings", "DimBeginnings", "SparseCSR", "SparseELL",
     "to_csr", "to_csc", "to_ell",
     "coo_concat", "coo_add", "coo_scale",
+    "coo_binop", "coo_multiply", "coo_maximum", "coo_minimum", "coo_power",
     "coo_hstack", "coo_vstack", "coo_block_diag", "coo_norm",
     "coo_eye", "coo_diags", "coo_random", "coo_slice", "coo_kron",
     "coo_kronsum",

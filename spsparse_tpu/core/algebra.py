@@ -18,18 +18,22 @@ these work identically under ``jit``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 
-from .consolidate import compact_select, consolidate
+from .consolidate import (_pack_cols, _plan_packing, _unpack_cols,
+                          compact_select, consolidate)
 from .coo import SparseCOO, round_up_pow2
 from .errors import DuplicatePolicy, SpSparseError
 
 Array = Any
 
 __all__ = ["coo_concat", "coo_add", "coo_scale",
-           "coo_hstack", "coo_vstack", "coo_block_diag"]
+           "coo_hstack", "coo_vstack", "coo_block_diag",
+           "coo_binop", "coo_multiply", "coo_maximum", "coo_minimum",
+           "coo_power"]
 
 
 def coo_concat(*arrays: SparseCOO, cap: int | None = None) -> SparseCOO:
@@ -100,6 +104,140 @@ def coo_add(a: SparseCOO, b: SparseCOO, *, alpha=1.0, beta=1.0,
     bv = coo_scale(b, beta)
     both = coo_concat(av, bv, cap=cap)
     return consolidate(both, None, duplicate_policy, zero_nan)
+
+
+def coo_binop(a: SparseCOO, b: SparseCOO, f: Callable[[Array, Array], Array],
+              *, require_both: bool = False, drop_zeros: bool = True,
+              cap: int | None = None) -> SparseCOO:
+    """Elementwise ``f(A, B)`` over the union of the two structures,
+    treating missing entries as 0 — the general sparse-sparse combiner
+    underneath :func:`coo_multiply` / :func:`coo_maximum` /
+    :func:`coo_minimum`.
+
+    TPU formulation (no scatters, no per-key searchsorted probes): each
+    operand is consolidated (duplicates summed — scipy's canonicalization
+    before ``_binopt``), the two entry streams are concatenated with an
+    operand tag and stable-sorted by (packed index word(s), tag); each
+    run then holds at most one entry per operand with ``a``'s first, so
+    per-key operand values are a neighbour read away. ``f`` is evaluated
+    once per distinct key and results are compacted to the front with
+    one stable sort (:func:`.consolidate.compact_select`).
+
+    ``require_both`` restricts the output to the structural intersection
+    (both operands store the key) — this is what makes ``coo_multiply``
+    match scipy, where ``A.multiply(B)`` never evaluates ``NaN * 0``
+    against an implicit zero. ``drop_zeros`` applies the reference's
+    ``isnone`` convention (``spsparse.hpp:95-103``) to computed results:
+    exact-zero outputs are not stored (NaNs are — they compare ``!= 0``).
+
+    Fully jit-compatible: ``cap`` (default: operand-cap sum, or the
+    smaller operand's cap when ``require_both``) is static. The result is
+    row-major sorted with unique keys.
+    """
+    if a.shape != b.shape:
+        raise SpSparseError(
+            f"coo_binop shape mismatch: {a.shape} vs {b.shape}")
+    ca = consolidate(a, None, DuplicatePolicy.ADD, False)
+    cb = consolidate(b, None, DuplicatePolicy.ADD, False)
+    rank = ca.rank
+    shape = ca.shape
+    idt = jnp.promote_types(ca.index_dtype, cb.index_dtype)
+    vdt = jnp.promote_types(ca.dtype, cb.dtype)
+    if cap is None:
+        cap = round_up_pow2(min(ca.cap, cb.cap) if require_both
+                            else ca.cap + cb.cap)
+    else:
+        cap = int(cap)
+    exts = [int(s) + 1 for s in shape]
+    limit = 2 ** 62 if idt == jnp.int64 else 2 ** 31
+    plan = _plan_packing(exts, limit)
+
+    def pack(x):
+        cols = [x.indices[:, d].astype(idt) for d in range(rank)]
+        return _pack_cols(cols, exts, plan, idt)
+
+    wa, wb = pack(ca), pack(cb)
+    words = [jnp.concatenate([x, y]) for x, y in zip(wa, wb)]
+    tag = jnp.concatenate([jnp.zeros(ca.cap, jnp.int32),
+                           jnp.ones(cb.cap, jnp.int32)])
+    vals = jnp.concatenate([ca.vals.astype(vdt), cb.vals.astype(vdt)])
+    live = jnp.concatenate([ca.valid_mask(), cb.valid_mask()]
+                           ).astype(jnp.int32)
+    nw = len(words)
+    srt = jax.lax.sort(tuple(words) + (tag, vals, live),
+                       num_keys=nw + 1, is_stable=True)
+    sw, stag, svals, slive = srt[:nw], srt[nw], srt[nw + 1], srt[nw + 2]
+    same_prev = jnp.ones(sw[0].shape[0], bool)
+    for w in sw:
+        same_prev &= jnp.concatenate(
+            [jnp.zeros(1, bool), w[1:] == w[:-1]])
+    first = ~same_prev
+    next_same = jnp.concatenate([same_prev[1:], jnp.zeros(1, bool)])
+    zero = jnp.zeros((), vdt)
+    av = jnp.where(stag == 0, svals, zero)
+    bv_here = jnp.where(stag == 1, svals, zero)
+    bv_next = jnp.concatenate([bv_here[1:], jnp.zeros(1, vdt)])
+    live_next = jnp.concatenate([slive[1:], jnp.zeros(1, jnp.int32)])
+    partner = next_same & (live_next > 0)
+    bv = bv_here + jnp.where(partner, bv_next, zero)
+    out = f(av, bv).astype(vdt)
+    keep = first & (slive > 0)
+    if require_both:
+        # run of length 2 = key present in both operands (each operand
+        # stream has unique keys post-consolidate)
+        keep &= partner
+    if drop_zeros:
+        keep &= out != 0
+    comp, n = compact_select(keep, tuple(sw) + (out,), cap_out=cap)
+    n = jnp.minimum(n, jnp.asarray(cap, n.dtype)).astype(jnp.int32)
+    cols = _unpack_cols(comp[:nw], exts, plan, idt)
+    live_out = jnp.arange(cap, dtype=jnp.int32) < n
+    sent = SparseCOO.sentinel_index(shape, idt)
+    idx = jnp.stack([jnp.where(live_out, c, sent[d])
+                     for d, c in enumerate(cols)], axis=1)
+    vals_out = jnp.where(live_out, comp[nw], 0)
+    return SparseCOO(indices=idx, vals=vals_out, nnz=n, shape=shape,
+                     sort_order=tuple(range(rank)))
+
+
+def coo_multiply(a: SparseCOO, b: SparseCOO, *,
+                 cap: int | None = None) -> SparseCOO:
+    """Hadamard (elementwise) product ``A ∘ B`` — scipy's
+    ``A.multiply(B)`` for same-shape sparse operands. Structural
+    intersection; duplicates in either operand are summed first; exact
+    zero products are dropped (reference ``isnone`` convention — scipy
+    may keep stored zeros; values agree everywhere)."""
+    return coo_binop(a, b, jnp.multiply, require_both=True, cap=cap)
+
+
+def coo_maximum(a: SparseCOO, b: SparseCOO, *,
+                cap: int | None = None) -> SparseCOO:
+    """Elementwise ``max(A, B)`` over the dense interpretation
+    (scipy ``A.maximum(B)``): missing entries count as 0, so a negative
+    entry opposite an implicit zero yields 0 (dropped)."""
+    return coo_binop(a, b, jnp.maximum, cap=cap)
+
+
+def coo_minimum(a: SparseCOO, b: SparseCOO, *,
+                cap: int | None = None) -> SparseCOO:
+    """Elementwise ``min(A, B)`` (scipy ``A.minimum(B)``); missing
+    entries count as 0."""
+    return coo_binop(a, b, jnp.minimum, cap=cap)
+
+
+def coo_power(a: SparseCOO, p) -> SparseCOO:
+    """Elementwise power of the *stored* entries (scipy ``A.power(p)``).
+    ``p == 0`` is rejected (it would densify — every implicit zero
+    becomes 1; scipy raises NotImplementedError too). Negative powers
+    follow IEEE on stored values (0 ** -1 = inf) and leave implicit
+    zeros implicit, exactly like scipy."""
+    if p == 0:
+        raise SpSparseError("coo_power: zero power would densify "
+                            "(scipy parity: not supported)")
+    # padding values are 0: 0**p is 0 for p>0 but inf/nan for p<=0 —
+    # re-zero padding explicitly to keep the container invariant
+    vals = jnp.where(a.valid_mask(), a.vals ** p, 0)
+    return dataclasses.replace(a, vals=vals)
 
 
 def coo_scale(a: SparseCOO, c) -> SparseCOO:
