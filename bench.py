@@ -33,6 +33,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:
+    # Persistent XLA compile cache: the rig's remote compiles are the
+    # dominant cold cost (minutes at large shapes); cache them per machine.
+    from spsparse_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 
 def build_banded_dia(n: int, band: int, dtype=np.float32):
     from spsparse_tpu.core.dia import SparseDIA
@@ -227,7 +235,17 @@ def config3_spmm(on_cpu: bool) -> dict:
     (1+1+2 B/entry tiled) + each occupied X tile fetched once (bf16) + Y
     written once (f32). Timed with bench_slope — bench_fori charges this
     rig's ~7 ms fixed cost per loop iteration containing a pallas_call,
-    which swamps sub-ms kernels (probes/probe_tiled_dense_r2c.py)."""
+    which swamps sub-ms kernels (probes/probe_tiled_dense_r2c.py).
+
+    Round 4: the iteration dependency rides the A BLOCKS (tiny in-place
+    perturbation), with X loop-invariant f32 so its bf16 conversion
+    hoists out of the chain. The round-3 harness perturbed X instead,
+    which charged a per-iteration X copy/convert pass against the kernel
+    and (measured, probes/probe_cfg3_r4*.py) hit a pathological slow path
+    when a bf16 X rides the loop carry — 40-55%-of-roofline readings that
+    were harness artifact, not kernel cost (the kernel itself streams at
+    ~830 GB/s = 81% of the pattern-aware model)."""
+    import dataclasses
     from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops.pallas_tiled import (prepare_tiled_dense,
                                                spmm_tiled_dense_pallas)
@@ -262,7 +280,10 @@ def config3_spmm(on_cpu: bool) -> dict:
         def step(state):
             p, Xc = state
             Y = spmm_tiled_dense_pallas(p, Xc)
-            return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
+            eps = (Y[0, 0] * jnp.float32(1e-30)).astype(p.blocks.dtype)
+            p2 = dataclasses.replace(
+                p, blocks=p.blocks.at[0, 0, 0, 0].add(eps))
+            return (p2, Xc)
 
         init = (prep, X)
 
@@ -297,6 +318,7 @@ def config3b_packed_general(on_cpu: bool) -> dict:
     from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops import prepare_general
     from spsparse_tpu.ops.general import spmm_general
+    from spsparse_tpu.ops.general import PreparedGather
     from spsparse_tpu.ops.pallas_tiled import PreparedTiledDense
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
@@ -321,15 +343,29 @@ def config3b_packed_general(on_cpu: bool) -> dict:
     interp = on_cpu
     X = jnp.asarray(rng.uniform(-1, 1, (ncols, N)).astype(np.float32))
 
+    # Same round-4 harness shape as config 3: the dependency rides the
+    # prepared operand's values; X is loop-invariant.
+    import dataclasses as _dc
+
+    def _perturb(p, eps):
+        pr = p.prep
+        if isinstance(pr, PreparedGather):
+            pr2 = _dc.replace(pr, vals=pr.vals.at[0].add(eps))
+        elif isinstance(pr, PreparedTiledDense):
+            pr2 = _dc.replace(pr, blocks=pr.blocks.at[0, 0, 0, 0].add(
+                eps.astype(pr.blocks.dtype)))
+        else:
+            pr2 = _dc.replace(pr, vals=pr.vals.at[0, 0, 0].add(eps))
+        return _dc.replace(p, prep=pr2)
+
     def step(state):
         p, Xc = state
         Y = spmm_general(p, Xc, interpret=interp)
-        return (p, Xc.at[0, 0].add(Y[0, 0] * jnp.float32(1e-38)))
+        return (_perturb(p, Y[0, 0] * jnp.float32(1e-30)), Xc)
 
     t = bench_slope(step, (pg, X), iters=4 if on_cpu else 8,
                     reps=3 if on_cpu else 5, u_lo=2, u_hi=6 if on_cpu else 10)
     nnz = rr.size
-    from spsparse_tpu.ops.general import PreparedGather
     kind, bw = device_hbm_bandwidth()
     if isinstance(pg.prep, PreparedGather):
         # row-gather layout: one 512B X row per entry + entry payload + Y
@@ -412,7 +448,16 @@ def config4_spgemm(on_cpu: bool) -> dict:
         eps = (out[0, 0, 0] * jnp.float32(1e-30)).astype(blocks.dtype)
         return blocks.at[0, 0, 0].add(eps)
 
-    t = bench_slope(step, ta.blocks, iters=8, reps=5, u_lo=2, u_hi=10)
+    # Primary on-chip mode (round 4): bf16 operand blocks with f32 MXU
+    # accumulation — the same mixed mode as config 3; the serpentine pair
+    # order (plan_tiled_spgemm) lets Mosaic skip boundary A-tile refetches
+    # (probes/probe_cfg4_r4.py: 71.5% bf16 vs 68.7% round 3). f32 blocks
+    # (6-pass HIGHEST) are reported alongside.
+    bench_blocks = ta.blocks if on_cpu else ta.blocks.astype(jnp.bfloat16)
+    esize4 = 4 if on_cpu else 2
+    t = bench_slope(step, bench_blocks, iters=8, reps=5, u_lo=2, u_hi=10)
+    t_f32 = t if on_cpu else bench_slope(step, ta.blocks, iters=8, reps=3,
+                                         u_lo=2, u_hi=6)
     out_blocks = gemm(ta.blocks)
     tb = TiledBlocks(tile_row=jnp.asarray(plan.out_tile_row),
                      tile_col=jnp.asarray(plan.out_tile_col),
@@ -428,11 +473,13 @@ def config4_spgemm(on_cpu: bool) -> dict:
 
     t_ex = bench_slope(step_ex, out_blocks, iters=8, reps=3, u_lo=2,
                        u_hi=6)
-    tile_b = TILE * TILE * 4
-    bytes_tiled = P * 2 * tile_b + Tout * tile_b
+    tile_b = TILE * TILE
+    bytes_tiled = P * 2 * tile_b * esize4 + Tout * tile_b * 4
+    bytes_tiled_f32 = P * 2 * tile_b * 4 + Tout * tile_b * 4
     kind, bw = device_hbm_bandwidth()
     achieved = expand_cap / t
     sol_tiled = expand_cap / (bytes_tiled / bw)
+    sol_tiled_f32 = expand_cap / (bytes_tiled_f32 / bw)
 
     # --- ESC path (general-purpose; secondary) ---
     def step_esc(a):
@@ -446,11 +493,16 @@ def config4_spgemm(on_cpu: bool) -> dict:
 
     return {"config": 4, "name": "spgemm_aat_regrid", "nnz_a": r.size,
             "products": expand_cap, "nnz_out": nnz_out,
-            "impl": "tiled_mxu (xla)" if on_cpu else "tiled_mxu (pallas)",
+            "impl": ("tiled_mxu (xla)" if on_cpu
+                     else "tiled_mxu (pallas, bf16 blocks/f32 accum)"),
             "tile_pairs": P, "out_tiles": Tout,
             "time_s": t, "products_per_s": achieved,
-            "bytes_model": "tiled: 2 operand tiles/pair + out tiles, f32",
+            "bytes_model": "tiled: 2 operand tiles/pair (block dtype) "
+                           "+ out tiles f32",
             "pct_of_roofline": 100.0 * achieved / sol_tiled,
+            "f32_time_s": t_f32,
+            "f32_pct_of_roofline":
+                100.0 * (expand_cap / t_f32) / sol_tiled_f32,
             "extract_to_coo_s": t_ex,
             "esc_time_s": t_esc,
             "esc_products_per_s": expand_cap / t_esc,

@@ -67,6 +67,15 @@ def compact_select(select, carried, *, cap_out: int):
             raise ValueError(
                 "compact_select carries 1-D arrays only; got shape "
                 f"{jnp.shape(arr)}")
+    from . import chunksort
+    if select.shape[0] > chunksort.CHUNK_ELEMS:
+        # Compile-bounded route: XLA:TPU sort compile time grows ~n^2.5
+        # through this rig's remote-compile service (multi-minute at 2M,
+        # hours at 8M); the chunked formulation keeps every lax.sort
+        # instance <= CHUNK_ELEMS with streaming-only glue. Identical
+        # contract (exact, order-preserving).
+        return chunksort.chunked_compact_select(select, tuple(carried),
+                                                cap_out=cap_out)
     key = jnp.where(select, jnp.int32(0), jnp.int32(1))
     n_sel = jnp.sum(select).astype(jnp.int32)
     out = jax.lax.sort((key,) + tuple(carried), num_keys=1, is_stable=True)
@@ -155,6 +164,34 @@ def _unpack_cols(packed, extents, words, dtype):
     return cols
 
 
+def _stable_word_sort(key_words, payloads, *, exts_key_plan_max: int):
+    """Stable sort of an entry stream by its packed key word(s) with
+    payloads riding along — routed through the compile-bounded chunked
+    PSRS (:mod:`.chunksort`) when the stream is large, the key packs
+    into ONE word, and appending position bits keeps the composite under
+    63 bits (uniqueness makes PSRS exact and stability automatic).
+    Falls back to a plain stable ``lax.sort`` otherwise. Returns the
+    operand tuple in ``lax.sort`` order: key words then payloads."""
+    from . import chunksort
+
+    n = key_words[0].shape[0]
+    # The composite (key, position) word needs int64, which JAX only
+    # provides under jax_enable_x64 — without it the astype silently
+    # truncates to int32 and corrupts the sort.
+    if (n > chunksort.CHUNK_ELEMS and len(key_words) == 1
+            and jax.config.jax_enable_x64):
+        pos_bits = max((n - 1).bit_length(), 1)
+        if (exts_key_plan_max << pos_bits) <= (1 << 62):
+            w = key_words[0].astype(jnp.int64)
+            pos = jnp.arange(n, dtype=jnp.int64)
+            comp = (w << pos_bits) | pos
+            sw, spay = chunksort.chunked_sort_unique(comp, tuple(payloads))
+            return ((sw >> pos_bits).astype(key_words[0].dtype),) + spay
+    out = jax.lax.sort(tuple(key_words) + tuple(payloads),
+                       num_keys=len(key_words), is_stable=True)
+    return out
+
+
 def sort_entry_stream(col_arrays, vals, live, *, extents, extra=(),
                       num_key_cols: int | None = None):
     """Stable sort of a (columns, vals) entry stream by its leading columns.
@@ -189,11 +226,12 @@ def sort_entry_stream(col_arrays, vals, live, *, extents, extra=(),
     other_words = _pack_cols(sent_cols[num_key_cols:], exts[num_key_cols:],
                              other_plan, dtype)
 
-    out = jax.lax.sort(
-        tuple(key_words) + tuple(other_words) + (vals,) + tuple(extra),
-        num_keys=len(key_words),
-        is_stable=True,
-    )
+    max0 = 1
+    for pos in key_words_plan[0]:
+        max0 *= exts[pos]
+    out = _stable_word_sort(
+        key_words, tuple(other_words) + (vals,) + tuple(extra),
+        exts_key_plan_max=max0)
     skey = out[: len(key_words)]
     sother = out[len(key_words): len(key_words) + len(other_words)]
     svals = out[len(key_words) + len(other_words)]
@@ -202,9 +240,6 @@ def sort_entry_stream(col_arrays, vals, live, *, extents, extra=(),
     # Dead entries are all-sentinel: their first packed word is the maximum
     # packable value; any live entry is strictly below it (every live column
     # is < extent).
-    max0 = 1
-    for pos in key_words_plan[0]:
-        max0 *= exts[pos]
     slive = skey[0] != jnp.asarray(max0 - 1, dtype)
 
     skey_cols = _unpack_cols(skey, exts[:num_key_cols], key_words_plan,
@@ -530,12 +565,11 @@ def fused_sort_merge(col_arrays, vals, live, *, extents, shape,
     vals = jnp.where(live, vals, jnp.zeros((), vals.dtype))
     words = _pack_cols(sent_cols, exts, plan, index_dtype)
 
-    out = jax.lax.sort(tuple(words) + (vals,), num_keys=len(words),
-                       is_stable=True)
-    swords, svals = out[:-1], out[-1]
     max0 = 1
     for pos in plan[0]:
         max0 *= exts[pos]
+    out = _stable_word_sort(words, (vals,), exts_key_plan_max=max0)
+    swords, svals = out[:-1], out[-1]
     slive = swords[0] != jnp.asarray(max0 - 1, index_dtype)
 
     same_as_prev = jnp.ones_like(slive)

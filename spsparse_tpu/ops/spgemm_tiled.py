@@ -240,6 +240,17 @@ def plan_tiled_spgemm(A: TiledBlocks, B: TiledBlocks, *,
     order = np.argsort(out_key, kind="stable")
     pa, pb, out_key = pa[order], pb[order], out_key[order]
     uniq, oid = np.unique(out_key, return_inverse=True)
+    # Serpentine pair order within each output-tile group: even groups
+    # ascend by pa, odd groups descend. Adjacent groups of one output
+    # block row draw pairs from the same A block row, so the boundary
+    # pair often reuses the previous group's A tile — Mosaic's pipeline
+    # skips a DMA whose block index is unchanged between consecutive
+    # grid steps, trimming operand refetches at zero model cost.
+    if pa.size:
+        pa_max = int(pa.max(initial=0)) + 1
+        within = np.where(oid % 2 == 1, pa_max - 1 - pa, pa)
+        sorder = np.lexsort((within, oid))
+        pa, pb, oid = pa[sorder], pb[sorder], oid[sorder]
     return TiledGemmPlan(
         pa=pa.astype(np.int32), pb=pb.astype(np.int32),
         oid=oid.astype(np.int32),
@@ -334,6 +345,90 @@ def _spgemm_tiled_pallas(a_blocks, b_blocks, pa, pb, oid, *,
         out_shape=jax.ShapeDtypeStruct((n_out, TILE, TILE), jnp.float32),
         interpret=interpret,
     )(pa, pb, oid, a_blocks, b_blocks)
+
+
+def _pairs_stream_kernel(pstart_ref, pa_ref, pb_ref, a_hbm, b_hbm, out_ref,
+                         abuf, bbuf, sem_a, sem_b, *, n_pairs: int,
+                         transpose_b: bool):
+    # Grid = one step per OUTPUT tile (not per pair): the out block is
+    # written exactly once through a trivial t -> t out spec, so Mosaic
+    # never pre-reads output blocks the way the revisit pattern of
+    # _pairs_kernel makes it do (measured +1 out-tile read per tile ~=
+    # the round-3 31% gap to roofline), and per-grid-step overhead is
+    # paid once per output tile instead of once per pair.  Operand tiles
+    # are DMA'd manually from HBM by the scalar-prefetched pair indices,
+    # double-buffered across output-tile boundaries (global pair order),
+    # exactly like the dense SpMM kernel's cross-row X prefetch.
+    t = pl.program_id(0)
+    ps = pstart_ref[t]
+    pe = pstart_ref[t + 1]
+
+    def dma_a(g):
+        i = pa_ref[jnp.minimum(g, n_pairs - 1)]
+        return pltpu.make_async_copy(a_hbm.at[i], abuf.at[g % 2],
+                                     sem_a.at[g % 2])
+
+    def dma_b(g):
+        i = pb_ref[jnp.minimum(g, n_pairs - 1)]
+        return pltpu.make_async_copy(b_hbm.at[i], bbuf.at[g % 2],
+                                     sem_b.at[g % 2])
+
+    @pl.when(t == 0)
+    def _():
+        dma_a(0).start()
+        dma_b(0).start()
+
+    def body(g, acc):
+        @pl.when(g + 1 < n_pairs)
+        def _():
+            dma_a(g + 1).start()
+            dma_b(g + 1).start()
+
+        dma_a(g).wait()
+        dma_b(g).wait()
+        return acc + _pair_dot(abuf[g % 2], bbuf[g % 2], transpose_b)
+
+    out_ref[0] = jax.lax.fori_loop(
+        ps, pe, body, jnp.zeros((TILE, TILE), jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("transpose_b", "n_out", "interpret"))
+def _spgemm_tiled_pallas_v2(a_blocks, b_blocks, pstart, pa, pb, *,
+                            transpose_b: bool, n_out: int, interpret: bool):
+    P = pa.shape[0]
+    dt = a_blocks.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_out,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # A blocks in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # B blocks in HBM
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE),
+                               lambda t, ps, pa, pb: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, TILE), dt),
+            pltpu.VMEM((2, TILE, TILE), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_pairs_stream_kernel, n_pairs=P,
+                          transpose_b=transpose_b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, TILE, TILE), jnp.float32),
+        interpret=interpret,
+    )(pstart, pa, pb, a_blocks, b_blocks)
+
+
+def plan_pstart(plan: TiledGemmPlan) -> np.ndarray:
+    """Per-output-tile pair ranges: ``pstart[t] .. pstart[t+1]`` indexes
+    the pairs of output tile ``t`` (``oid`` is sorted/grouped by plan
+    construction)."""
+    return np.searchsorted(plan.oid,
+                           np.arange(plan.n_out_tiles + 1)).astype(np.int32)
 
 
 def spgemm_tiled_pallas(A: TiledBlocks, B: TiledBlocks,
