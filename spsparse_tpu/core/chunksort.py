@@ -54,6 +54,13 @@ __all__ = ["CHUNK_ELEMS", "chunk_count", "chunked_compact_select",
 # ~31 minutes (probes/probe_compile_scaling_r3.py).
 CHUNK_ELEMS = 1 << 20
 
+# Auto-routing threshold: the chunked pipeline holds ~3 batched sorts, so
+# its total compile (~6 min, flat in n — probe_compile_scaling_r4.py) only
+# beats the direct sort's ~n^2.5 growth from about 4M elements up
+# (direct: 209 s @2M, 1867 s @4M). Between CHUNK_ELEMS and this bound the
+# direct sort compiles faster AND runs faster.
+ENGAGE_ELEMS = 1 << 21
+
 
 def chunk_count(n: int, chunk: int = CHUNK_ELEMS) -> int:
     """Number of chunks for an ``n``-element stream (1 = don't chunk)."""

@@ -68,7 +68,7 @@ def compact_select(select, carried, *, cap_out: int):
                 "compact_select carries 1-D arrays only; got shape "
                 f"{jnp.shape(arr)}")
     from . import chunksort
-    if select.shape[0] > chunksort.CHUNK_ELEMS:
+    if select.shape[0] > chunksort.ENGAGE_ELEMS:
         # Compile-bounded route: XLA:TPU sort compile time grows ~n^2.5
         # through this rig's remote-compile service (multi-minute at 2M,
         # hours at 8M); the chunked formulation keeps every lax.sort
@@ -178,7 +178,7 @@ def _stable_word_sort(key_words, payloads, *, exts_key_plan_max: int):
     # The composite (key, position) word needs int64, which JAX only
     # provides under jax_enable_x64 — without it the astype silently
     # truncates to int32 and corrupts the sort.
-    if (n > chunksort.CHUNK_ELEMS and len(key_words) == 1
+    if (n > chunksort.ENGAGE_ELEMS and len(key_words) == 1
             and jax.config.jax_enable_x64):
         pos_bits = max((n - 1).bit_length(), 1)
         if (exts_key_plan_max << pos_bits) <= (1 << 62):

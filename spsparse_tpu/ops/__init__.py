@@ -8,6 +8,8 @@ from .general import (PreparedGeneral, prepare_general, spmm_general,
                       spmv_general)
 from .spmm import spmv, spmm, spmm_bsr
 from .spmv_kernels import spmv_dia, spmv_ell, best_spmv, best_spmm
+from .spmv_shuffle import (PreparedShuffleSpMV, prepare_shuffle_spmv,
+                           spmv_shuffle)
 from .tiled_ops import spmv_tiled, spmm_tiled
 
 __all__ = [
@@ -18,5 +20,6 @@ __all__ = [
     "PreparedGeneral", "prepare_general", "spmm_general", "spmv_general",
     "spmv", "spmm", "spmm_bsr",
     "spmv_dia", "spmv_ell", "best_spmv", "best_spmm",
+    "PreparedShuffleSpMV", "prepare_shuffle_spmv", "spmv_shuffle",
     "spmv_tiled", "spmm_tiled",
 ]

@@ -82,6 +82,13 @@ def best_spmv(a, x: Array) -> Array:
 
     if isinstance(a, PreparedGeneral):
         return spmv_general(a, x, interpret=not _on_tpu())
+    from .spmv_shuffle import PreparedShuffleSpMV, spmv_shuffle
+
+    if isinstance(a, PreparedShuffleSpMV):
+        # unstructured/uniform-random patterns: slab lane-gather +
+        # compile-bounded static shuffle + ELL reduce (prepare once with
+        # ops.spmv_shuffle.prepare_shuffle_spmv)
+        return spmv_shuffle(a, x, interpret=not _on_tpu())
     if isinstance(a, SparseELL):
         return spmv_ell(a, x)
     if isinstance(a, SparseCSR):

@@ -135,6 +135,7 @@ class TestConsolidateChunkedIntegration:
         pol = getattr(DuplicatePolicy, policy)
         ref = consolidate(A, None, pol, False)
         monkeypatch.setattr(chunksort, "CHUNK_ELEMS", 64)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 128)
         got = consolidate(A, None, pol, False)
         assert int(got.nnz) == int(ref.nnz)
         m = int(ref.nnz)
@@ -147,6 +148,7 @@ class TestConsolidateChunkedIntegration:
         from spsparse_tpu import CooBuilder, DuplicatePolicy, consolidate
         from spsparse_tpu.core import chunksort
         monkeypatch.setattr(chunksort, "CHUNK_ELEMS", 32)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 64)
         b = CooBuilder((8, 8), dtype=np.float64)
         for _ in range(3):
             b.add((1, 1), np.inf)
@@ -170,6 +172,7 @@ class TestConsolidateChunkedIntegration:
         from spsparse_tpu.core import chunksort
         from spsparse_tpu.ops import multiply
         monkeypatch.setattr(chunksort, "CHUNK_ELEMS", 128)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 256)
         rng = np.random.default_rng(5)
         ba = CooBuilder((20, 30), dtype=np.float64)
         bb = CooBuilder((30, 25), dtype=np.float64)
