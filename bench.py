@@ -210,6 +210,48 @@ def config2b_multirhs(on_cpu: bool) -> dict | None:
             "pct_of_roofline": 100.0 * agg / sol}
 
 
+def config2c_unstructured(on_cpu: bool) -> dict:
+    """Config 2c (round 4): unstructured SpMV — 1M x 1M uniform-random
+    columns, 10 nnz/row — via the shuffle layout (ops.spmv_shuffle:
+    slab lane-gather + compile-bounded static shuffle + ELL reduce).
+    Round 3 had no viable path here (XLA gather wall, 0.095-0.13
+    Gnnz/s). The op is bound by the static-shuffle (sort) bandwidth, not
+    streaming traffic, so no pct_of_roofline is reported; the honest
+    metric is nnz/s and the multiple over the gather wall."""
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.ops.spmv_shuffle import (prepare_shuffle_spmv,
+                                               spmv_shuffle)
+    from spsparse_tpu.utils.benchtime import bench_slope
+
+    rng = np.random.default_rng(0)
+    n = 1 << 13 if on_cpu else 1 << 20
+    k = 10
+    nnz = n * k
+    b = CooBuilder((n, n), dtype=np.float32)
+    b.add_many(np.stack([np.repeat(np.arange(n), k),
+                         rng.integers(0, n, nnz)], 1),
+               rng.uniform(-1, 1, nnz).astype(np.float32))
+    prep = prepare_shuffle_spmv(b.build())
+    x = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    interp = on_cpu
+
+    def step(st):
+        p, xv = st
+        y = spmv_shuffle(p, xv, interpret=interp)
+        return (p, xv.at[0].add(y[0] * jnp.float32(1e-30)))
+
+    t = bench_slope(step, (prep, x), iters=4 if on_cpu else 8,
+                    reps=3 if on_cpu else 5, u_lo=2,
+                    u_hi=6 if on_cpu else 10)
+    return {"config": "2c", "name": "spmv_unstructured_shuffle",
+            "rows": n, "nnz": nnz, "time_s": t, "nnz_per_s": nnz / t,
+            "gather_fill": nnz / (prep.n_batches * 1024),
+            "vs_gather_wall": (nnz / t) / 0.095e9,
+            "pct_of_roofline": None,
+            "note": "sort/shuffle-bound op; roofline not meaningful "
+                    "(docs/PERFORMANCE.md round-4 notes)"}
+
+
 def _regrid_matrix(m: int, k: int, rng, spread: int = 128):
     """Column-local 'regridding-style' matrix: row r's k entries cluster
     around column 2r (conservative-interpolation structure — each output
@@ -566,6 +608,7 @@ def extra_configs(on_cpu: bool) -> list[dict]:
     out = []
     for name, fn in [("config1", config1_reference_check),
                      ("config2b", lambda: config2b_multirhs(on_cpu)),
+                     ("config2c", lambda: config2c_unstructured(on_cpu)),
                      ("config3", lambda: config3_spmm(on_cpu)),
                      ("config3b", lambda: config3b_packed_general(on_cpu)),
                      ("config4", lambda: config4_spgemm(on_cpu)),

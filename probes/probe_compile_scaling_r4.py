@@ -59,7 +59,7 @@ for logn in (22, 23):
     t2 = time.time()
     print(f"n=2^{logn}: lower {t1-t0:.1f}s  compile {t2-t1:.1f}s",
           flush=True)
-    _, c = compiled(A, 2)
+    _, c = compiled(A)
     got_nnz = int(c.nnz)
     key = idx[:, 0].astype(np.int64) * (1 << 15) + idx[:, 1]
     want_nnz = len(np.unique(key))
@@ -74,15 +74,17 @@ for logn in (22, 23):
     t0 = time.time()
     hi = f.lower(A, 6).compile()
     print(f"n=2^{logn}: hi-arm compile {time.time()-t0:.1f}s", flush=True)
-    for fn, T in ((compiled, 2), (hi, 6)):
-        jax.block_until_ready(fn(A, T)[1].vals)
+    # force a SCALAR to the host — block_until_ready on a large array
+    # can return before device execution completes on this rig
+    for fn in (compiled, hi):
+        float(jnp.sum(fn(A)[1].vals))
     los, his = [], []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(compiled(A, 2)[1].vals)
+        float(jnp.sum(compiled(A)[1].vals))
         los.append(time.time() - t0)
         t0 = time.time()
-        jax.block_until_ready(hi(A, 6)[1].vals)
+        float(jnp.sum(hi(A)[1].vals))
         his.append(time.time() - t0)
     per = (np.median(his) - np.median(los)) / 4
     print(f"n=2^{logn}: consolidate exec {per*1e3:.1f} ms "

@@ -1,13 +1,18 @@
-"""Compile-bounded sorting for large entry streams.
+"""Compile-bounded sorting and scans for large entry streams.
 
-XLA:TPU compile time for ``lax.sort`` grows ~n^2.5 through this rig's
-remote-compile service (measured round 3, probes/probe_compile_scaling_r3.py:
-60 s at 1M elements, 209 s at 2M, 1867 s at 4M — hours at 8M), which made
-every consolidate/ESC shape >= 2M effectively uncompilable. The fix is NOT a
-faster sort but a *compile-bounded formulation*: keep every ``lax.sort``
-instance at <= ~1M elements and compose larger sorts from them with
-streaming-only glue (reshapes, batched sorts, dynamic slices) whose compile
-cost is flat in ``n``.
+XLA:TPU compile time for the consolidate pipeline grows ~n^2.5 through
+this rig's remote-compile service (measured round 3,
+probes/probe_compile_scaling_r3.py: 60 s at 1M elements, 209 s at 2M,
+1867 s at 4M — hours at 8M), which made every consolidate/ESC shape
+>= 2M effectively uncompilable. Round-4 bisection (see
+probes/probe_compile_scaling_r4.py and /tmp-probe notes in
+docs/PERFORMANCE.md) localized the blowup to BOTH the monolithic sorts
+and — dominantly — the cumsum/``associative_scan`` glue (a bare batched
+(8, 1M) sort compiles in ~12 s). The fix is a *compile-bounded
+formulation*: keep every ``lax.sort`` **and every prefix-scan** instance
+at <= ~1M elements and compose larger ones with streaming-only glue
+(reshapes, batched ops, dynamic slices) whose compile cost is flat in
+``n`` — measured: full 4M consolidate compiles in 76 s (was 1867 s).
 
 Two primitives:
 
@@ -47,7 +52,8 @@ import jax.numpy as jnp
 Array = Any
 
 __all__ = ["CHUNK_ELEMS", "chunk_count", "chunked_compact_select",
-           "chunked_sort_unique"]
+           "chunked_sort_unique", "chunked_cumsum",
+           "chunked_segmented_cumsum"]
 
 # Per-lax.sort instance size kept at or under this many elements; 2^20
 # compiles in ~60 s on this rig's remote-compile service where 2^22 takes
@@ -91,7 +97,12 @@ def _stitch_prefixes(rows, counts, cap_out: int, fill):
     k, c = rows[0].shape
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(counts.astype(jnp.int32))])
-    buf_len = cap_out + c          # headroom for the last overrunning write
+    # 2c headroom: counts may exceed cap_out by up to c-1 (internal
+    # padding counted as live by callers that pad with duplicate
+    # sentinels), and each write is c long — lax.dynamic_update_slice
+    # CLAMPS an overrunning start, which would silently overwrite real
+    # data; the extra chunk of headroom makes every write in-bounds
+    buf_len = cap_out + 2 * c
     bufs = [jnp.full((buf_len,), f, r.dtype) for r, f in zip(rows, fill)]
 
     def body(i, bufs):
@@ -130,6 +141,123 @@ def chunked_compact_select(select, carried: Sequence[Array], *,
     outs, n_sel = _stitch_prefixes(list(rows), counts, cap_out,
                                    [0] * len(rows))
     return outs, n_sel
+
+
+def _seg_scan(x, is_start):
+    """Inclusive segmented prefix sum (restart at ``is_start``) along the
+    LAST axis via ``associative_scan`` — shared by the direct and chunked
+    routes."""
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return (vb + jnp.where(fb, jnp.zeros((), va.dtype), va), fa | fb)
+
+    v, _ = jax.lax.associative_scan(op, (x, is_start), axis=-1)
+    return v
+
+
+def chunked_cumsum(x: Array, *, chunk: int = CHUNK_ELEMS) -> Array:
+    """Inclusive prefix sum with compile cost bounded by ``chunk``.
+
+    Plain ``jnp.cumsum`` / ``associative_scan`` lowering is the component
+    whose XLA:TPU compile time grows ~n^2.5 on this rig (the round-3
+    blowup attributed to sorts — sorts measure 15-25 s flat; see
+    probes/probe_compile_scaling_r4.py bisection). Chunked form: reshape
+    to ``(k, c)``, one batched scan of length ``c``, then a tiny
+    ``k``-length exclusive scan of chunk totals broadcast back.
+    """
+    n = x.shape[0]
+    k = chunk_count(n, chunk)
+    if k == 1:
+        return jnp.cumsum(x)
+    c = -(-n // k)
+    xp = _pad_to([x], k * c, [0])[0].reshape(k, c)
+    rows = jnp.cumsum(xp, axis=1)
+    offs = jnp.concatenate([jnp.zeros((1,), rows.dtype),
+                            jnp.cumsum(rows[:-1, -1])])
+    return (rows + offs[:, None]).reshape(-1)[:n]
+
+
+def chunked_segmented_cumsum(x: Array, is_start, *,
+                             chunk: int = CHUNK_ELEMS) -> Array:
+    """Inclusive segmented prefix sum (restart at ``is_start``), chunked
+    like :func:`chunked_cumsum`. Cross-chunk carry: a chunk's leading run
+    (positions before its first start flag) continues the previous
+    chunk's final running sum; positions at/after a start flag are
+    already correct from the per-chunk scan."""
+    n = x.shape[0]
+    k = chunk_count(n, chunk)
+    if k == 1:
+        return _seg_scan(x, is_start)
+    c = -(-n // k)
+    xp = _pad_to([x], k * c, [0])[0].reshape(k, c)
+    # padding must START a segment so padded tails never leak into the
+    # next chunk's carry
+    sp = _pad_to([is_start], k * c, [True])[0].reshape(k, c)
+    rows = _seg_scan(xp, sp)
+    seen = jnp.cumsum(sp.astype(jnp.int32), axis=1)
+    lead = seen == 0                    # before the chunk's first start
+    # carry[i] = running sum at the end of chunk i-1's final run,
+    # accumulated across chunks that have no start at all
+    tail = rows[:, -1]
+    has_start = seen[:, -1] > 0
+
+    def step(carry, inp):
+        t, h = inp
+        new = jnp.where(h, t, carry + t)
+        return new, carry
+
+    _, carries = jax.lax.scan(step, jnp.zeros((), x.dtype),
+                              (tail, has_start))
+    return (rows + jnp.where(lead, carries[:, None],
+                             jnp.zeros((), x.dtype))).reshape(-1)[:n]
+
+
+def _fill_scan(marker, payloads):
+    """Carry-last-marked associative scan along the LAST axis."""
+    def op(a, b):
+        m_a, pa = a[0], a[1:]
+        m_b, pb = b[0], b[1:]
+        out = tuple(jnp.where(m_b, y, x) for x, y in zip(pa, pb))
+        return (m_a | m_b,) + out
+
+    return jax.lax.associative_scan(op, (marker,) + tuple(payloads),
+                                    axis=-1)
+
+
+def chunked_forward_fill(marker, payloads: Sequence[Array], *,
+                         chunk: int = CHUNK_ELEMS):
+    """Compile-bounded forward fill (:func:`..joinfill.forward_fill_marked`
+    semantics): per-chunk carry-last-marked scans plus a tiny cross-chunk
+    carry scan. Positions before the first marked one receive position
+    0's payload, exactly like the direct scan."""
+    n = marker.shape[0]
+    k = chunk_count(n, chunk)
+    if k == 1:
+        return _fill_scan(marker, tuple(payloads))[1:]
+    c = -(-n // k)
+    mp = _pad_to([marker], k * c, [False])[0].reshape(k, c)
+    pp = [_pad_to([p], k * c, [0])[0].reshape(k, c) for p in payloads]
+    res = _fill_scan(mp, tuple(pp))
+    filled = res[1:]
+    has = mp.any(axis=1)
+    tails = tuple(f[:, -1] for f in filled)
+
+    def step(carry, inp):
+        h = inp[0]
+        t = inp[1:]
+        new = tuple(jnp.where(h, ti, ci) for ci, ti in zip(carry, t))
+        return new, carry
+
+    # seed = position 0's payload: an unmarked chunk-0 lead region keeps
+    # its own scan value, which equals this seed — no special case
+    init = tuple(p[0, 0] for p in pp)
+    _, carries = jax.lax.scan(step, init, (has,) + tails)
+    lead = jnp.cumsum(mp.astype(jnp.int32), axis=1) == 0
+    outs = tuple(
+        jnp.where(lead, cr[:, None], f).reshape(-1)[:n]
+        for cr, f in zip(carries, filled))
+    return outs
 
 
 def _regular_splitters(ws, k: int, s: int):
@@ -192,9 +320,13 @@ def chunked_sort_unique(word: Array, payloads: Sequence[Array] = (), *,
     piece_len = lo[:, 1:] - lo[:, :-1]                       # (k, k)
     bucket_len = jnp.sum(piece_len, axis=0).astype(jnp.int32)  # (k,)
 
-    # PSRS bound: bucket <= n/k + n/s (+k slack); piece <= c.
+    # PSRS bound for unique keys: bucket <= n/k + n/s (+k slack); the
+    # internal rounding pad (< c duplicate max-sentinels) can inflate the
+    # LAST bucket past that bound, and each piece write is c long — both
+    # covered by the extra chunk of headroom (DUS clamping would
+    # otherwise corrupt real data; see _stitch_prefixes).
     bcap = c + total // s + k
-    buf_len = bcap + c
+    buf_len = bcap + 2 * c
     pcs = piece_len.T                                        # (k_b, k_i)
     poffs = jnp.concatenate(
         [jnp.zeros((k, 1), jnp.int32),

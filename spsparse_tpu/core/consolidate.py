@@ -345,7 +345,6 @@ def merge_sorted_entries(
         same_as_prev &= col == jnp.roll(col, 1)
     same_as_prev = same_as_prev.at[0].set(False)
     is_new = valid & ~same_as_prev
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # -1 before first run
     n_out = jnp.sum(is_new).astype(jnp.int32)
     shape = tuple(int(s) for s in shape)
 
@@ -366,6 +365,7 @@ def merge_sorted_entries(
             sort_order=sort_order, index_dtype=index_dtype, n_out=n_out)
 
     # ---- scatter formulation (reference-bitwise ADD accumulation) ----
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # -1 before first run
     drop = jnp.asarray(cap, jnp.int32)
     start_tgt = jnp.where(is_new, seg_id, drop)
 
@@ -416,14 +416,23 @@ def _segmented_cumsum(x, is_start):
     the run's sum as a per-run tree reduction — no cancellation against
     the global prefix (a global ``cumsum[end] - cumsum[prev_end]`` loses
     O(total_sum * eps), which measured ~1e-4 absolute on f32 streams with
-    ~1e4 totals)."""
-    def op(a, b):
-        va, fa = a
-        vb, fb = b
-        return (vb + jnp.where(fb, jnp.zeros((), va.dtype), va), fa | fb)
+    ~1e4 totals). Large streams route through the chunked form — scan
+    lowering is the component whose compile time grows ~n^2.5 on this
+    rig (probes/probe_compile_scaling_r4.py bisection)."""
+    from . import chunksort
 
-    v, _ = jax.lax.associative_scan(op, (x, is_start))
-    return v
+    if x.shape[0] > chunksort.ENGAGE_ELEMS:
+        return chunksort.chunked_segmented_cumsum(x, is_start)
+    return chunksort._seg_scan(x, is_start)
+
+
+def _cumsum(x):
+    """``jnp.cumsum`` with the same compile-bounded routing."""
+    from . import chunksort
+
+    if x.shape[0] > chunksort.ENGAGE_ELEMS:
+        return chunksort.chunked_cumsum(x)
+    return jnp.cumsum(x)
 
 
 def _merge_compact_words(words, vals, valid, is_new, *, exts, plan,
@@ -460,7 +469,7 @@ def _merge_compact_words(words, vals, valid, is_new, *, exts, plan,
         else:
             # Integer cumsum differences are exact — skip the segmented
             # scan's second carried operand.
-            carry_val = jnp.cumsum(vals)
+            carry_val = _cumsum(vals)
             add_needs_diff = True
     elif duplicate_policy == DuplicatePolicy.LEAVE_ALONE:
         select = is_new
@@ -474,9 +483,9 @@ def _merge_compact_words(words, vals, valid, is_new, *, exts, plan,
     if nonfinite_cond:
         def with_counts(ops):
             sel, base, v = ops
-            counts = (jnp.cumsum(jnp.isnan(v).astype(jnp.int32)),
-                      jnp.cumsum((v == jnp.inf).astype(jnp.int32)),
-                      jnp.cumsum((v == -jnp.inf).astype(jnp.int32)))
+            counts = (_cumsum(jnp.isnan(v).astype(jnp.int32)),
+                      _cumsum((v == jnp.inf).astype(jnp.int32)),
+                      _cumsum((v == -jnp.inf).astype(jnp.int32)))
             comp, _ = compact_select(sel, base + counts, cap_out=cap)
             return comp
 

@@ -46,15 +46,13 @@ def forward_fill_marked(marker, payloads: Sequence[Array]):
     :func:`merge_fill_compact` the padded query rows carry zeros, so
     unmatched queries zero-fill). Vectorized: one
     ``lax.associative_scan`` with a carry-last-marked operator — no
-    gathers."""
-    def op(a, b):
-        m_a, pa = a[0], a[1:]
-        m_b, pb = b[0], b[1:]
-        out = tuple(jnp.where(m_b, y, x) for x, y in zip(pa, pb))
-        return (m_a | m_b,) + out
+    gathers. Large streams route through the chunked form (scan lowering
+    is the n^2.5 compile hog on this rig — core.chunksort)."""
+    from . import chunksort
 
-    res = jax.lax.associative_scan(op, (marker,) + tuple(payloads))
-    return res[1:]
+    if jnp.shape(marker)[0] > chunksort.ENGAGE_ELEMS:
+        return chunksort.chunked_forward_fill(marker, tuple(payloads))
+    return chunksort._fill_scan(marker, tuple(payloads))[1:]
 
 
 def merge_fill_compact(keys_e, payloads_e: Sequence[Array],

@@ -166,11 +166,19 @@ def prepare_shuffle_spmv(a: SparseCOO, *, ell_k: int = 16
     occ[dest_slot] = True
     filler = np.nonzero(~occ)[0]
 
-    dt = np.int64 if n_slots >= 2 ** 31 else np.int32
+    # padding gather slots get DISTINCT above-range sentinels so the
+    # whole dest stream is a permutation fragment (globally unique) —
+    # that lets the shuffle ride chunked_sort_unique directly, with no
+    # (key, position) composite and hence no x64 requirement
+    dest = dest.reshape(-1)
+    pad_mask = dest == n_slots
+    dest[pad_mask] = n_slots + np.arange(int(pad_mask.sum()))
+    total_ids = n_slots + int(pad_mask.sum()) + 1
+    dt = np.int64 if total_ids >= 2 ** 31 else np.int32
     return PreparedShuffleSpMV(
         octet=jnp.asarray(octet), idx=jnp.asarray(idx),
         vals=jnp.asarray(v8),
-        dest=jnp.asarray(dest.reshape(-1).astype(dt)),
+        dest=jnp.asarray(dest.astype(dt)),
         filler_dest=jnp.asarray(filler.astype(dt)),
         extra_rows=jnp.asarray(extra_rows.astype(np.int32)),
         extra_vrows=jnp.asarray(extra_vrows.astype(np.int32)),
@@ -217,14 +225,21 @@ def spmv_shuffle(prep: PreparedShuffleSpMV, x: Array, *,
     p = _gather_products(prep.octet, prep.idx, prep.vals, x2d,
                          interpret=interpret).reshape(-1)
     # static shuffle: sort (dest, p); filler slots carry 0, padding slots
-    # carry the sentinel dest (> every real slot) and fall off the end
+    # carry distinct above-range sentinels and fall off the end. dest is
+    # globally unique, so the compile-bounded PSRS applies directly (no
+    # x64 composite needed).
     dest = jnp.concatenate([prep.dest, prep.filler_dest])
     pz = jnp.concatenate([p, jnp.zeros(prep.filler_dest.shape[0],
                                        jnp.float32)])
-    from ..core.consolidate import _stable_word_sort
-    srt = _stable_word_sort((dest,), (pz,),
-                            exts_key_plan_max=prep.n_slots + 1)
-    p_ell = srt[1][: prep.n_slots].reshape(prep.n_vrows, prep.ell_k)
+    from ..core import chunksort
+    if dest.shape[0] > chunksort.ENGAGE_ELEMS:
+        sentinel = np.iinfo(np.asarray(prep.dest).dtype).max
+        _, (p_sorted,) = chunksort.chunked_sort_unique(
+            dest, (pz,), sentinel=sentinel)
+    else:
+        p_sorted = jax.lax.sort((dest, pz), num_keys=1,
+                                is_stable=False)[1]
+    p_ell = p_sorted[: prep.n_slots].reshape(prep.n_vrows, prep.ell_k)
     yv = jnp.sum(p_ell, axis=1)
     y = yv[:nrows]
     if prep.extra_rows.shape[0]:

@@ -187,3 +187,68 @@ class TestConsolidateChunkedIntegration:
         expect = np.asarray(A.to_dense()) @ np.asarray(B.to_dense())
         np.testing.assert_allclose(np.asarray(C.to_dense()), expect,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestChunkedScans:
+    @pytest.mark.parametrize("seed", range(3))
+    @pytest.mark.parametrize("chunk", [9, 100, 1 << 20])
+    def test_cumsum_matches(self, seed, chunk):
+        from spsparse_tpu.core.chunksort import chunked_cumsum
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 700))
+        x = rng.integers(-5, 6, n).astype(np.int64)
+        got = chunked_cumsum(jnp.asarray(x), chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.cumsum(x))
+
+    @pytest.mark.parametrize("seed", range(4))
+    @pytest.mark.parametrize("chunk", [13, 64, 1 << 20])
+    def test_segmented_matches(self, seed, chunk):
+        from spsparse_tpu.core.chunksort import (chunked_segmented_cumsum,
+                                                 _seg_scan)
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(5, 900))
+        x = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float64))
+        st = rng.uniform(size=n) < rng.choice([0.02, 0.3, 0.9])
+        st[0] = bool(rng.integers(2))
+        got = chunked_segmented_cumsum(x, jnp.asarray(st), chunk=chunk)
+        want = np.asarray(_seg_scan(x, jnp.asarray(st)))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+    def test_segment_spanning_many_chunks(self):
+        from spsparse_tpu.core.chunksort import chunked_segmented_cumsum
+        n = 200
+        x = jnp.ones(n)
+        st = np.zeros(n, bool)
+        st[0] = True                    # one segment spanning all chunks
+        got = chunked_segmented_cumsum(x, jnp.asarray(st), chunk=16)
+        np.testing.assert_allclose(np.asarray(got), np.arange(1, n + 1))
+        st2 = np.zeros(n, bool)         # no start at all: same result
+        got2 = chunked_segmented_cumsum(x, jnp.asarray(st2), chunk=16)
+        np.testing.assert_allclose(np.asarray(got2), np.arange(1, n + 1))
+
+
+class TestChunkedForwardFill:
+    @pytest.mark.parametrize("seed", range(4))
+    @pytest.mark.parametrize("chunk", [11, 64, 1 << 20])
+    def test_matches_direct(self, seed, chunk):
+        from spsparse_tpu.core.chunksort import (chunked_forward_fill,
+                                                 _fill_scan)
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 800))
+        m = rng.uniform(size=n) < rng.choice([0.0, 0.05, 0.4])
+        p1 = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+        p2 = jnp.asarray(rng.integers(0, 99, n).astype(np.int32))
+        got = chunked_forward_fill(jnp.asarray(m), (p1, p2), chunk=chunk)
+        want = _fill_scan(jnp.asarray(m), (p1, p2))[1:]
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_unmarked_prefix_gets_position_zero(self):
+        from spsparse_tpu.core.chunksort import chunked_forward_fill
+        n = 100
+        m = np.zeros(n, bool)
+        m[57] = True
+        p = jnp.asarray(np.arange(100, 200).astype(np.int32))
+        (got,) = chunked_forward_fill(jnp.asarray(m), (p,), chunk=16)
+        want = np.where(np.arange(n) < 57, 100, 157)
+        np.testing.assert_array_equal(np.asarray(got), want)
