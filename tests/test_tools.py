@@ -248,3 +248,14 @@ def test_eigs_general_arnoldi(tmp_path, capsys):
     got = sorted(abs(complex(re, im)) for re, im in out["values"])
     lam = np.sort(np.abs(np.linalg.eigvals(A)))[-3:]
     np.testing.assert_allclose(got, lam, rtol=1e-5)
+
+
+def test_apidoc_generates(tmp_path):
+    # the Doxygen-apidoc counterpart (reference slib/CMakeLists.txt:32-41)
+    from spsparse_tpu.tools.apidoc import generate
+    out = tmp_path / "API.md"
+    n = generate(str(out))
+    assert n > 200
+    text = out.read_text()
+    assert "SparseCOO" in text and "consolidate" in text
+    assert "spmv_shuffle" in text
