@@ -51,7 +51,8 @@ import jax.numpy as jnp
 
 Array = Any
 
-__all__ = ["CHUNK_ELEMS", "chunk_count", "chunked_compact_select",
+__all__ = ["CHUNK_ELEMS", "SCAN_CHUNK_ELEMS", "chunk_count",
+           "chunked_compact_select",
            "chunked_sort_unique", "chunked_cumsum",
            "chunked_segmented_cumsum"]
 
@@ -59,6 +60,11 @@ __all__ = ["CHUNK_ELEMS", "chunk_count", "chunked_compact_select",
 # compiles in ~60 s on this rig's remote-compile service where 2^22 takes
 # ~31 minutes (probes/probe_compile_scaling_r3.py).
 CHUNK_ELEMS = 1 << 20
+
+# Custom (tuple-carry) associative scans compile superlinearly in their
+# length even as a lax.map body (~60 s at 2^20); a shorter scan chunk
+# costs only extra sequential map steps, so scans chunk much finer.
+SCAN_CHUNK_ELEMS = 1 << 18
 
 # Auto-routing threshold: the chunked pipeline holds ~3 batched sorts, so
 # its total compile (~6 min, flat in n — probe_compile_scaling_r4.py) only
@@ -179,7 +185,7 @@ def chunked_cumsum(x: Array, *, chunk: int = CHUNK_ELEMS) -> Array:
 
 
 def chunked_segmented_cumsum(x: Array, is_start, *,
-                             chunk: int = CHUNK_ELEMS) -> Array:
+                             chunk: int = SCAN_CHUNK_ELEMS) -> Array:
     """Inclusive segmented prefix sum (restart at ``is_start``), chunked
     like :func:`chunked_cumsum`. Cross-chunk carry: a chunk's leading run
     (positions before its first start flag) continues the previous
@@ -194,7 +200,11 @@ def chunked_segmented_cumsum(x: Array, is_start, *,
     # padding must START a segment so padded tails never leak into the
     # next chunk's carry
     sp = _pad_to([is_start], k * c, [True])[0].reshape(k, c)
-    rows = _seg_scan(xp, sp)
+    # lax.map, NOT a batched scan: a batched associative_scan's compile
+    # time blows up with the batch dim on this rig (a (8, 1M) segmented
+    # scan did not finish compiling in 10 min while plain 8M cumsum
+    # takes 1.4 s); map compiles the length-c body ONCE
+    rows = jax.lax.map(lambda ab: _seg_scan(ab[0], ab[1]), (xp, sp))
     seen = jnp.cumsum(sp.astype(jnp.int32), axis=1)
     lead = seen == 0                    # before the chunk's first start
     # carry[i] = running sum at the end of chunk i-1's final run,
@@ -226,7 +236,7 @@ def _fill_scan(marker, payloads):
 
 
 def chunked_forward_fill(marker, payloads: Sequence[Array], *,
-                         chunk: int = CHUNK_ELEMS):
+                         chunk: int = SCAN_CHUNK_ELEMS):
     """Compile-bounded forward fill (:func:`..joinfill.forward_fill_marked`
     semantics): per-chunk carry-last-marked scans plus a tiny cross-chunk
     carry scan. Positions before the first marked one receive position
@@ -238,7 +248,11 @@ def chunked_forward_fill(marker, payloads: Sequence[Array], *,
     c = -(-n // k)
     mp = _pad_to([marker], k * c, [False])[0].reshape(k, c)
     pp = [_pad_to([p], k * c, [0])[0].reshape(k, c) for p in payloads]
-    res = _fill_scan(mp, tuple(pp))
+    # lax.map for the same batched-scan compile blowup reason as
+    # chunked_segmented_cumsum
+    res = jax.lax.map(
+        lambda args: _fill_scan(args[0], tuple(args[1:])),
+        (mp,) + tuple(pp))
     filled = res[1:]
     has = mp.any(axis=1)
     tails = tuple(f[:, -1] for f in filled)

@@ -421,7 +421,10 @@ def _segmented_cumsum(x, is_start):
     rig (probes/probe_compile_scaling_r4.py bisection)."""
     from . import chunksort
 
-    if x.shape[0] > chunksort.ENGAGE_ELEMS:
+    # scans chunk already above CHUNK_ELEMS (not ENGAGE_ELEMS): their
+    # lowering is the compile hog and the chunked form's exec overhead
+    # is negligible
+    if x.shape[0] > chunksort.SCAN_CHUNK_ELEMS:
         return chunksort.chunked_segmented_cumsum(x, is_start)
     return chunksort._seg_scan(x, is_start)
 
@@ -430,7 +433,7 @@ def _cumsum(x):
     """``jnp.cumsum`` with the same compile-bounded routing."""
     from . import chunksort
 
-    if x.shape[0] > chunksort.ENGAGE_ELEMS:
+    if x.shape[0] > chunksort.CHUNK_ELEMS:
         return chunksort.chunked_cumsum(x)
     return jnp.cumsum(x)
 

@@ -50,7 +50,7 @@ def forward_fill_marked(marker, payloads: Sequence[Array]):
     is the n^2.5 compile hog on this rig — core.chunksort)."""
     from . import chunksort
 
-    if jnp.shape(marker)[0] > chunksort.ENGAGE_ELEMS:
+    if jnp.shape(marker)[0] > chunksort.SCAN_CHUNK_ELEMS:
         return chunksort.chunked_forward_fill(marker, tuple(payloads))
     return chunksort._fill_scan(marker, tuple(payloads))[1:]
 
