@@ -2,7 +2,8 @@
 1M rows x 1M cols, uniform-random 10 nnz/row. Round-3 status: such
 matrices fell to the 0.095-0.13 Gnnz/s gather wall.
 
-x64 enabled so the static shuffle rides the compile-bounded chunked sort.
+The static shuffle rides the compile-bounded chunked sort on int32
+destination ids (globally unique, so no x64 composite is needed).
 """
 import sys
 import time
@@ -10,7 +11,10 @@ import json
 
 import numpy as np
 import jax
-jax.config.update("jax_enable_x64", True)
+# NB: x64 must stay OFF — Pallas grid kernels fail Mosaic lowering when
+# traced under jax_enable_x64 on this stack (isolated 2026-08-20: even a
+# trivial no-gather grid kernel 500s in remote_compile with x64 on, and
+# passes with it off). The shuffle path is int32-native anyway.
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")

@@ -66,12 +66,16 @@ CHUNK_ELEMS = 1 << 20
 # costs only extra sequential map steps, so scans chunk much finer.
 SCAN_CHUNK_ELEMS = 1 << 18
 
-# Auto-routing threshold: the chunked pipeline holds ~3 batched sorts, so
-# its total compile (~6 min, flat in n — probe_compile_scaling_r4.py) only
-# beats the direct sort's ~n^2.5 growth from about 4M elements up
-# (direct: 209 s @2M, 1867 s @4M). Between CHUNK_ELEMS and this bound the
-# direct sort compiles faster AND runs faster.
-ENGAGE_ELEMS = 1 << 21
+# Sort auto-routing threshold. Final round-4 measurement overturned the
+# original premise for SORTS entirely: monolithic stable 2-operand
+# lax.sort compiles ~flat (36 s @4M, 41 s @8M, 44 s @16M) and executes
+# 5-10x faster than the PSRS pipeline (8.6 ms vs ~60 ms @4M) — the
+# round-3 compile blowup was the scan glue all along. Direct sorts
+# therefore stay in place far beyond the scan threshold; the chunked
+# sort/compaction machinery remains as a safety net for sizes past
+# anything measured (and for callers that want bounded compile at any
+# cost — set this lower to re-engage it).
+ENGAGE_ELEMS = 1 << 25
 
 
 def chunk_count(n: int, chunk: int = CHUNK_ELEMS) -> int:
@@ -111,13 +115,24 @@ def _stitch_prefixes(rows, counts, cap_out: int, fill):
     buf_len = cap_out + 2 * c
     bufs = [jnp.full((buf_len,), f, r.dtype) for r, f in zip(rows, fill)]
 
-    def body(i, bufs):
-        off = offs[i]
-        return tuple(
-            jax.lax.dynamic_update_slice(buf, r[i], (off,))
-            for buf, r in zip(bufs, rows))
+    # unrolled when k is small (device While loops carry a large
+    # per-iteration overhead on this rig); fori fallback bounds the
+    # program size for very large streams
+    bufs = tuple(bufs)
+    if k <= 32:
+        for i in range(k):
+            off = offs[i]
+            bufs = tuple(
+                jax.lax.dynamic_update_slice(buf, r[i], (off,))
+                for buf, r in zip(bufs, rows))
+    else:
+        def body(i, bufs):
+            off = offs[i]
+            return tuple(
+                jax.lax.dynamic_update_slice(buf, r[i], (off,))
+                for buf, r in zip(bufs, rows))
 
-    bufs = jax.lax.fori_loop(0, k, body, tuple(bufs))
+        bufs = jax.lax.fori_loop(0, k, body, bufs)
     total = offs[k]
     live = jnp.arange(cap_out, dtype=jnp.int32) < total
     outs = tuple(jnp.where(live, b[:cap_out], jnp.asarray(f, b.dtype))
@@ -355,17 +370,28 @@ def chunked_sort_unique(word: Array, payloads: Sequence[Array] = (), *,
 
         # bucket buffers (k, buf_len); piece (i -> b) written at its
         # bucket offset; forward sweep overwrites overrun tails.
-        def body(i, bufs):
-            def inner(b, bufs):
-                piece = jax.lax.dynamic_slice(
-                    ops_rows[i], (lo[i, b],), (c,))
-                b32 = jnp.asarray(b, jnp.int32)
-                return jax.lax.dynamic_update_slice(
-                    bufs, piece[None, :], (b32, poffs[b, i]))
-            return jax.lax.fori_loop(0, k, inner, bufs)
-
+        # Unrolled k x k (static, small): While-loop iterations carry a
+        # large fixed cost on this rig.
         bufs = jnp.full((k, buf_len), fillv, ops_rows.dtype)
-        bufs = jax.lax.fori_loop(0, k, body, bufs)
+        if k <= 16:
+            for i in range(k):
+                for b in range(k):
+                    piece = jax.lax.dynamic_slice(
+                        ops_rows[i], (lo[i, b],), (c,))
+                    bufs = jax.lax.dynamic_update_slice(
+                        bufs, piece[None, :],
+                        (jnp.asarray(b, jnp.int32), poffs[b, i]))
+        else:
+            def body(i, bufs):
+                def inner(b, bufs):
+                    piece = jax.lax.dynamic_slice(
+                        ops_rows[i], (lo[i, b],), (c,))
+                    return jax.lax.dynamic_update_slice(
+                        bufs, piece[None, :],
+                        (jnp.asarray(b, jnp.int32), poffs[b, i]))
+                return jax.lax.fori_loop(0, k, inner, bufs)
+
+            bufs = jax.lax.fori_loop(0, k, body, bufs)
         # mask the final tail of each bucket (garbage from the last
         # overrunning piece write)
         live = (jax.lax.broadcasted_iota(jnp.int32, (k, buf_len), 1)

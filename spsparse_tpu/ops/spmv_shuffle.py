@@ -101,12 +101,22 @@ def prepare_shuffle_spmv(a: SparseCOO, *, ell_k: int = 16
     rebuild for new patterns)."""
     if a.rank != 2:
         spsparse_error(-1, "prepare_shuffle_spmv requires a rank-2 array")
-    ac = a.consolidate((0, 1))
-    nnz = int(ac.nnz)
-    nrows, ncols = (int(s) for s in ac.shape)
-    rows = np.asarray(ac.indices[:nnz, 0], np.int64)
-    cols = np.asarray(ac.indices[:nnz, 1], np.int64)
-    vals = np.asarray(ac.vals[:nnz], np.float32)
+    # host-side consolidation (prepare is eager/host anyway): avoids a
+    # device consolidate whose large-shape program would also force the
+    # x64 question — Pallas grid kernels fail Mosaic lowering when traced
+    # under jax_enable_x64 on this stack (probes/probe_spmv_shuffle_r4)
+    nrows, ncols = (int(s) for s in a.shape)
+    live = np.asarray(a.valid_mask())
+    r0 = np.asarray(a.indices[:, 0], np.int64)[live]
+    c0 = np.asarray(a.indices[:, 1], np.int64)[live]
+    v0 = np.asarray(a.vals, np.float32)[live]
+    key = r0 * ncols + c0
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.zeros(len(uk), np.float32)
+    np.add.at(vals, inv, v0)
+    rows = (uk // ncols).astype(np.int64)
+    cols = (uk % ncols).astype(np.int64)
+    nnz = len(uk)
 
     # ---- destination side: split heavy rows into virtual rows of <= K
     order = np.argsort(rows, kind="stable")
@@ -187,7 +197,10 @@ def prepare_shuffle_spmv(a: SparseCOO, *, ell_k: int = 16
 
 
 def _gather_kernel(oct_ref, x_ref, idx_ref, vals_ref, out_ref):
-    g = jnp.take_along_axis(x_ref[...], idx_ref[0], axis=1)
+    # trace with x64 off: under jax_enable_x64, take_along_axis builds
+    # int64 index helpers internally and Mosaic rejects 64-bit types
+    with jax.enable_x64(False):
+        g = jnp.take_along_axis(x_ref[...], idx_ref[0], axis=1)
     out_ref[0] = vals_ref[0] * g
 
 
@@ -233,7 +246,7 @@ def spmv_shuffle(prep: PreparedShuffleSpMV, x: Array, *,
                                        jnp.float32)])
     from ..core import chunksort
     if dest.shape[0] > chunksort.ENGAGE_ELEMS:
-        sentinel = np.iinfo(np.asarray(prep.dest).dtype).max
+        sentinel = jnp.iinfo(dest.dtype).max
         _, (p_sorted,) = chunksort.chunked_sort_unique(
             dest, (pz,), sentinel=sentinel)
     else:
