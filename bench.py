@@ -215,9 +215,11 @@ def config2c_unstructured(on_cpu: bool) -> dict:
     columns, 10 nnz/row — via the shuffle layout (ops.spmv_shuffle:
     slab lane-gather + compile-bounded static shuffle + ELL reduce).
     Round 3 had no viable path here (XLA gather wall, 0.095-0.13
-    Gnnz/s). The op is bound by the static-shuffle (sort) bandwidth, not
-    streaming traffic, so no pct_of_roofline is reported; the honest
-    metric is nnz/s and the multiple over the gather wall."""
+    Gnnz/s). The op is bound by the static-shuffle sort bandwidth
+    (direct 17M-slot sort at this size; docs/PERFORMANCE.md round-4
+    notes), not streaming traffic, so no pct_of_roofline is reported;
+    the honest metric is nnz/s and the multiple over the gather wall
+    (measured 0.212 Gnnz/s = 2.2x on chip)."""
     from spsparse_tpu import CooBuilder
     from spsparse_tpu.ops.spmv_shuffle import (prepare_shuffle_spmv,
                                                spmv_shuffle)
@@ -602,17 +604,21 @@ def config5_distributed(on_cpu: bool) -> dict:
     return out
 
 
-def extra_configs(on_cpu: bool) -> list[dict]:
+def extra_configs(on_cpu: bool):
+    """Yield each BASELINE config as it completes (generator — callers
+    persist incrementally so a wedged config cannot lose earlier ones)."""
     import traceback
 
-    out = []
-    for name, fn in [("config1", config1_reference_check),
-                     ("config2b", lambda: config2b_multirhs(on_cpu)),
+    # config 1 LAST: its 32-way-vmapped ESC chain is the largest compile
+    # in the suite and the remote-compile service sometimes takes tens of
+    # minutes on it — the perf configs must not be hostage to that.
+    for name, fn in [("config2b", lambda: config2b_multirhs(on_cpu)),
                      ("config2c", lambda: config2c_unstructured(on_cpu)),
                      ("config3", lambda: config3_spmm(on_cpu)),
                      ("config3b", lambda: config3b_packed_general(on_cpu)),
                      ("config4", lambda: config4_spgemm(on_cpu)),
-                     ("config5", lambda: config5_distributed(on_cpu))]:
+                     ("config5", lambda: config5_distributed(on_cpu)),
+                     ("config1", config1_reference_check)]:
         # One config failing (e.g. a tunnel hiccup mid-compile) must not
         # take down the remaining configs or the headline line.
         try:
@@ -621,8 +627,7 @@ def extra_configs(on_cpu: bool) -> list[dict]:
             traceback.print_exc(file=sys.stderr)
             cfg = {"config": name, "error": f"{type(e).__name__}: {e}"}
         if cfg:
-            out.append(cfg)
-    return out
+            yield cfg
 
 
 def write_detail(configs: list[dict], path: str = "bench_detail.json") -> None:
@@ -670,12 +675,15 @@ def main() -> None:
     res = bench_spmv(n, band=5, use_pallas=use_pallas)
 
     detail = [res]
+    write_detail(detail)
     if args.all:
         print(json.dumps(res, indent=1), file=sys.stderr)
         for cfg in extra_configs(on_cpu):
             print(json.dumps(cfg, indent=1), file=sys.stderr)
             detail.append(cfg)
-    write_detail(detail)
+            # incremental: a wedged later config must not lose the
+            # configs already measured
+            write_detail(detail)
 
     headline = {
         "metric": res["metric"],
