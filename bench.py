@@ -345,15 +345,21 @@ def config3_spmm(on_cpu: bool) -> dict:
         init = (jnp.zeros(()), X)
     else:
         esize = 2
-        impl = "pallas_tiled_dense_bf16"
-        prep = prepare_tiled_dense(tl, dtype=jnp.bfloat16)
+        impl = "pallas_tiled_window_bf16"
+        # Round-4 primary path: super-row X-window kernel — X fetched
+        # once per occupied column block instead of once per stored tile
+        # (probes/probe_cfg3_window.py: 61.5-64 us = the READ-stream
+        # speed of light for A payload + X-min + Y, writes overlapped).
+        from spsparse_tpu.ops.pallas_tiled_window import (
+            prepare_tiled_window, spmm_tiled_window_pallas)
+        prep = prepare_tiled_window(tl, group=32)
 
         # prep rides through init (a jit argument): closures become HLO
         # constants and overflow the axon tunnel's remote_compile body
         # limit at large sizes (HTTP 413, probes/probe_cfg34_scale.py).
         def step(state):
             p, Xc = state
-            Y = spmm_tiled_dense_pallas(p, Xc)
+            Y = spmm_tiled_window_pallas(p, Xc)
             eps = (Y[0, 0] * jnp.float32(1e-30)).astype(p.blocks.dtype)
             p2 = dataclasses.replace(
                 p, blocks=p.blocks.at[0, 0, 0, 0].add(eps))
@@ -370,17 +376,24 @@ def config3_spmm(on_cpu: bool) -> dict:
     n_tiles = int(tl.n_tiles)
     fill = nnz / max(n_tiles, 1)
     kind, bw = device_hbm_bandwidth()
+    # X charge: once per OCCUPIED column block — the information-
+    # theoretic minimum a tiled kernel must fetch, and what the window
+    # kernel actually moves. (The round-3 model charged X once per
+    # stored tile; the window kernel measured 128% of that model,
+    # proving the looser charge. Both models' Y term is one f32 pass.)
+    occ_cb = int(np.unique(np.asarray(tl.tile_col)[: n_tiles]).size)
     bytes_moved = (n_tiles * tl.tile_cap * (2 + esize)  # payloads (padded)
-                   + n_tiles * TILE * N * esize  # one X tile/stored tile
-                   + -(-m // TILE) * TILE * N * 4)  # Y (f32)
+                   + occ_cb * TILE * N * esize          # X once/occupied cb
+                   + -(-m // TILE) * TILE * N * 4)      # Y (f32)
     sol_nnz = bw / (bytes_moved / nnz)
     achieved = nnz / t
     return {"config": 3, "name": "spmm_tiled_50nnz_128block", "impl": impl,
             "rows": m, "nnz": nnz, "n_tiles": n_tiles,
             "tile_fill": fill, "tile_cap": tl.tile_cap, "time_s": t,
             "nnz_per_s": achieved,
-            "bytes_model": f"{2 + esize}B/entry tiles + "
-                           f"{esize}B/elem occupied X tiles + Y once (f32)",
+            "bytes_model": f"{2 + esize}B/slot payloads + X once per "
+                           f"occupied column block ({esize}B) + Y once "
+                           "(f32)",
             "pct_of_roofline": 100.0 * achieved / sol_nnz,
             "matrix": "column-local regridding-style (spread 128)"}
 

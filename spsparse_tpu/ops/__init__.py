@@ -10,6 +10,8 @@ from .spmm import spmv, spmm, spmm_bsr
 from .spmv_kernels import spmv_dia, spmv_ell, best_spmv, best_spmm
 from .spmv_shuffle import (PreparedShuffleSpMV, prepare_shuffle_spmv,
                            spmv_shuffle)
+from .pallas_tiled_window import (PreparedTiledWindow, prepare_tiled_window,
+                                  spmm_tiled_window_pallas)
 from .tiled_ops import spmv_tiled, spmm_tiled
 
 __all__ = [
@@ -21,5 +23,7 @@ __all__ = [
     "spmv", "spmm", "spmm_bsr",
     "spmv_dia", "spmv_ell", "best_spmv", "best_spmm",
     "PreparedShuffleSpMV", "prepare_shuffle_spmv", "spmv_shuffle",
+    "PreparedTiledWindow", "prepare_tiled_window",
+    "spmm_tiled_window_pallas",
     "spmv_tiled", "spmm_tiled",
 ]

@@ -1,0 +1,204 @@
+"""Dense-block tiled SpMM with super-row X windows.
+
+The round-2 dense-block kernel (:mod:`.pallas_tiled`) fetches one 128-row
+X tile per STORED tile (manual 32 KB DMAs) — on the config-3 matrix that
+is ~32 MB of X traffic for a matrix whose occupied column blocks only
+span ~21 MB once per super-row. For matrices whose row-blocks touch a
+compact, monotonically advancing column window (regridding /
+conservative-interpolation operators — the config-3 family), this
+variant:
+
+* groups ``G`` consecutive row-blocks into a *super-row* sharing one
+  column window ``[wstart, wstart + Ws)`` (in 128-column blocks);
+* DMAs each window ONCE per super-row (a single ~1-4 MB contiguous
+  transfer, double-buffered across super-row boundaries — large
+  sequential transfers also stream better than 32 KB tile fetches);
+* per row-block, runs the same per-tile dense matmuls, slicing the
+  VMEM-resident window at the tile's (scalar-prefetched) column offset.
+
+HBM traffic: A blocks (dense bf16/f32 tiles, as before) + each window
+once + Y once — the X term drops from ``n_tiles * 32 KB`` to
+``n_super * Ws * 32 KB``. Routing: :func:`prepare_tiled_window` rejects
+matrices whose window would not fit the VMEM budget; callers fall back
+to the per-tile kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.errors import SpSparseError
+from ..core.tiled import SparseTiledCOO, TILE
+
+Array = Any
+
+__all__ = ["PreparedTiledWindow", "prepare_tiled_window",
+           "spmm_tiled_window_pallas"]
+
+# double-buffered window budget (bytes of VMEM for X windows)
+_WINDOW_VMEM_BUDGET = 8 << 20
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedTiledWindow:
+    """Row-grouped dense blocks + per-super-row window table.
+
+    ``offs (nbr*Rt,)`` int32: tile's column-block offset within its
+    super-row window (sentinel -1 = padding slot); ``wstart (nsuper,)``
+    int32 window starts in column blocks; ``blocks (nbr, Rt, T, T)``."""
+
+    wstart: Array = dataclasses.field(metadata=dict(static=False))
+    offs: Array = dataclasses.field(metadata=dict(static=False))
+    blocks: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    group: int = dataclasses.field(metadata=dict(static=True))
+    ws: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nbr(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def tiles_per_row(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def nbc(self) -> int:
+        return -(-self.shape[1] // TILE)
+
+
+def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
+                         dtype=jnp.bfloat16) -> PreparedTiledWindow:
+    """Host-side layout build. Raises :class:`SpSparseError` when any
+    super-row's column span exceeds the VMEM window budget — the caller
+    should fall back to :func:`..pallas_tiled.spmm_tiled_dense_pallas`."""
+    from .pallas_tiled import prepare_tiled_dense
+
+    base = prepare_tiled_dense(tl, dtype=dtype)
+    nbr, Rt = base.tcols.shape
+    nbc = base.nbc
+    tcols = np.asarray(base.tcols)                    # (nbr, Rt), pad nbc
+    nsuper = -(-nbr // group)
+    pad_rows = nsuper * group - nbr
+    if pad_rows:
+        tcols = np.concatenate(
+            [tcols, np.full((pad_rows, Rt), nbc, np.int32)])
+    g = tcols.reshape(nsuper, group * Rt)
+    live = g < nbc
+    any_live = live.any(axis=1)
+    lo = np.where(any_live, np.where(live, g, nbc).min(axis=1), 0)
+    hi = np.where(any_live, np.where(live, g, -1).max(axis=1), 0)
+    ws = int(np.max(np.where(any_live, hi - lo + 1, 1), initial=1))
+    esize = np.dtype(dtype).itemsize
+    if 2 * ws * TILE * TILE * esize > _WINDOW_VMEM_BUDGET:
+        raise SpSparseError(
+            f"prepare_tiled_window: window span {ws} column blocks "
+            f"exceeds the VMEM budget; use the per-tile dense kernel")
+    offs = np.where(tcols[:nbr] < nbc,
+                    tcols[:nbr] - lo[np.arange(nbr) // group][:, None],
+                    -1).astype(np.int32)
+    # clamp window starts so the full Ws window stays in-bounds of the
+    # (padded) X; offsets stay valid because lo >= wstart is preserved
+    wstart = np.minimum(lo, max(nbc - ws, 0)).astype(np.int32)
+    offs = np.where(offs >= 0,
+                    offs + (lo - wstart)[np.arange(nbr) // group][:, None],
+                    -1).astype(np.int32)
+    return PreparedTiledWindow(
+        wstart=jnp.asarray(wstart), offs=jnp.asarray(offs.reshape(-1)),
+        blocks=base.blocks, shape=tl.shape, group=group, ws=ws)
+
+
+def _window_kernel(wstart_ref, offs_ref, blocks_ref, x_hbm, y_ref,
+                   xwin, sem, *, Rt: int, group: int, ws: int,
+                   nsuper: int):
+    b = pl.program_id(0)
+    sr = b // group
+
+    def dma(s):
+        srj = jnp.minimum(s, nsuper - 1)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wstart_ref[srj] * TILE, ws * TILE)],
+            xwin.at[s % 2], sem.at[s % 2])
+
+    # first row-block of the whole grid fetches window 0; the first
+    # row-block of each super-row prefetches the NEXT super's window
+    # (it completes while the current super's G row-blocks compute)
+    @pl.when(b == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(jnp.logical_and(b % group == 0, sr + 1 < nsuper))
+    def _():
+        dma(sr + 1).start()
+
+    @pl.when(b % group == 0)
+    def _():
+        dma(sr).wait()
+
+    prec = (jax.lax.Precision.DEFAULT
+            if blocks_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    acc = jnp.zeros(y_ref.shape, jnp.float32)
+    for t in range(Rt):                       # static unroll, Rt small
+        off = offs_ref[b * Rt + t]
+        sl = xwin[sr % 2, pl.ds(jnp.maximum(off, 0) * TILE, TILE), :]
+        prod = jax.lax.dot_general(
+            blocks_ref[0, t], sl,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc = acc + jnp.where(off >= 0, prod, 0.0)
+    y_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "group", "ws",
+                                             "interpret"))
+def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
+                       group: int, ws: int, interpret: bool) -> Array:
+    nbr, Rt = blocks.shape[0], blocks.shape[1]
+    nsuper = wstart.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, Rt, TILE, TILE),
+                         lambda b, w, o: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),          # X in HBM
+        ],
+        out_specs=pl.BlockSpec((TILE, n_block), lambda b, w, o: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ws * TILE, n_block), blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_window_kernel, Rt=Rt, group=group, ws=ws,
+                          nsuper=nsuper),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block),
+                                       jnp.float32),
+        interpret=interpret,
+    )(wstart, offs, blocks, Xp)
+
+
+def spmm_tiled_window_pallas(prep: PreparedTiledWindow, X: Array, *,
+                             interpret: bool = False) -> Array:
+    """``Y = A @ X`` via the super-row window kernel (f32 output)."""
+    X = jnp.asarray(X)
+    K, N = X.shape
+    nbc = prep.nbc
+    Np = -(-N // TILE) * TILE
+    Xp = jnp.pad(X.astype(prep.blocks.dtype),
+                 ((0, nbc * TILE - K), (0, Np - N)))
+    y = _spmm_tiled_window(prep.wstart, prep.offs, prep.blocks, Xp,
+                           n_block=Np, group=prep.group, ws=prep.ws,
+                           interpret=interpret)
+    return y[: prep.shape[0], :N]

@@ -115,6 +115,11 @@ def best_spmm(a, X: Array, *, interpret: bool | None = None) -> Array:
     from .spmm import spmm as _spmm_generic, spmm_bsr
 
     interp = (not _on_tpu()) if interpret is None else interpret
+    from .pallas_tiled_window import (PreparedTiledWindow,
+                                      spmm_tiled_window_pallas)
+
+    if isinstance(a, PreparedTiledWindow):
+        return spmm_tiled_window_pallas(a, X, interpret=interp)
     if isinstance(a, PreparedGeneral):
         return spmm_general(a, X, interpret=interp)
     if isinstance(a, PreparedTiledDense):
