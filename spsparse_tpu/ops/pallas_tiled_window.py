@@ -189,16 +189,58 @@ def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
     )(wstart, offs, blocks, Xp)
 
 
+# --- autodiff: forward = window kernel; backward delegates to the
+# dense-block kernel's batched-matmul VJP math by reconstructing the
+# global tile column ids from (offs, wstart) — identical kernel math
+# (y3[b] += blocks[b,t] @ Xtile(tc[b,t])), so the cotangents coincide.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _window_ad(wstart, offs, blocks, Xp, n_block: int, group: int,
+               ws: int, nbc: int, interpret: bool):
+    return _spmm_tiled_window(wstart, offs, blocks, Xp, n_block=n_block,
+                              group=group, ws=ws, interpret=interpret)
+
+
+def _window_tcols(wstart, offs, nbr, Rt, group, nbc):
+    o2 = offs.reshape(nbr, Rt)
+    base = wstart[(jnp.arange(nbr) // group)][:, None]
+    return jnp.where(o2 >= 0, o2 + base, nbc).astype(jnp.int32)
+
+
+def _window_ad_fwd(wstart, offs, blocks, Xp, n_block, group, ws, nbc,
+                   interpret):
+    y = _window_ad(wstart, offs, blocks, Xp, n_block, group, ws, nbc,
+                   interpret)
+    return y, (wstart, offs, blocks, Xp)
+
+
+def _window_ad_bwd(n_block, group, ws, nbc, interpret, res, g):
+    from .pallas_tiled import _spmm_tiled_dense_ad_bwd
+
+    wstart, offs, blocks, Xp = res
+    nbr, Rt = blocks.shape[0], blocks.shape[1]
+    tcols = _window_tcols(wstart, offs, nbr, Rt, group, nbc)
+    _, d_blocks, d_Xp = _spmm_tiled_dense_ad_bwd(
+        n_block, nbc, interpret, (tcols, blocks, Xp), g)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (f0(wstart), f0(offs), d_blocks, d_Xp)
+
+
+_window_ad.defvjp(_window_ad_fwd, _window_ad_bwd)
+
+
 def spmm_tiled_window_pallas(prep: PreparedTiledWindow, X: Array, *,
                              interpret: bool = False) -> Array:
-    """``Y = A @ X`` via the super-row window kernel (f32 output)."""
+    """``Y = A @ X`` via the super-row window kernel (f32 output).
+    Differentiable w.r.t. ``prep.blocks`` and ``X`` (custom VJP shared
+    with the dense-block kernel's batched-matmul backward)."""
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
     Np = -(-N // TILE) * TILE
     Xp = jnp.pad(X.astype(prep.blocks.dtype),
                  ((0, nbc * TILE - K), (0, Np - N)))
-    y = _spmm_tiled_window(prep.wstart, prep.offs, prep.blocks, Xp,
-                           n_block=Np, group=prep.group, ws=prep.ws,
-                           interpret=interpret)
+    y = _window_ad(prep.wstart, prep.offs, prep.blocks, Xp, Np,
+                   prep.group, prep.ws, nbc, interpret)
     return y[: prep.shape[0], :N]

@@ -42,7 +42,10 @@ class TestPrepareGeneral:
         scattered = random_coo(rng, (4096, 32768), 32768)
         assert prepare_general(scattered).kernel == "gather"
         dense_ish = local_coo(rng, 512, 50)                # fill >> 64
-        assert prepare_general(dense_ish).kernel == "dense_block"
+        # column-local + dense fill routes to the super-row window
+        # kernel (round 4); wide-window layouts fall back to dense_block
+        assert prepare_general(dense_ish).kernel in ("dense_window",
+                                                     "dense_block")
         # mid fill (GATHER..DENSE window): 40 entries in each diagonal tile
         bld = CooBuilder((512, 512), dtype=np.float32)
         for blk in range(4):
@@ -112,7 +115,7 @@ class TestPrepareGeneral:
     def test_bf16_mode(self, rng):
         A = local_coo(rng, 256, 40)
         pg = prepare_general(A, dtype=jnp.bfloat16)
-        assert pg.kernel == "dense_block"
+        assert pg.kernel in ("dense_window", "dense_block")
         X = rng.uniform(-1, 1, (A.shape[1], 64)).astype(np.float32)
         Y = spmm_general(pg, jnp.asarray(X), interpret=True)
         np.testing.assert_allclose(np.asarray(Y),
