@@ -458,10 +458,20 @@ def config3b_packed_general(on_cpu: bool) -> dict:
                     reps=3 if on_cpu else 5, u_lo=2, u_hi=6 if on_cpu else 10)
     nnz = rr.size
     kind, bw = device_hbm_bandwidth()
+    from spsparse_tpu.ops.pallas_tiled_window import PreparedTiledWindow
     if isinstance(pg.prep, PreparedGather):
         # row-gather layout: one 512B X row per entry + entry payload + Y
         n_tiles = 0
         bytes_moved = (nnz * (4 + 4 + 4) + nnz * N * 4
+                       + -(-m // TILE) * TILE * N * 4)
+    elif isinstance(pg.prep, PreparedTiledWindow):
+        # window layout: dense per-tile payloads + one window per
+        # super-row + Y once
+        p = pg.prep
+        esize = np.dtype(p.blocks.dtype).itemsize
+        n_tiles = int(np.sum(np.asarray(p.offs) >= 0))
+        bytes_moved = (p.blocks.size * esize
+                       + p.wstart.shape[0] * p.ws * TILE * N * esize
                        + -(-m // TILE) * TILE * N * 4)
     else:
         if isinstance(pg.prep, PreparedTiledDense):
