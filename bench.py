@@ -735,6 +735,14 @@ def write_detail(configs: list[dict], path: str = "bench_detail.json") -> None:
     fp = globals().get("__file__")
     base = os.path.dirname(os.path.abspath(fp)) if fp else os.getcwd()
     out = target if os.path.isabs(target) else os.path.join(base, target)
+    # a headline-only run must not clobber a richer --all artifact
+    try:
+        with open(out) as f:
+            existing = json.load(f)
+        if len(existing.get("configs", [])) > len(configs):
+            return
+    except Exception:
+        pass
     try:
         with open(out, "w") as f:
             json.dump(doc, f, indent=1)
