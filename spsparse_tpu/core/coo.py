@@ -420,15 +420,6 @@ class SparseCOO:
         immutable pytrees make this a metadata-level operation)."""
         return dataclasses.replace(self)
 
-    def __matmul__(self, other):
-        """Operator sugar: ``A @ B`` — sparse x sparse => SpGEMM (new
-        SparseCOO); sparse x dense array => dense SpMV/SpMM result."""
-        from ..ops.spgemm import spgemm
-        from ..ops.spmm import spmm as _spmm
-        if isinstance(other, SparseCOO):
-            return spgemm(self, other)
-        return _spmm(self, other)
-
     # ------------------------------------------------------------------
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         try:

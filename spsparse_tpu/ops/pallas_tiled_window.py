@@ -41,7 +41,7 @@ from ..core.tiled import SparseTiledCOO, TILE
 Array = Any
 
 __all__ = ["PreparedTiledWindow", "prepare_tiled_window",
-           "spmm_tiled_window_pallas"]
+           "spmm_tiled_window_pallas", "to_tiled_dense"]
 
 # double-buffered window budget (bytes of VMEM for X windows)
 _WINDOW_VMEM_BUDGET = 8 << 20
@@ -77,10 +77,18 @@ class PreparedTiledWindow:
 
 
 def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
-                         dtype=jnp.bfloat16) -> PreparedTiledWindow:
+                         dtype=jnp.bfloat16,
+                         n_cols_rhs: int = TILE) -> PreparedTiledWindow:
     """Host-side layout build. Raises :class:`SpSparseError` when any
     super-row's column span exceeds the VMEM window budget — the caller
-    should fall back to :func:`..pallas_tiled.spmm_tiled_dense_pallas`."""
+    should fall back to :func:`..pallas_tiled.spmm_tiled_dense_pallas`.
+
+    ``n_cols_rhs`` is the expected RHS width for the budget check: the
+    kernel scratch is ``(2, ws*TILE, Np)`` where ``Np`` is the padded RHS
+    width, so a wide X multiplies the window footprint (ADVICE r4). The
+    check here uses the stated width; :func:`spmm_tiled_window_pallas`
+    re-checks with the *actual* width at call time and falls back to the
+    per-tile dense kernel instead of failing Mosaic compilation."""
     from .pallas_tiled import prepare_tiled_dense
 
     base = prepare_tiled_dense(tl, dtype=dtype)
@@ -99,10 +107,12 @@ def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
     hi = np.where(any_live, np.where(live, g, -1).max(axis=1), 0)
     ws = int(np.max(np.where(any_live, hi - lo + 1, 1), initial=1))
     esize = np.dtype(dtype).itemsize
-    if 2 * ws * TILE * TILE * esize > _WINDOW_VMEM_BUDGET:
+    np_rhs = -(-int(n_cols_rhs) // TILE) * TILE
+    if 2 * ws * TILE * np_rhs * esize > _WINDOW_VMEM_BUDGET:
         raise SpSparseError(
             f"prepare_tiled_window: window span {ws} column blocks "
-            f"exceeds the VMEM budget; use the per-tile dense kernel")
+            f"x RHS width {np_rhs} exceeds the VMEM budget; use the "
+            "per-tile dense kernel")
     offs = np.where(tcols[:nbr] < nbc,
                     tcols[:nbr] - lo[np.arange(nbr) // group][:, None],
                     -1).astype(np.int32)
@@ -230,15 +240,40 @@ def _window_ad_bwd(n_block, group, ws, nbc, interpret, res, g):
 _window_ad.defvjp(_window_ad_fwd, _window_ad_bwd)
 
 
+def to_tiled_dense(prep: PreparedTiledWindow):
+    """Reconstruct the per-tile dense layout from a window layout (the
+    window layout is the dense layout plus a window table): global tile
+    column ids from (offs, wstart). Used by the call-time VMEM fallback
+    and usable by callers that want both layouts from one prepare."""
+    from .pallas_tiled import PreparedTiledDense
+
+    nbr, Rt = prep.blocks.shape[0], prep.blocks.shape[1]
+    tcols = _window_tcols(prep.wstart, prep.offs, nbr, Rt, prep.group,
+                          prep.nbc)
+    return PreparedTiledDense(tcols=tcols, blocks=prep.blocks,
+                              shape=prep.shape)
+
+
 def spmm_tiled_window_pallas(prep: PreparedTiledWindow, X: Array, *,
                              interpret: bool = False) -> Array:
     """``Y = A @ X`` via the super-row window kernel (f32 output).
     Differentiable w.r.t. ``prep.blocks`` and ``X`` (custom VJP shared
-    with the dense-block kernel's batched-matmul backward)."""
+    with the dense-block kernel's batched-matmul backward).
+
+    When the double-buffered window scratch ``(2, ws*TILE, Np)`` would
+    exceed the VMEM budget for this call's *actual* padded RHS width
+    (prepare-time checks can only assume a width — ADVICE r4), delegates
+    to the per-tile dense kernel instead of failing Mosaic compilation."""
     X = jnp.asarray(X)
     K, N = X.shape
     nbc = prep.nbc
     Np = -(-N // TILE) * TILE
+    esize = np.dtype(prep.blocks.dtype).itemsize
+    if 2 * prep.ws * TILE * Np * esize > _WINDOW_VMEM_BUDGET:
+        from .pallas_tiled import spmm_tiled_dense_pallas
+
+        return spmm_tiled_dense_pallas(to_tiled_dense(prep), X,
+                                       interpret=interpret)
     Xp = jnp.pad(X.astype(prep.blocks.dtype),
                  ((0, nbc * TILE - K), (0, Np - N)))
     y = _window_ad(prep.wstart, prep.offs, prep.blocks, Xp, Np,

@@ -189,6 +189,120 @@ class TestConsolidateChunkedIntegration:
                                    rtol=1e-12, atol=1e-12)
 
 
+class TestAutoRoutingGlue:
+    """ADVICE r4: the production ENGAGE_ELEMS routing glue (threshold,
+    x64 gate, exts_key_plan_max bit check) — not just the chunked
+    primitives — must be pinned end to end. Spies assert the chunked
+    route actually engaged (or deliberately did not)."""
+
+    def _build(self, nnz=600, seed=0, dtype=np.float64):
+        from spsparse_tpu import CooBuilder
+        rng = np.random.default_rng(seed)
+        b = CooBuilder((41, 59), dtype=dtype)
+        b.add_many(np.stack([rng.integers(0, 41, nnz),
+                             rng.integers(0, 59, nnz)], 1),
+                   rng.uniform(-1, 1, nnz).astype(dtype))
+        return b.build()
+
+    def test_x64_route_uses_chunked_primary_sort(self, monkeypatch):
+        from spsparse_tpu import DuplicatePolicy, consolidate
+        from spsparse_tpu.core import chunksort
+        A = self._build()
+        ref = consolidate(A, None, DuplicatePolicy.ADD, False)
+        calls = {"sort": 0, "compact": 0}
+        orig_sort = chunksort.chunked_sort_unique
+        orig_comp = chunksort.chunked_compact_select
+
+        def spy_sort(*a, **k):
+            calls["sort"] += 1
+            return orig_sort(*a, **k)
+
+        def spy_comp(*a, **k):
+            calls["compact"] += 1
+            return orig_comp(*a, **k)
+
+        monkeypatch.setattr(chunksort, "chunked_sort_unique", spy_sort)
+        monkeypatch.setattr(chunksort, "chunked_compact_select", spy_comp)
+        monkeypatch.setattr(chunksort, "CHUNK_ELEMS", 64)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 128)
+        assert jax.config.jax_enable_x64  # conftest enables x64
+        got = consolidate(A, None, DuplicatePolicy.ADD, False)
+        # with x64 on, the PRIMARY sort routes through the chunked PSRS
+        assert calls["sort"] >= 1
+        assert calls["compact"] >= 1
+        m = int(ref.nnz)
+        assert int(got.nnz) == m
+        np.testing.assert_array_equal(np.asarray(got.indices)[:m],
+                                      np.asarray(ref.indices)[:m])
+        np.testing.assert_array_equal(np.asarray(got.vals)[:m],
+                                      np.asarray(ref.vals)[:m])
+
+    def test_non_x64_route_chunks_compaction_only(self, monkeypatch):
+        """Without x64 the composite (key, position) word cannot be
+        built: the primary sort must stay monolithic (stable lax.sort)
+        while compaction still chunks — and results stay exact."""
+        from spsparse_tpu import DuplicatePolicy, consolidate
+        from spsparse_tpu.core import chunksort
+        A = self._build(dtype=np.float32)
+        ref = consolidate(A, None, DuplicatePolicy.ADD, False)
+        calls = {"sort": 0, "compact": 0}
+        orig_sort = chunksort.chunked_sort_unique
+        orig_comp = chunksort.chunked_compact_select
+
+        def spy_sort(*a, **k):
+            calls["sort"] += 1
+            return orig_sort(*a, **k)
+
+        def spy_comp(*a, **k):
+            calls["compact"] += 1
+            return orig_comp(*a, **k)
+
+        monkeypatch.setattr(chunksort, "chunked_sort_unique", spy_sort)
+        monkeypatch.setattr(chunksort, "chunked_compact_select", spy_comp)
+        monkeypatch.setattr(chunksort, "CHUNK_ELEMS", 64)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 128)
+        with jax.enable_x64(False):
+            A32 = self._build(dtype=np.float32)
+            got = consolidate(A32, None, DuplicatePolicy.ADD, False)
+            assert calls["sort"] == 0      # x64 gate held
+            assert calls["compact"] >= 1   # compaction still chunked
+            m = int(got.nnz)
+        assert m == int(ref.nnz)
+        np.testing.assert_array_equal(np.asarray(got.indices)[:m],
+                                      np.asarray(ref.indices)[:m])
+        np.testing.assert_allclose(np.asarray(got.vals)[:m],
+                                   np.asarray(ref.vals)[:m], rtol=1e-6)
+
+    def test_key_plan_bit_check_blocks_chunked_sort(self, monkeypatch):
+        """When extents are too wide for (key << pos_bits) to fit 62
+        bits, the composite-key PSRS must NOT engage (fallback sort)."""
+        from spsparse_tpu.core import chunksort
+        from spsparse_tpu.core.consolidate import _stable_word_sort
+        calls = {"sort": 0}
+        orig_sort = chunksort.chunked_sort_unique
+
+        def spy_sort(*a, **k):
+            calls["sort"] += 1
+            return orig_sort(*a, **k)
+
+        monkeypatch.setattr(chunksort, "chunked_sort_unique", spy_sort)
+        monkeypatch.setattr(chunksort, "ENGAGE_ELEMS", 32)
+        n = 100
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+        v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        # plan max so large the shifted composite cannot fit 62 bits
+        out = _stable_word_sort((w,), (v,), exts_key_plan_max=1 << 60)
+        assert calls["sort"] == 0
+        np.testing.assert_array_equal(np.asarray(out[0]),
+                                      np.sort(np.asarray(w)))
+        # and a narrow plan DOES engage
+        out2 = _stable_word_sort((w,), (v,), exts_key_plan_max=1 << 41)
+        assert calls["sort"] == 1
+        np.testing.assert_array_equal(np.asarray(out2[0]),
+                                      np.sort(np.asarray(w)))
+
+
 class TestChunkedScans:
     @pytest.mark.parametrize("seed", range(3))
     @pytest.mark.parametrize("chunk", [9, 100, 1 << 20])
