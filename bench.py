@@ -505,117 +505,147 @@ def config3b_packed_general(on_cpu: bool) -> dict:
 
 
 def config4_spgemm(on_cpu: bool) -> dict:
-    """Config 4: SpGEMM A A^T on the regridding-style matrix.
+    """Config 4: SpGEMM A A^T on the regridding-style matrix — round-5
+    form per VERDICT r4 items 1+3: genuinely IRREGULAR row lengths
+    (capped-zipf mixture) at 2^17 rows (large enough that operands and
+    the output band cannot be VMEM-resident, so the streaming model is
+    honest — at 2^15 XLA keeps the whole working set in this chip's
+    large VMEM and any HBM roofline reads as impossible; measured,
+    probes/probe_cfg4_window_r5b.py).
 
-    Primary path (round 2): tiled MXU SpGEMM — host-planned 128x128
-    block-pair matmuls accumulated per output tile (no per-product sort).
-    Bytes model: 2 operand tiles per pair + each output tile once, f32.
-    ``extract_to_coo_s`` prices the optional block->COO extraction.
-    The general-purpose ESC path (sort-bound; the only option for
-    matrices without block structure) is reported alongside."""
+    Primary path (round 5): the rolling-window band kernel
+    (ops.spgemm_window) — operand block rows streamed ONCE per
+    super-group as multi-MB contiguous DMAs; 4.2x over the round-2/4
+    pair-stream kernel at this scale. Roofline: the kernel overlaps its
+    read and write streams (measured on this chip for both this kernel
+    and the config-3 window kernel), so speed-of-light is
+    ``max(read_bytes, write_bytes) / BW`` joined with the MXU floor
+    ``n_dots * per-dot peak`` (bf16 21.3 ns = 98.5 TMAC/s book; f32
+    HIGHEST 6-pass = 127.8 ns). The pair kernel and the general ESC
+    path are reported alongside."""
     import dataclasses
 
     from spsparse_tpu.core.tiled import to_tiled, TILE
+    from spsparse_tpu.ops.pallas_tiled import prepare_tiled_dense
     from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps
     from spsparse_tpu.ops.spgemm_tiled import (
-        TiledBlocks, densify_tiled, plan_tiled_spgemm, spgemm_tiled_xla,
-        _spgemm_tiled_pallas, tiled_blocks_to_coo)
+        densify_tiled, plan_tiled_spgemm, spgemm_tiled_xla,
+        _spgemm_tiled_pallas)
+    from spsparse_tpu.ops.spgemm_window import (plan_window_spgemm,
+                                                spgemm_window_pallas)
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import (device_hbm_bandwidth,
                                              spgemm_esc_stats)
 
     rng = np.random.default_rng(0)
-    n_dst = 1 << 12 if on_cpu else 1 << 15
-    per = 4
-    r = np.repeat(np.arange(n_dst), per)
+    n_dst = 1 << 12 if on_cpu else 1 << 17
+    # Irregular row lengths: capped zipf(2.0) — most rows 1-3 entries,
+    # a heavy tail to 24 (BASELINE: "irregular row lengths"); column
+    # locality stays regridding-style (c ~ 2r + jitter).
+    k = np.minimum(rng.zipf(2.0, n_dst), 24).astype(np.int64)
+    r = np.repeat(np.arange(n_dst), k)
     c = np.minimum(r * 2 + rng.integers(0, 3, r.size), n_dst * 2 - 1)
     from spsparse_tpu import CooBuilder
     b = CooBuilder((n_dst, n_dst * 2), dtype=np.float32)
     b.add_many(np.stack([r, c], 1), rng.uniform(0, 1, r.size))
     A = b.build()
     expand_cap, out_cap = plan_spgemm_caps(A, A, transpose_b=True)
-
-    # --- tiled MXU path (primary) ---
-    ta = densify_tiled(to_tiled(A))
-    plan = plan_tiled_spgemm(ta, ta, transpose_b=True)
-    P, Tout = plan.n_pairs, plan.n_out_tiles
-    pa, pb, oid = (jnp.asarray(plan.pa), jnp.asarray(plan.pb),
-                   jnp.asarray(plan.oid))
-
-    def gemm(blocks):
-        if on_cpu:
-            a = dataclasses.replace(ta, blocks=blocks)
-            return spgemm_tiled_xla(a, a, plan).blocks
-        return _spgemm_tiled_pallas(blocks, blocks, pa, pb, oid,
-                                    transpose_b=True, n_out=Tout,
-                                    interpret=False)
-
-    def step(blocks):
-        out = gemm(blocks)
-        eps = (out[0, 0, 0] * jnp.float32(1e-30)).astype(blocks.dtype)
-        return blocks.at[0, 0, 0].add(eps)
-
-    # Primary on-chip mode (round 4): bf16 operand blocks with f32 MXU
-    # accumulation — the same mixed mode as config 3; the serpentine pair
-    # order (plan_tiled_spgemm) lets Mosaic skip boundary A-tile refetches
-    # (probes/probe_cfg4_r4.py: 71.5% bf16 vs 68.7% round 3). f32 blocks
-    # (6-pass HIGHEST) are reported alongside.
-    bench_blocks = ta.blocks if on_cpu else ta.blocks.astype(jnp.bfloat16)
-    esize4 = 4 if on_cpu else 2
-    if on_cpu:
-        t = bench_slope(step, bench_blocks, iters=8, reps=5, u_lo=2,
-                        u_hi=10)
-        t_f32 = t
-    else:
-        fetch4 = lambda bl: float(jnp.sum(bl.astype(jnp.float32)))
-        t = wide_slope(step, bench_blocks, fetch4)
-        t_f32 = wide_slope(step, ta.blocks, fetch4)
-    out_blocks = gemm(ta.blocks)
-    tb = TiledBlocks(tile_row=jnp.asarray(plan.out_tile_row),
-                     tile_col=jnp.asarray(plan.out_tile_col),
-                     blocks=out_blocks, shape=plan.out_shape)
-    nnz_out = int(jnp.sum(out_blocks != 0))
-    ex_cap = max(1, 1 << (nnz_out - 1).bit_length()) if nnz_out else 1
-
-    def step_ex(blocks):
-        tb2 = dataclasses.replace(tb, blocks=blocks)
-        coo = tiled_blocks_to_coo(tb2, cap=ex_cap)
-        eps = (coo.vals[0] * jnp.float32(1e-30)).astype(blocks.dtype)
-        return blocks.at[0, 0, 0].add(eps)
-
-    t_ex = bench_slope(step_ex, out_blocks, iters=8, reps=3, u_lo=2,
-                       u_hi=6)
-    tile_b = TILE * TILE
-    bytes_tiled = P * 2 * tile_b * esize4 + Tout * tile_b * 4
-    bytes_tiled_f32 = P * 2 * tile_b * 4 + Tout * tile_b * 4
+    tl = to_tiled(A)
     kind, bw = device_hbm_bandwidth()
-    achieved = expand_cap / t
-    sol_tiled = expand_cap / (bytes_tiled / bw)
-    sol_tiled_f32 = expand_cap / (bytes_tiled_f32 / bw)
+    tile_b = TILE * TILE
 
-    # --- ESC path (general-purpose; secondary) ---
+    def window_arm(dtype):
+        prep = prepare_tiled_dense(tl, dtype=dtype)
+        plan = plan_window_spgemm(prep.tcols, prep.tcols, nbc=prep.nbc,
+                                  out_shape=(n_dst, n_dst), group=8,
+                                  dtype=dtype)
+
+        def step(blocks):
+            band = spgemm_window_pallas(plan, blocks,
+                                        interpret=bool(on_cpu))
+            eps = (band[0, 0, 0, 0] * jnp.float32(1e-30)).astype(
+                blocks.dtype)
+            return blocks.at[0, 0, 0, 0].add(eps)
+
+        if on_cpu:
+            t = bench_slope(step, prep.blocks, iters=4, reps=3, u_lo=1,
+                            u_hi=3)
+        else:
+            t = wide_slope(step, prep.blocks, lambda bl: float(
+                jnp.sum(bl.astype(jnp.float32))))
+        esize = np.dtype(dtype).itemsize
+        read_b = plan.nsuper * plan.wrows * prep.tcols.shape[1] \
+            * tile_b * esize
+        write_b = plan.nbr_pad * plan.nband * tile_b * 4
+        per_dot = 21.3e-9 if dtype == jnp.bfloat16 else 127.8e-9
+        sol_t = max(max(read_b, write_b) / bw, plan.n_dots * per_dot)
+        return t, plan, read_b, write_b, sol_t
+
+    dt_main = jnp.float32 if on_cpu else jnp.bfloat16
+    t, plan, read_b, write_b, sol_t = window_arm(dt_main)
+    if on_cpu:
+        t_f32, sol_f32 = t, sol_t
+    else:
+        t_f32, _, _, _, sol_f32 = window_arm(jnp.float32)
+
+    # --- pair-stream kernel (round-2/4 path, for comparison) ---
+    ta = densify_tiled(tl, dtype=dt_main)
+    pplan = plan_tiled_spgemm(ta, ta, transpose_b=True)
+    P, Tout = pplan.n_pairs, pplan.n_out_tiles
+    if on_cpu:
+        def step_pair(blocks):
+            a = dataclasses.replace(ta, blocks=blocks)
+            out = spgemm_tiled_xla(a, a, pplan).blocks
+            eps = (out[0, 0, 0] * jnp.float32(1e-30)).astype(blocks.dtype)
+            return blocks.at[0, 0, 0].add(eps)
+
+        t_pair = bench_slope(step_pair, ta.blocks, iters=4, reps=3,
+                             u_lo=1, u_hi=3)
+    else:
+        pa, pb, oid = (jnp.asarray(pplan.pa), jnp.asarray(pplan.pb),
+                       jnp.asarray(pplan.oid))
+
+        def step_pair(blocks):
+            out = _spgemm_tiled_pallas(blocks, blocks, pa, pb, oid,
+                                       transpose_b=True, n_out=Tout,
+                                       interpret=False)
+            eps = (out[0, 0, 0] * jnp.float32(1e-30)).astype(blocks.dtype)
+            return blocks.at[0, 0, 0].add(eps)
+
+        t_pair = wide_slope(step_pair, ta.blocks, lambda bl: float(
+            jnp.sum(bl.astype(jnp.float32))))
+
+    # --- ESC path (general-purpose; the only option without block
+    # structure) ---
     def step_esc(a):
         res = spgemm_aat(a, cap=out_cap, expand_cap=expand_cap)
         eps = jnp.sum(res.vals) * jnp.float32(1e-38)
         return dataclasses.replace(a, vals=a.vals + eps)
 
-    t_esc = bench_slope(step_esc, A, iters=8, reps=3, u_lo=2, u_hi=6)
-    stats = spgemm_esc_stats(r.size, r.size, expand_cap, nnz_out)
+    t_esc = bench_slope(step_esc, A, iters=4, reps=3, u_lo=1, u_hi=3)
+    stats = spgemm_esc_stats(r.size, r.size, expand_cap, out_cap)
     sol_esc = stats.sol_nnz_per_s(bw)
 
-    return {"config": 4, "name": "spgemm_aat_regrid", "nnz_a": r.size,
-            "products": expand_cap, "nnz_out": nnz_out,
-            "impl": ("tiled_mxu (xla)" if on_cpu
-                     else "tiled_mxu (pallas, bf16 blocks/f32 accum)"),
-            "tile_pairs": P, "out_tiles": Tout,
+    achieved = expand_cap / t
+    return {"config": 4, "name": "spgemm_aat_regrid_irregular",
+            "rows": n_dst, "nnz_a": int(r.size),
+            "row_lengths": "zipf(2.0) capped 24 "
+                           f"(mean {r.size / n_dst:.2f}, max {int(k.max())})",
+            "products": expand_cap,
+            "impl": ("window_band (xla-interpret)" if on_cpu
+                     else "window_band (pallas, bf16 blocks/f32 accum)"),
+            "band_W": plan.W, "n_dots": plan.n_dots, "tile_pairs": P,
+            "out_tiles": Tout,
             "time_s": t, "products_per_s": achieved,
-            "bytes_model": "tiled: 2 operand tiles/pair (block dtype) "
-                           "+ out tiles f32",
-            "pct_of_roofline": 100.0 * achieved / sol_tiled,
+            "bytes_model": "window: operand rows once/super-group (read) "
+                           "|| out band f32 (write, overlapped); "
+                           "sol = max(read, write, mxu_dots)",
+            "read_bytes": read_b, "write_bytes": write_b,
+            "pct_of_roofline": 100.0 * sol_t / t,
             "f32_time_s": t_f32,
-            "f32_pct_of_roofline":
-                100.0 * (expand_cap / t_f32) / sol_tiled_f32,
-            "extract_to_coo_s": t_ex,
+            "f32_pct_of_roofline": 100.0 * sol_f32 / t_f32,
+            "pair_kernel_time_s": t_pair,
+            "window_speedup_vs_pair": t_pair / t,
             "esc_time_s": t_esc,
             "esc_products_per_s": expand_cap / t_esc,
             "esc_pct_of_roofline": 100.0 * (expand_cap / t_esc) / sol_esc}

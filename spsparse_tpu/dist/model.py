@@ -23,7 +23,8 @@ from __future__ import annotations
 import dataclasses
 
 __all__ = ["RingModel", "ring_weak_scaling_efficiency",
-           "halo_weak_scaling_efficiency"]
+           "halo_weak_scaling_efficiency", "a2a_weak_scaling_efficiency",
+           "a2a_footprint_for_target", "uniform_footprint"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,3 +93,64 @@ def halo_weak_scaling_efficiency(nnz_local: int, rows_local: int,
     t_compute = bytes_local / (hbm_gbs * 1e9)
     t_halo = 2 * halo * n_rhs * dtype_bytes / (ici_gbs * 1e9)
     return t_compute / (t_compute + t_halo)
+
+
+def a2a_weak_scaling_efficiency(nnz_local: int, rows_local: int,
+                                footprint_local: int, n_devices: int, *,
+                                n_rhs: int = 1,
+                                bytes_per_entry: float = 8.0,
+                                dtype_bytes: float = 4.0,
+                                hbm_gbs: float = 819.0,
+                                ici_gbs: float = 90.0) -> float:
+    """Weak-scaling efficiency of
+    :func:`~spsparse_tpu.dist.spmv_a2a.dist_spmv_a2a`.
+
+    Per-device comm is the device's column FOOTPRINT (the x values its
+    entries actually read) — independent of P once the footprint is, vs
+    the ring's ``(P-1) * rows_local``. Owner-side gather traffic
+    (``footprint * (4 + dtype)`` through HBM, symmetric send≈receive) is
+    charged to compute; the all_to_all itself is conservatively serial
+    with compute. Meets >=80% iff
+    ``footprint <= 0.25 * t_compute * ici_bw / (n_rhs * dtype)`` — for
+    the config-2 workload (11 nnz/row, 1M rows/device) that is a
+    footprint of ~0.7M values/device. Footprint-bounded operators
+    (regridding: footprint ~ local coupling width) qualify at any P; a
+    UNIFORM-random matrix's footprint is ``~min(nnz_local, ncols)``
+    (:func:`uniform_footprint`) which honestly cannot meet the target —
+    ~0.2 at P=64 for config 2c — though it still beats the ring ~5x
+    there (ring: 0.04)."""
+    if n_devices <= 1:
+        return 1.0
+    bytes_local = (nnz_local * bytes_per_entry
+                   + 2 * rows_local * n_rhs * dtype_bytes)
+    t_compute = bytes_local / (hbm_gbs * 1e9)
+    # owner-side gather of the outgoing footprint (index + value reads)
+    t_gather = footprint_local * (4.0 + dtype_bytes) * n_rhs / (hbm_gbs * 1e9)
+    t_comm = footprint_local * n_rhs * dtype_bytes / (ici_gbs * 1e9)
+    return t_compute / (t_compute + t_gather + t_comm)
+
+
+def a2a_footprint_for_target(nnz_local: int, rows_local: int, *,
+                             target: float = 0.8, n_rhs: int = 1,
+                             bytes_per_entry: float = 8.0,
+                             dtype_bytes: float = 4.0,
+                             hbm_gbs: float = 819.0,
+                             ici_gbs: float = 90.0) -> int:
+    """Largest per-device footprint that still meets ``target`` weak
+    scaling under :func:`a2a_weak_scaling_efficiency` (binary search on
+    the closed-form denominator)."""
+    bytes_local = (nnz_local * bytes_per_entry
+                   + 2 * rows_local * n_rhs * dtype_bytes)
+    t_compute = bytes_local / (hbm_gbs * 1e9)
+    slack = t_compute * (1.0 / target - 1.0)
+    per_val = (n_rhs * ((4.0 + dtype_bytes) / (hbm_gbs * 1e9)
+                        + dtype_bytes / (ici_gbs * 1e9)))
+    return int(slack / per_val)
+
+
+def uniform_footprint(nnz_local: int, ncols_global: int) -> int:
+    """Expected distinct columns touched by ``nnz_local`` uniform-random
+    draws over ``ncols_global`` columns (the a2a worst case)."""
+    import math
+    lam = nnz_local / max(ncols_global, 1)
+    return int(ncols_global * (1.0 - math.exp(-lam)))

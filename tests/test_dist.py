@@ -609,3 +609,92 @@ class TestDistBatchedCG:
         np.testing.assert_allclose(
             np.asarray(X).reshape(-1, k)[:n], np.linalg.solve(D, B),
             rtol=1e-9, atol=1e-11)
+
+
+class TestDistSpmvA2A:
+    """Footprint-exchange SpMV/SpMM (round 5, VERDICT r4 item 7)."""
+
+    def _scattered(self, rng, n=96, ncols=128, k=5):
+        b = CooBuilder((n, ncols), dtype=np.float64)
+        rows = np.repeat(np.arange(n), k)
+        cols = rng.integers(0, ncols, rows.size)
+        b.add_many(np.stack([rows, cols], 1),
+                   rng.uniform(-1, 1, rows.size))
+        return b.build()
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_spmv_matches_dense(self, seed):
+        from spsparse_tpu.dist import dist_spmv_a2a, partition_footprint
+        rng = np.random.default_rng(seed)
+        A = self._scattered(rng)
+        part = partition_footprint(A, 8)
+        x = rng.uniform(-1, 1, A.shape[1])
+        xp = partition_vector(x, 8)
+        y = dist_spmv_a2a(part, xp, make_mesh())
+        want = np.asarray(A.to_dense()) @ np.asarray(xp).reshape(-1)[
+            : A.shape[1]]
+        got = np.asarray(y).reshape(-1)[: A.shape[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_spmv_jittable(self, rng):
+        from spsparse_tpu.dist import dist_spmv_a2a, partition_footprint
+        A = self._scattered(rng)
+        part = partition_footprint(A, 8)
+        x = rng.uniform(-1, 1, A.shape[1])
+        xp = partition_vector(x, 8)
+        mesh = make_mesh()
+        f = jax.jit(lambda p, xv: dist_spmv_a2a(p, xv, mesh))
+        y = f(part, xp)
+        want = np.asarray(A.to_dense()) @ np.asarray(xp).reshape(-1)[
+            : A.shape[1]]
+        np.testing.assert_allclose(np.asarray(y).reshape(-1)[: A.shape[0]],
+                                   want, rtol=1e-12, atol=1e-12)
+
+    def test_spmm_matches_dense(self, rng):
+        from spsparse_tpu.dist import dist_spmm_a2a, partition_footprint
+        A = self._scattered(rng)
+        part = partition_footprint(A, 8)
+        N = 4
+        ncols_pad = 8 * part.blk_len
+        X = rng.uniform(-1, 1, (ncols_pad, N))
+        Xp = jnp.asarray(X.reshape(8, part.blk_len, N))
+        y = dist_spmm_a2a(part, Xp, make_mesh())
+        want = np.asarray(A.to_dense()) @ X[: A.shape[1]]
+        got = np.asarray(y).reshape(-1, N)[: A.shape[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_footprint_counts_and_comm_advantage(self, rng):
+        """The layout's footprint equals the true distinct-column count
+        per (requester, owner) pair — the quantity the a2a exchanges in
+        place of the ring's (P-1)*blk_len."""
+        from spsparse_tpu.dist import partition_footprint
+        A = self._scattered(rng, n=64, ncols=64, k=2)
+        part = partition_footprint(A, 8)
+        csr = to_csr(A)
+        rp = np.asarray(csr.row_ptr)
+        cols = np.asarray(csr.cols)[: int(csr.nnz)]
+        rl = part.rows_local
+        req_n = np.asarray(part.req_n)
+        for p in range(8):
+            s0, s1 = int(rp[min(p * rl, 64)]), int(rp[min((p + 1) * rl, 64)])
+            c = cols[s0:s1]
+            for q in range(8):
+                m = (np.minimum(c // part.blk_len, 7)) == q
+                assert req_n[q, p] == np.unique(c[m]).size
+
+    def test_model_rows(self):
+        from spsparse_tpu.dist import (a2a_footprint_for_target,
+                                       a2a_weak_scaling_efficiency,
+                                       ring_weak_scaling_efficiency,
+                                       uniform_footprint)
+        nnz_l, rows_l = 11 * (1 << 20), 1 << 20
+        # footprint-bounded operator meets >=80% at any P
+        f_ok = a2a_footprint_for_target(nnz_l, rows_l, target=0.8)
+        assert a2a_weak_scaling_efficiency(nnz_l, rows_l, f_ok, 64) >= 0.8
+        assert a2a_weak_scaling_efficiency(nnz_l, rows_l, f_ok, 8) >= 0.8
+        # the uniform worst case honestly cannot... but still beats ring
+        f_uni = uniform_footprint(nnz_l, 64 * rows_l)
+        eff_a2a = a2a_weak_scaling_efficiency(nnz_l, rows_l, f_uni, 64)
+        eff_ring = ring_weak_scaling_efficiency(nnz_l, rows_l, 64)
+        assert eff_a2a < 0.8
+        assert eff_a2a > 3 * eff_ring
