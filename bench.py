@@ -658,22 +658,44 @@ def config5_distributed(on_cpu: bool) -> dict:
     collective graphs (validating them end to end), and the scaling
     figures come from the auditable analytical model in
     spsparse_tpu/dist/model.py (v5e book bandwidths)."""
-    from spsparse_tpu.dist import (halo_weak_scaling_efficiency,
-                                   ring_weak_scaling_efficiency)
+    from spsparse_tpu.dist import (a2a_footprint_for_target,
+                                   a2a_weak_scaling_efficiency,
+                                   halo_weak_scaling_efficiency,
+                                   ring_weak_scaling_efficiency,
+                                   uniform_footprint)
 
     out = {"config": 5, "name": "distributed_row_partitioned",
            "per_chip_workload": "1M rows, 11 nnz/row (config-2 family)",
-           "model": "dist/model.py (overlapped ring / halo exchange, "
-                    "v5e book HBM+ICI bandwidths)",
+           "model": "dist/model.py (overlapped ring / halo exchange / "
+                    "footprint a2a, v5e book HBM+ICI bandwidths)",
            "pct_of_roofline": None}
+    nnz_l, rows_l = 11 * (1 << 20), 1 << 20
+    # footprint-bounded scattered matrix: comm = the device's column
+    # footprint, independent of P (round-5 dist_spmv_a2a); the bound
+    # shown is the largest footprint that still meets the 80% target.
+    f80 = a2a_footprint_for_target(nnz_l, rows_l, target=0.8)
+    out["a2a_footprint_80pct_bound"] = f80
     for p in (2, 8, 64):
         out[f"halo_weak_scaling_eff_p{p}"] = halo_weak_scaling_efficiency(
-            nnz_local=11 * (1 << 20), rows_local=1 << 20, halo=8,
-            n_devices=p)
+            nnz_local=nnz_l, rows_local=rows_l, halo=8, n_devices=p)
         out[f"ring_weak_scaling_eff_p{p}"] = ring_weak_scaling_efficiency(
-            nnz_local=11 * (1 << 20), rows_local=1 << 20, n_devices=p)
+            nnz_local=nnz_l, rows_local=rows_l, n_devices=p)
+        out[f"a2a_bounded_weak_scaling_eff_p{p}"] = \
+            a2a_weak_scaling_efficiency(nnz_l, rows_l, f80, p)
+        # uniform-scatter worst case: footprint ~ min(nnz, ncols_global)
+        f_uni = uniform_footprint(nnz_l, p * rows_l)
+        out[f"a2a_uniform_weak_scaling_eff_p{p}"] = \
+            a2a_weak_scaling_efficiency(nnz_l, rows_l, f_uni, p)
     out["meets_baseline_80pct"] = bool(
-        out["halo_weak_scaling_eff_p8"] >= 0.8)
+        out["halo_weak_scaling_eff_p8"] >= 0.8
+        and out["a2a_bounded_weak_scaling_eff_p8"] >= 0.8)
+    out["honest_gap"] = (
+        "uniform-random matrices have footprint ~min(nnz_local, ncols) "
+        "per device; a2a still beats the ring ~5x at P=64 "
+        f"({out['a2a_uniform_weak_scaling_eff_p64']:.2f} vs "
+        f"{out['ring_weak_scaling_eff_p64']:.2f}) but cannot meet 80% — "
+        "no exchange can: the values genuinely needed exceed the ICI "
+        "budget (dist/model.py a2a_weak_scaling_efficiency docstring)")
 
     if on_cpu and len(jax.devices()) >= 8:
         import time

@@ -197,9 +197,15 @@ def xla_take(nrows=1 << 17, E=1 << 17, N=128):
 
 
 if __name__ == "__main__":
+    import sys
     print("devices:", jax.devices())
-    mxu_floor(jnp.bfloat16)
-    mxu_floor(jnp.float32)
-    scatter_floor()
-    lane_gather_rate()
-    xla_take()
+    which = sys.argv[1:] or ["mxu", "scatter", "gather", "take"]
+    if "mxu" in which:
+        mxu_floor(jnp.bfloat16)
+        mxu_floor(jnp.float32)
+    if "scatter" in which:
+        scatter_floor()
+    if "gather" in which:
+        lane_gather_rate()
+    if "take" in which:
+        xla_take()

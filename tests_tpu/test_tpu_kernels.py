@@ -281,3 +281,32 @@ class TestReorderToDia:
         y = np.asarray(jax.block_until_ready(
             spmv_dia_pallas(dia, jnp.asarray(x[perm]))))
         np.testing.assert_allclose(y, (S @ x)[perm], rtol=2e-4, atol=2e-4)
+
+
+class TestCompiledWindowGemm:
+    def test_window_gemm_compiled(self, rng):
+        """Round-5 rolling-window band SpGEMM: Mosaic lowering + results
+        vs dense on chip (small shapes; the perf claim lives in
+        probes/probe_cfg4_window_r5.py)."""
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.core.tiled import to_tiled
+        from spsparse_tpu.ops.pallas_tiled import prepare_tiled_dense
+        from spsparse_tpu.ops.spgemm_window import (band_to_tiled_blocks,
+                                                    plan_window_spgemm,
+                                                    spgemm_window_pallas)
+        import jax.numpy as jnp
+        n = 2048
+        r = np.repeat(np.arange(n), 4)
+        c = np.minimum(r * 2 + rng.integers(0, 3, r.size), 2 * n - 1)
+        b = CooBuilder((n, 2 * n), dtype=np.float32)
+        b.add_many(np.stack([r, c], 1),
+                   rng.uniform(0, 1, r.size).astype(np.float32))
+        A = b.build()
+        prep = prepare_tiled_dense(to_tiled(A), dtype=jnp.float32)
+        plan = plan_window_spgemm(prep.tcols, prep.tcols, nbc=prep.nbc,
+                                  out_shape=(n, n), group=4,
+                                  dtype=jnp.float32)
+        band = jax.block_until_ready(spgemm_window_pallas(plan, prep.blocks))
+        got = np.asarray(band_to_tiled_blocks(band, plan).to_dense())
+        dA = np.asarray(A.to_dense())
+        np.testing.assert_allclose(got, dA @ dA.T, rtol=1e-5, atol=1e-5)
