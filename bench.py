@@ -626,6 +626,20 @@ def config4_spgemm(on_cpu: bool) -> dict:
     stats = spgemm_esc_stats(r.size, r.size, expand_cap, out_cap)
     sol_esc = stats.sol_nnz_per_s(bw)
 
+    # --- planned ESC (round 5, VERDICT r4 item 6): pattern-static plan
+    # sorts at prepare time; the per-call product is 2 gathers + one
+    # sorted segment_sum — the repeated-product case every solver hits.
+    from spsparse_tpu.ops.spgemm_planned import (plan_esc,
+                                                 spgemm_planned_vals)
+    eplan, eacon, ebcon = plan_esc(A, A, transpose_b=True)
+
+    def step_pe(va):
+        out = spgemm_planned_vals(eplan, va, ebcon.vals)
+        return va + jnp.sum(out) * jnp.float32(1e-38)
+
+    t_esc_planned = bench_slope(step_pe, eacon.vals, iters=4, reps=3,
+                                u_lo=2, u_hi=6)
+
     achieved = expand_cap / t
     return {"config": 4, "name": "spgemm_aat_regrid_irregular",
             "rows": n_dst, "nnz_a": int(r.size),
@@ -648,7 +662,11 @@ def config4_spgemm(on_cpu: bool) -> dict:
             "window_speedup_vs_pair": t_pair / t,
             "esc_time_s": t_esc,
             "esc_products_per_s": expand_cap / t_esc,
-            "esc_pct_of_roofline": 100.0 * (expand_cap / t_esc) / sol_esc}
+            "esc_pct_of_roofline": 100.0 * (expand_cap / t_esc) / sol_esc,
+            "esc_planned_time_s": t_esc_planned,
+            "esc_planned_products_per_s": eplan.n_products
+            / max(t_esc_planned, 1e-12),
+            "esc_planned_speedup": t_esc / max(t_esc_planned, 1e-12)}
 
 
 def config5_distributed(on_cpu: bool) -> dict:

@@ -146,9 +146,10 @@ def variant_b_dst_gather(E=1 << 17):
                 return 0
             jax.lax.fori_loop(0, T, inner, 0)
             idx = pos_ref[pl.ds(d * T, T)]
-            o_ref[pl.ds(d, 1), :] = jnp.take_along_axis(
-                rows[...] * 1.0, idx[None, :] * jnp.ones(
-                    (T, 1), jnp.int32), axis=1)[0][None, :]
+            # out[j] = rows[j, idx[j]] — per-row lane gather
+            gathered = jnp.take_along_axis(rows[...], idx[:, None],
+                                           axis=1)[:, 0]
+            o_ref[pl.ds(d, 1), :] = gathered[None, :]
             return 0
 
         jax.lax.fori_loop(0, ngrp, body, 0)

@@ -26,7 +26,8 @@ enable_persistent_cache()
 
 from spsparse_tpu import CooBuilder                                # noqa: E402
 from spsparse_tpu.ops.spgemm import spgemm_aat, plan_spgemm_caps   # noqa: E402
-from spsparse_tpu.ops import multiply as mul                       # noqa: E402
+import importlib                                              # noqa: E402
+mul = importlib.import_module('spsparse_tpu.ops.multiply')
 from spsparse_tpu.core.structure import to_csr                     # noqa: E402
 
 
@@ -69,7 +70,7 @@ def main():
         return dataclasses.replace(a, vals=a.vals + eps)
 
     t_full = slope(step_full, A, lambda a: float(jnp.sum(a.vals)))
-    print(f"full spgemm_aat: {t_full*1e3:.2f} ms")
+    print(f"full spgemm_aat: {t_full*1e3:.2f} ms", flush=True)
 
     # stage 1: expansion only (against A^T's CSR)
     At = A.transposed((1, 0)).consolidate((0, 1))
