@@ -89,6 +89,10 @@ def plan_esc(A: SparseCOO, B: SparseCOO, *, transpose_a: bool = False,
         spsparse_error(
             -1, "Inner dimensions for A (%d) and B (%d) must match!",
             Aw.shape[1], Bw.shape[0])
+    # prepare-time cost note: these consolidates run on the default
+    # device (first call pays their compiles — ~35 s wall at 377K nnz on
+    # the tunnel rig, amortized over every value update that reuses the
+    # plan); the expansion/sort below is vectorized numpy.
     acon = Aw.consolidate((0, 1))
     bcon = Bw.consolidate((0, 1))
     na, nb = int(acon.nnz), int(bcon.nnz)
