@@ -411,7 +411,7 @@ def config3b_packed_general(on_cpu: bool) -> dict:
     from spsparse_tpu.core.tiled import to_tiled, TILE
     from spsparse_tpu.ops import prepare_general
     from spsparse_tpu.ops.general import spmm_general
-    from spsparse_tpu.ops.general import PreparedGather
+    from spsparse_tpu.ops.general import PreparedGather, PreparedGatherEll
     from spsparse_tpu.ops.pallas_tiled import PreparedTiledDense
     from spsparse_tpu.utils.benchtime import bench_slope
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
@@ -442,7 +442,10 @@ def config3b_packed_general(on_cpu: bool) -> dict:
 
     def _perturb(p, eps):
         pr = p.prep
-        if isinstance(pr, PreparedGather):
+        if isinstance(pr, PreparedGatherEll):
+            pr2 = _dc.replace(pr, vals=pr.vals.at[0, 0].add(
+                eps.astype(pr.vals.dtype)))
+        elif isinstance(pr, PreparedGather):
             pr2 = _dc.replace(pr, vals=pr.vals.at[0].add(eps))
         elif isinstance(pr, PreparedTiledDense):
             pr2 = _dc.replace(pr, blocks=pr.blocks.at[0, 0, 0, 0].add(
@@ -458,10 +461,28 @@ def config3b_packed_general(on_cpu: bool) -> dict:
 
     t = bench_slope(step, (pg, X), iters=4 if on_cpu else 8,
                     reps=3 if on_cpu else 5, u_lo=2, u_hi=6 if on_cpu else 10)
+    # bf16-X arm (round 5): the ELL reduce's dominant stream is the
+    # gathered X rows; a bf16 RHS (pre-converted once, loop-invariant —
+    # same hoisting as config 3) measured 2.9 Gnnz/s vs 0.8 f32
+    # (probes/probe_cfg3b_fix_r5.py).
+    t_bf16x = None
+    if not on_cpu and pg.kernel == "gather_ell":
+        Xb = X.astype(jnp.bfloat16)
+        t_bf16x = bench_slope(step, (pg, Xb), iters=8, reps=5,
+                              u_lo=2, u_hi=10)
     nnz = rr.size
     kind, bw = device_hbm_bandwidth()
     from spsparse_tpu.ops.pallas_tiled_window import PreparedTiledWindow
-    if isinstance(pg.prep, PreparedGather):
+    if isinstance(pg.prep, PreparedGatherEll):
+        # ELL reduce (round 5): per slot one X row (incl. padding slots,
+        # which gather row 0 via the fill mode) + cols/vals payload + Y
+        n_tiles = 0
+        p = pg.prep
+        slots = p.cols.size
+        esize = np.dtype(p.vals.dtype).itemsize
+        bytes_moved = (slots * (4 + esize) + slots * N * 4
+                       + m * N * 4)
+    elif isinstance(pg.prep, PreparedGather):
         # row-gather layout: one 512B X row per entry + entry payload + Y
         n_tiles = 0
         bytes_moved = (nnz * (4 + 4 + 4) + nnz * N * 4
@@ -499,8 +520,13 @@ def config3b_packed_general(on_cpu: bool) -> dict:
             "pack_tile_reduction": (n_tiles_raw / n_tiles if n_tiles
                                     else None),
             "time_s": t, "nnz_per_s": achieved,
-            "bytes_model": "packed layout: A payload + X tiles once + Y (f32)",
+            "bytes_model": ("ELL: one X row per slot + payload + Y (f32)"
+                            if pg.kernel == "gather_ell" else
+                            "packed layout: A payload + X tiles once + Y "
+                            "(f32)"),
             "pct_of_roofline": 100.0 * achieved / sol_nnz,
+            "bf16x_time_s": t_bf16x,
+            "bf16x_nnz_per_s": (nnz / t_bf16x) if t_bf16x else None,
             "matrix": "uniform random columns (worst-case locality)"}
 
 

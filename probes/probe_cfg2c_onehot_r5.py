@@ -20,6 +20,10 @@ utilization. Two implementations measured:
   B. dst-batched gather: per dst group, dynamic-read the ~128 source
      group rows it needs, then one lane take_along_axis.
 
+E is capped at 2^15: the pair tables ride scalar-prefetch (SMEM) and
+four 2^17 i32 tables overflowed the 1 MB SMEM (measured HTTP-500).
+Per-entry costs extrapolate linearly (every entry is independent work).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 1800 python probes/probe_cfg2c_onehot_r5.py
 """
 
@@ -74,7 +78,7 @@ def make_problem(E=1 << 17, seed=0):
             src_pos[order].astype(np.int32), ngrp)
 
 
-def variant_a_pairloop(E=1 << 17):
+def variant_a_pairloop(E=1 << 15):
     g, dg, sg, orow, spos, ngrp = make_problem(E)
     NP = E                            # ~1 entry per pair: npairs ~= E
 
@@ -129,7 +133,7 @@ def variant_a_pairloop(E=1 << 17):
     return t / E
 
 
-def variant_b_dst_gather(E=1 << 17):
+def variant_b_dst_gather(E=1 << 15):
     g, dg, sg, orow, spos, ngrp = make_problem(E)
     # per dst group: the source (group, pos) for each of its T slots
     src_of = np.zeros((ngrp, T), np.int32)     # source group per slot
@@ -139,13 +143,15 @@ def variant_b_dst_gather(E=1 << 17):
     src_of = jnp.asarray(src_of)
     pos_of = jnp.asarray(pos_of)
 
-    def kern(src_ref, pos_ref, g_ref, o_ref, rows):
+    def kern(src_ref, pos_vmem, g_ref, o_ref, rows):
+        # src stays scalar-prefetch (SMEM scalar reads); pos is a VMEM
+        # input (vector loads from SMEM are not supported — measured)
         def body(d, _):
             def inner(j, _):
                 rows[pl.ds(j, 1), :] = g_ref[pl.ds(src_ref[d * T + j], 1), :]
                 return 0
             jax.lax.fori_loop(0, T, inner, 0)
-            idx = pos_ref[pl.ds(d * T, T)]
+            idx = pos_vmem[pl.ds(d, 1), :][0]
             # out[j] = rows[j, idx[j]] — per-row lane gather
             gathered = jnp.take_along_axis(rows[...], idx[:, None],
                                            axis=1)[:, 0]
@@ -159,12 +165,13 @@ def variant_b_dst_gather(E=1 << 17):
         return pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2, grid=(1,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                num_scalar_prefetch=1, grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=[pltpu.VMEM((T, T), jnp.float32)]),
             out_shape=jax.ShapeDtypeStruct((ngrp, T), jnp.float32),
-        )(src.reshape(-1), pos.reshape(-1), g)
+        )(src.reshape(-1), pos, g)
 
     out = np.asarray(jax.block_until_ready(run(src_of, pos_of, g)))
     want = np.zeros(E, np.float32)
@@ -179,6 +186,7 @@ def variant_b_dst_gather(E=1 << 17):
         gv, _ = st
         o = run(src_of, pos_of, gv)
         return (gv.at[0, 0].add(o[0, 0] * 1e-30), st[1])
+    # (src stays the scalar-prefetch operand; pos rides VMEM)
 
     t = wide_slope(step, (g, jnp.zeros(())),
                    lambda st: float(jnp.sum(st[0])), u_lo=1, u_hi=3,

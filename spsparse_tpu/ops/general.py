@@ -28,6 +28,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.coo import SparseCOO
 from ..core.errors import spsparse_error
@@ -39,8 +40,9 @@ from .pallas_tiled import (DENSE_FILL_THRESHOLD, PreparedTiledDense,
 
 Array = Any
 
-__all__ = ["PreparedGeneral", "PreparedGather", "prepare_general",
-           "spmm_general", "spmv_general", "GATHER_FILL_THRESHOLD"]
+__all__ = ["PreparedGeneral", "PreparedGather", "PreparedGatherEll",
+           "prepare_general", "spmm_general", "spmv_general",
+           "GATHER_FILL_THRESHOLD"]
 
 # Below this many entries per occupied 128x128 tile, the tiled kernels
 # lose to a plain XLA row-gather SpMM: each occupied tile costs a 64KB
@@ -68,6 +70,32 @@ class PreparedGather:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class PreparedGatherEll:
+    """ELL row-gather layout (round 5): ``cols/vals (m, Kmax)`` with
+    sentinel-column zero-value padding. The multiply is a reshape-reduce
+    — ``(vals[:, :, None] * X[cols]).sum(1)`` — with NO segment
+    machinery, which was the scattered gather path's real bottleneck:
+    measured 104 Mnnz/s via ``segment_sum`` vs 800 Mnnz/s (f32 X) /
+    2878 Mnnz/s (bf16 X) via the ELL reduce on the bench-3b matrix
+    (probes/probe_cfg3b_fix_r5.py) — the raw row-take runs at 1.95 ns/row
+    f32, not the 10.5 ns the round-4 notes assumed. Chosen by
+    ``prepare_general`` when row-length padding stays bounded
+    (``Kmax * m <= _ELL_PAD_LIMIT * nnz``); long-tailed row lengths keep
+    the entry-list + segment-sum layout."""
+
+    cols: Array = dataclasses.field(metadata=dict(static=False))
+    vals: Array = dataclasses.field(metadata=dict(static=False))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+# ELL is chosen while Kmax * nrows <= this multiple of nnz (padding
+# inflates the gather volume linearly; beyond ~3x the segment path wins
+# back despite its fixed cost).
+_ELL_PAD_LIMIT = 3.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class PreparedGeneral:
     """Kernel-ready general sparse operand: column order (new -> old;
     ``None`` = identity, skipping the X gather entirely) + the prepared
@@ -84,6 +112,8 @@ class PreparedGeneral:
     @property
     def kernel(self) -> str:
         from .pallas_tiled_window import PreparedTiledWindow
+        if isinstance(self.prep, PreparedGatherEll):
+            return "gather_ell"
         if isinstance(self.prep, PreparedGather):
             return "gather"
         if isinstance(self.prep, PreparedTiledWindow):
@@ -92,10 +122,34 @@ class PreparedGeneral:
                 else "one_hot")
 
 
-def _prepare_gather(a: SparseCOO) -> PreparedGather:
+def _prepare_gather(a: SparseCOO,
+                    dtype=None) -> PreparedGather | PreparedGatherEll:
     ac = a.consolidate((0, 1))
     idx = ac.indices
     nrows, ncols = ac.shape
+    nnz = int(ac.nnz)
+    rows_h = np.asarray(idx[:nnz, 0])
+    counts = np.bincount(rows_h, minlength=nrows)
+    kmax = int(counts.max(initial=0))
+    if kmax and kmax * nrows <= _ELL_PAD_LIMIT * max(nnz, 1):
+        cols_h = np.asarray(idx[:nnz, 1])
+        vals_h = np.asarray(ac.vals[:nnz])
+        # padding slots carry column 0 + value 0 (an in-range index keeps
+        # the multiply's gather off the slow fill-mode path — measured
+        # ~2x on the bf16 arm); 0 * X[0] = 0 except for non-finite X
+        # rows, the same padded-zero contract the dense-block kernels use
+        ell_cols = np.zeros((nrows, kmax), np.asarray(idx).dtype)
+        ell_vals = np.zeros((nrows, kmax), vals_h.dtype)
+        slot = np.arange(nnz) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        ell_cols[rows_h, slot] = cols_h
+        ell_vals[rows_h, slot] = vals_h
+        vals_j = jnp.asarray(ell_vals)
+        if dtype is not None and dtype != jnp.float32:
+            vals_j = vals_j.astype(dtype)   # halves the A payload; the
+            # multiply still accumulates in f32
+        return PreparedGatherEll(cols=jnp.asarray(ell_cols),
+                                 vals=vals_j, shape=ac.shape)
     cols = jnp.minimum(idx[:, 1], ncols - 1)  # keep the index dtype
     return PreparedGather(rows=idx[:, 0], cols=cols,
                           vals=ac.vals, shape=ac.shape)
@@ -131,14 +185,17 @@ def prepare_general(a: SparseCOO | SparseTiledCOO, *, pack: bool = True,
                 tl, order = tl_packed, p_order
         nnz_est = float(jnp.sum(tl.vals != 0))
         if nnz_est / max(int(tl.n_tiles), 1) < GATHER_FILL_THRESHOLD:
-            if dtype not in (jnp.float32, None):
+            prep_g = _prepare_gather(a, dtype=dtype)
+            if (dtype not in (jnp.float32, None)
+                    and isinstance(prep_g, PreparedGather)):
                 import warnings
 
                 warnings.warn(
-                    "prepare_general: low fill selects the row-gather "
-                    f"layout, which is f32; dtype={dtype} does not apply",
-                    stacklevel=2)
-            return PreparedGeneral(order=None, prep=_prepare_gather(a))
+                    "prepare_general: low fill + long-tailed rows select "
+                    "the entry-list row-gather layout, which is f32; "
+                    f"dtype={dtype} does not apply (the ELL layout would "
+                    "honor it)", stacklevel=2)
+            return PreparedGeneral(order=None, prep=prep_g)
     nnz = float(jnp.sum(tl.vals != 0))
     fill = nnz / max(int(tl.n_tiles), 1)
     if fill >= DENSE_FILL_THRESHOLD:
@@ -176,6 +233,16 @@ def spmm_general(pg: PreparedGeneral, X: Array, *,
                        "Inner dimensions for A (%d) and X (%d) must match!",
                        pg.shape[1], X.shape[0])
     Xp = X if pg.order is None else X[pg.order]
+    if isinstance(pg.prep, PreparedGatherEll):
+        p = pg.prep
+        m, kmax = p.cols.shape
+        # gather in the RHS's own dtype (a bf16 X halves the dominant
+        # stream; measured 3.6x over f32 — probe_cfg3b_fix_r5), then
+        # accumulate in f32.
+        g = jnp.take(Xp, p.cols.reshape(-1), axis=0).astype(jnp.float32)
+        prod = p.vals.astype(jnp.float32).reshape(m, kmax, 1) \
+            * g.reshape(m, kmax, Xp.shape[1])
+        return prod.sum(axis=1)
     if isinstance(pg.prep, PreparedGather):
         p = pg.prep
         g = jnp.take(Xp.astype(jnp.float32), p.cols, axis=0)

@@ -40,7 +40,7 @@ class TestPrepareGeneral:
         assert prepare_general(packable).kernel in ("one_hot",
                                                     "dense_block")
         scattered = random_coo(rng, (4096, 32768), 32768)
-        assert prepare_general(scattered).kernel == "gather"
+        assert prepare_general(scattered).kernel in ("gather", "gather_ell")
         dense_ish = local_coo(rng, 512, 50)                # fill >> 64
         # column-local + dense fill routes to the super-row window
         # kernel (round 4); wide-window layouts fall back to dense_block
@@ -58,7 +58,9 @@ class TestPrepareGeneral:
         import jax
         A = random_coo(rng, (4096, 32768), 32768)
         pg = prepare_general(A)
-        assert pg.kernel == "gather" and pg.order is None
+        # round 5: bounded row lengths route to the ELL reduce (the
+        # segment_sum was the measured bottleneck, not the gather)
+        assert pg.kernel == "gather_ell" and pg.order is None
         X = rng.uniform(-1, 1, (A.shape[1], 16)).astype(np.float32)
         Y = spmm_general(pg, jnp.asarray(X))
         Ad = np.asarray(A.to_dense())
@@ -104,13 +106,40 @@ class TestPrepareGeneral:
                                    np.asarray(A.to_dense()) @ X,
                                    rtol=1e-4, atol=1e-4)
 
-    def test_bf16_with_low_fill_warns(self, rng):
+    def test_bf16_with_low_fill_routes_ell(self, rng):
         # Shared columns across many row blocks keep fill low even after
-        # packing -> row-gather layout -> the bf16 request cannot apply.
+        # packing -> gather regime. Round 5: bounded rows take the ELL
+        # layout, which HONORS the bf16 request (vals stored bf16, f32
+        # accumulate) instead of warning.
         A = random_coo(rng, (2048, 16384), 16384)
+        pg = prepare_general(A, dtype=jnp.bfloat16)
+        assert pg.kernel == "gather_ell"
+        assert pg.prep.vals.dtype == jnp.bfloat16
+        X = rng.uniform(-1, 1, (A.shape[1], 16)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X))
+        ref = np.asarray(A.to_dense()) @ X
+        rel = np.abs(np.asarray(Y) - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2
+
+    def test_long_tailed_rows_keep_entry_list(self, rng):
+        # one row with a huge count blows the ELL padding bound ->
+        # entry-list + segment_sum layout, with the bf16 warning intact
+        b = CooBuilder((1024, 8192), dtype=np.float32)
+        hot = np.stack([np.zeros(3000, np.int64),
+                        rng.integers(0, 8192, 3000)], 1)
+        cold = np.stack([rng.integers(1, 1024, 1000),
+                         rng.integers(0, 8192, 1000)], 1)
+        b.add_many(np.concatenate([hot, cold]),
+                   rng.uniform(-1, 1, 4000).astype(np.float32))
+        A = b.build()
         with pytest.warns(UserWarning, match="row-gather"):
             pg = prepare_general(A, dtype=jnp.bfloat16)
         assert pg.kernel == "gather"
+        X = rng.uniform(-1, 1, (A.shape[1], 8)).astype(np.float32)
+        Y = spmm_general(pg, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(Y),
+                                   np.asarray(A.to_dense()) @ X,
+                                   rtol=1e-4, atol=1e-4)
 
     def test_bf16_mode(self, rng):
         A = local_coo(rng, 256, 40)
