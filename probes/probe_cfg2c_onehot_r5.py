@@ -152,8 +152,10 @@ def variant_b_dst_gather(E=1 << 15):
                 return 0
             jax.lax.fori_loop(0, T, inner, 0)
             idx = pos_vmem[pl.ds(d, 1), :][0]
-            # out[j] = rows[j, idx[j]] — per-row lane gather
-            gathered = jnp.take_along_axis(rows[...], idx[:, None],
+            # out[j] = rows[j, idx[j]] — per-row lane gather (Mosaic's
+            # gather lowering needs FULL-shape indices)
+            idx_full = jnp.broadcast_to(idx[:, None], (T, T))
+            gathered = jnp.take_along_axis(rows[...], idx_full,
                                            axis=1)[:, 0]
             o_ref[pl.ds(d, 1), :] = gathered[None, :]
             return 0

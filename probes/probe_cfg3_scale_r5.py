@@ -59,11 +59,15 @@ def run_scale(m, K=50, N=128, spread=128, group=32):
     rr = np.repeat(np.arange(m, dtype=np.int64), K)
     cc = np.clip(rr * 2 + rng.integers(-spread, spread + 1, rr.size),
                  0, ncols - 1)
+    vv = rng.uniform(-1, 1, rr.size).astype(np.float32)
     b = CooBuilder((m, ncols), dtype=np.float32)
-    b.add_many(np.stack([rr, cc], 1),
-               rng.uniform(-1, 1, rr.size).astype(np.float32))
+    b.add_many(np.stack([rr, cc], 1), vv)
     A = b.build()
-    del rr, cc
+    # host copies kept for the oracle spot-check (re-fetching the device
+    # indices through the tunnel costs minutes at 5M rows)
+    import scipy.sparse as sp
+    Acsr_host = sp.csr_matrix((vv, (rr, cc)), shape=(m, ncols))
+    del rr, cc, vv
     gc.collect()
     t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -78,7 +82,8 @@ def run_scale(m, K=50, N=128, spread=128, group=32):
 
     t0 = time.perf_counter()
     Xh = rng.uniform(-1, 1, (ncols, N)).astype(np.float32)
-    X = jax.device_put(jnp.asarray(Xh).astype(jnp.bfloat16))
+    Xh_bf16 = Xh.astype(jnp.bfloat16)       # host bf16 copy for oracle
+    X = jax.device_put(jnp.asarray(Xh_bf16))
     prep = jax.device_put(prep)
     jax.block_until_ready((X, prep.blocks))
     t_xfer = time.perf_counter() - t0
@@ -92,21 +97,18 @@ def run_scale(m, K=50, N=128, spread=128, group=32):
     t_first = time.perf_counter() - t0
     print(f"first call (compile+exec) {t_first:.1f}s", flush=True)
 
-    # spot-check 256 random entries against the host oracle
-    import scipy.sparse as sp
+    # spot-check a few rows against the HOST oracle (no device fetches
+    # beyond the checked Y rows)
     n_chk = 4
     rows_chk = np.sort(rng.integers(0, m, n_chk))
-    Acsr = sp.csr_matrix(
-        (np.asarray(A.vals)[: int(A.nnz)],
-         (np.asarray(A.indices)[: int(A.nnz), 0],
-          np.asarray(A.indices)[: int(A.nnz), 1])), shape=A.shape)
-    Xb = np.asarray(X, np.float32)
-    want = Acsr[rows_chk] @ Xb
+    want = Acsr_host[rows_chk] @ Xh_bf16.astype(np.float32)
     got = np.asarray(Y[rows_chk])
     rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
     print(f"oracle spot-check ({n_chk} rows): rel err {rel:.2e}",
           flush=True)
     assert rel < 3e-2
+    del Xh_bf16, Acsr_host
+    gc.collect()
 
     import dataclasses
 
@@ -118,8 +120,7 @@ def run_scale(m, K=50, N=128, spread=128, group=32):
             p, blocks=p.blocks.at[0, 0, 0, 0].add(eps)), Xc)
 
     # arms scaled to the expected per-call time (~13 ms at 5M)
-    u_hi = max(int(0.2 / max(t_first / 10, 1e-3)), 3)
-    u_hi = min(u_hi, 24)
+    u_hi = 9 if m <= (1 << 20) else 5
     t = wide_slope(step, (prep, X),
                    lambda st: float(st[0].blocks[0, 0, 0, 0]),
                    u_lo=1, u_hi=u_hi, reps=5)

@@ -310,3 +310,31 @@ class TestCompiledWindowGemm:
         got = np.asarray(band_to_tiled_blocks(band, plan).to_dense())
         dA = np.asarray(A.to_dense())
         np.testing.assert_allclose(got, dA @ dA.T, rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledGatherEll:
+    def test_gather_ell_on_chip(self, rng):
+        """Round-5 ELL reshape-reduce for scattered matrices: compiled
+        path + bf16-RHS arm vs dense (the 10.6x config-3b fix)."""
+        from spsparse_tpu import CooBuilder
+        from spsparse_tpu.ops import prepare_general
+        from spsparse_tpu.ops.general import spmm_general
+        m, K = 2048, 8
+        ncols = 8 * m
+        rr = np.repeat(np.arange(m), K)
+        cc = rng.integers(0, ncols, rr.size)
+        b = CooBuilder((m, ncols), dtype=np.float32)
+        b.add_many(np.stack([rr, cc], 1),
+                   rng.uniform(-1, 1, rr.size).astype(np.float32))
+        A = b.build()
+        pg = prepare_general(A)
+        assert pg.kernel == "gather_ell"
+        X = rng.uniform(-1, 1, (ncols, 64)).astype(np.float32)
+        ref = np.asarray(A.to_dense()) @ X
+        Y = np.asarray(jax.block_until_ready(
+            spmm_general(pg, jnp.asarray(X))))
+        np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+        Yb = np.asarray(jax.block_until_ready(
+            spmm_general(pg, jnp.asarray(X).astype(jnp.bfloat16))))
+        rel = np.abs(Yb - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2
