@@ -530,6 +530,83 @@ def config3b_packed_general(on_cpu: bool) -> dict:
             "matrix": "uniform random columns (worst-case locality)"}
 
 
+def config3c_large(on_cpu: bool) -> dict | None:
+    """Config 3c (round 5, VERDICT r4 item 3): config 3 at the
+    BASELINE-stated scale — 5M rows x 50 nnz/row x 128-col block —
+    through the window SpMM kernel (bf16 blocks + bf16 RHS, f32 out).
+
+    Gated behind ``SPSPARSE_BENCH_LARGE=1``: the host prepare +
+    device transfer of the ~10.6 GB working set costs tens of minutes
+    through this rig's tunnel, too heavy for every driver bench run;
+    the artifact run sets the flag once and headline-only runs preserve
+    the richer detail file."""
+    import os
+    if on_cpu or os.environ.get("SPSPARSE_BENCH_LARGE") != "1":
+        return None
+    import gc
+    import time
+    import dataclasses
+
+    from spsparse_tpu import CooBuilder
+    from spsparse_tpu.core.tiled import to_tiled, TILE
+    from spsparse_tpu.ops.pallas_tiled_window import (
+        prepare_tiled_window, spmm_tiled_window_pallas)
+    from spsparse_tpu.utils.roofline import device_hbm_bandwidth
+
+    rng = np.random.default_rng(0)
+    m, K, N, spread = 5 << 20, 50, 128, 128
+    ncols = 2 * m
+    t0 = time.perf_counter()
+    rr = np.repeat(np.arange(m, dtype=np.int64), K)
+    cc = np.clip(rr * 2 + rng.integers(-spread, spread + 1, rr.size),
+                 0, ncols - 1)
+    b = CooBuilder((m, ncols), dtype=np.float32)
+    b.add_many(np.stack([rr, cc], 1),
+               rng.uniform(-1, 1, rr.size).astype(np.float32))
+    A = b.build()
+    del rr, cc
+    gc.collect()
+    tl = to_tiled(A)
+    prep = prepare_tiled_window(tl, group=32)
+    t_prep = time.perf_counter() - t0
+    n_tiles = int(tl.n_tiles)
+    X = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (ncols, N)).astype(np.float32)
+        .astype(jnp.bfloat16)))
+    prep = jax.device_put(prep)
+    jax.block_until_ready((X, prep.blocks))
+    t_xfer = time.perf_counter() - t0 - t_prep
+
+    def step(state):
+        p, Xc = state
+        Y = spmm_tiled_window_pallas(p, Xc)
+        eps = (Y[0, 0] * jnp.float32(1e-30)).astype(p.blocks.dtype)
+        return (dataclasses.replace(
+            p, blocks=p.blocks.at[0, 0, 0, 0].add(eps)), Xc)
+
+    t = wide_slope(step, (prep, X),
+                   lambda st: float(st[0].blocks[0, 0, 0, 0]),
+                   u_lo=1, u_hi=5, reps=5)
+    nnz = m * K
+    occ_cb = int(np.unique(np.asarray(tl.tile_col)[: n_tiles]).size)
+    bytes_moved = (n_tiles * tl.tile_cap * (2 + 2)
+                   + occ_cb * TILE * N * 2
+                   + -(-m // TILE) * TILE * N * 4)
+    kind, bw = device_hbm_bandwidth()
+    sol_nnz = bw / (bytes_moved / nnz)
+    achieved = nnz / t
+    return {"config": "3c", "name": "spmm_tiled_5M_rows_baseline_scale",
+            "rows": m, "nnz": nnz, "n_tiles": n_tiles,
+            "impl": "pallas_tiled_window_bf16 (bf16 RHS)",
+            "prepare_s": t_prep, "transfer_s": t_xfer,
+            "time_s": t, "nnz_per_s": achieved,
+            "bytes_model": "4B/slot payloads + X once per occupied "
+                           "column block (bf16) + Y once (f32)",
+            "pct_of_roofline": 100.0 * achieved / sol_nnz,
+            "matrix": "column-local regridding-style (spread 128), "
+                      "BASELINE-stated 5M-row scale"}
+
+
 def config4_spgemm(on_cpu: bool) -> dict:
     """Config 4: SpGEMM A A^T on the regridding-style matrix — round-5
     form per VERDICT r4 items 1+3: genuinely IRREGULAR row lengths
@@ -780,6 +857,7 @@ def extra_configs(on_cpu: bool):
                      ("config2c", lambda: config2c_unstructured(on_cpu)),
                      ("config3", lambda: config3_spmm(on_cpu)),
                      ("config3b", lambda: config3b_packed_general(on_cpu)),
+                     ("config3c", lambda: config3c_large(on_cpu)),
                      ("config4", lambda: config4_spgemm(on_cpu)),
                      ("config5", lambda: config5_distributed(on_cpu)),
                      ("config1", config1_reference_check)]:

@@ -126,42 +126,54 @@ def plan_window_spgemm(tcols_a, tcols_b, *, nbc: int, out_shape: tuple,
     nbr_b, rt_b = tcb.shape
     nbr = max(nbr_a, nbr_b)
 
-    # occupied-column-block sets per row -> band width W
-    la = [set(r[r < nbc].tolist()) for r in tca]
-    lb = [set(r[r < nbc].tolist()) for r in tcb]
-    # rows of B whose column set intersects row i of A: for banded
-    # operators the j-range per i is contiguous and near i. Compute via
-    # interval overlap on [min,max] column blocks (conservative — a
-    # superset of true pairs; exact slot matching below prunes).
-    amin = np.array([min(s) if s else nbc for s in la])
-    amax = np.array([max(s) if s else -1 for s in la])
-    bmin = np.array([min(s) if s else nbc for s in lb])
-    bmax = np.array([max(s) if s else -1 for s in lb])
+    # Tile-level column join (vectorized — the first cut swept a per-row
+    # candidate PREFIX, O(nbr^2) even for banded operators): flatten both
+    # tcols layouts to (row, slot, col) lists, sort B tiles by column,
+    # and match every A tile to its equal-column B tiles via
+    # searchsorted — O(P) like plan_tiled_spgemm.
+    ia = np.repeat(np.arange(nbr_a), rt_a)
+    ta_slot = np.tile(np.arange(rt_a), nbr_a)
+    ca = tca.reshape(-1)
+    live_a = ca < nbc
+    ia, ta_slot, ca = ia[live_a], ta_slot[live_a], ca[live_a]
+    jb = np.repeat(np.arange(nbr_b), rt_b)
+    ub_slot = np.tile(np.arange(rt_b), nbr_b)
+    cb = tcb.reshape(-1)
+    live_b = cb < nbc
+    jb, ub_slot, cb = jb[live_b], ub_slot[live_b], cb[live_b]
 
-    W = 0
+    order_b = np.argsort(cb, kind="stable")
+    cb_s = cb[order_b]
+    lo = np.searchsorted(cb_s, ca, side="left")
+    hi = np.searchsorted(cb_s, ca, side="right")
+    cnt_m = hi - lo
+    src_a = np.repeat(np.arange(ia.shape[0]), cnt_m)
+    if src_a.size:
+        within = np.arange(src_a.size) - np.repeat(
+            np.cumsum(cnt_m) - cnt_m, cnt_m)
+        src_b = order_b[np.repeat(lo, cnt_m) + within]
+    else:
+        src_b = np.zeros(0, np.int64)
+    p_i = ia[src_a]
+    p_j = jb[src_b]
+    p_t = ta_slot[src_a]
+    p_u = ub_slot[src_b]
+    p_c = ca[src_a]
+    W = int(np.abs(p_i - p_j).max()) if p_i.size else 0
+
+    # group pairs by (i, j), ascending column within a group
     pair_lists: dict[tuple[int, int], tuple[list, list]] = {}
-    # sort B rows by bmin for interval sweep
-    order = np.argsort(bmin, kind="stable")
-    bmin_s = bmin[order]
-    for i in range(nbr_a):
-        if amax[i] < 0:
-            continue
-        # candidate j's: bmin <= amax and bmax >= amin
-        hi = np.searchsorted(bmin_s, amax[i], side="right")
-        for oj in order[:hi]:
-            if bmax[oj] < amin[i]:
-                continue
-            common = la[i] & lb[oj]
-            if not common:
-                continue
-            ts, us = [], []
-            pos_a = {c: t for t, c in enumerate(tca[i]) if c < nbc}
-            pos_b = {c: u for u, c in enumerate(tcb[oj]) if c < nbc}
-            for c in sorted(common):
-                ts.append(pos_a[c])
-                us.append(pos_b[c])
-            pair_lists[(i, int(oj))] = (ts, us)
-            W = max(W, abs(i - int(oj)))
+    if p_i.size:
+        g_order = np.lexsort((p_c, p_j, p_i))
+        p_i, p_j = p_i[g_order], p_j[g_order]
+        p_t, p_u = p_t[g_order], p_u[g_order]
+        key = p_i * (nbr_b + 1) + p_j
+        first = np.concatenate([[True], key[1:] != key[:-1]])
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], key.shape[0])
+        for s, e in zip(starts, ends):
+            pair_lists[(int(p_i[s]), int(p_j[s]))] = (
+                p_t[s:e].tolist(), p_u[s:e].tolist())
 
     NB = 2 * W + 1
     # per-band-slot unroll caps (diag slots carry more pairs)
