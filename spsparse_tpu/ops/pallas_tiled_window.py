@@ -122,16 +122,31 @@ def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
     offs = np.where(offs >= 0,
                     offs + (lo - wstart)[np.arange(nbr) // group][:, None],
                     -1).astype(np.int32)
+    # pad rows to a whole number of super-rows: the fat-step kernel
+    # (one grid step per super-row — a per-block-row grid paid ~0.6 us
+    # of step overhead each and capped large-m throughput at ~40% of
+    # model; measured on the 262K-row ladder, round 5) fetches
+    # (group, Rt) block rows per step.
+    if pad_rows:
+        offs = np.concatenate(
+            [offs, np.full((pad_rows, Rt), -1, np.int32)])
+    blocks = base.blocks
+    if pad_rows:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad_rows,) + blocks.shape[1:],
+                               blocks.dtype)])
     return PreparedTiledWindow(
         wstart=jnp.asarray(wstart), offs=jnp.asarray(offs.reshape(-1)),
-        blocks=base.blocks, shape=tl.shape, group=group, ws=ws)
+        blocks=blocks, shape=tl.shape, group=group, ws=ws)
 
 
 def _window_kernel(wstart_ref, offs_ref, blocks_ref, x_hbm, y_ref,
                    xwin, sem, *, Rt: int, group: int, ws: int,
                    nsuper: int):
-    b = pl.program_id(0)
-    sr = b // group
+    # ONE grid step per SUPER-ROW: all G block rows' dots run
+    # back-to-back (a per-block-row grid paid ~0.6 us/step of overhead,
+    # capping large-m throughput at ~40% of model — round-5 ladder).
+    g = pl.program_id(0)
 
     def dma(s):
         srj = jnp.minimum(s, nsuper - 1)
@@ -139,51 +154,49 @@ def _window_kernel(wstart_ref, offs_ref, blocks_ref, x_hbm, y_ref,
             x_hbm.at[pl.ds(wstart_ref[srj] * TILE, ws * TILE)],
             xwin.at[s % 2], sem.at[s % 2])
 
-    # first row-block of the whole grid fetches window 0; the first
-    # row-block of each super-row prefetches the NEXT super's window
-    # (it completes while the current super's G row-blocks compute)
-    @pl.when(b == 0)
+    @pl.when(g == 0)
     def _():
         dma(0).start()
 
-    @pl.when(jnp.logical_and(b % group == 0, sr + 1 < nsuper))
+    @pl.when(g + 1 < nsuper)
     def _():
-        dma(sr + 1).start()
+        dma(g + 1).start()
 
-    @pl.when(b % group == 0)
-    def _():
-        dma(sr).wait()
+    dma(g).wait()
 
     prec = (jax.lax.Precision.DEFAULT
             if blocks_ref.dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    acc = jnp.zeros(y_ref.shape, jnp.float32)
-    for t in range(Rt):                       # static unroll, Rt small
-        off = offs_ref[b * Rt + t]
-        sl = xwin[sr % 2, pl.ds(jnp.maximum(off, 0) * TILE, TILE), :]
-        prod = jax.lax.dot_general(
-            blocks_ref[0, t], sl,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        acc = acc + jnp.where(off >= 0, prod, 0.0)
-    y_ref[...] = acc
+    for r in range(group):
+        b = g * group + r
+        acc = jnp.zeros((TILE, y_ref.shape[1]), jnp.float32)
+        for t in range(Rt):                   # static unroll, Rt small
+            off = offs_ref[b * Rt + t]
+            sl = xwin[g % 2, pl.ds(jnp.maximum(off, 0) * TILE, TILE), :]
+            prod = jax.lax.dot_general(
+                blocks_ref[0, r, t], sl,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            acc = acc + jnp.where(off >= 0, prod, 0.0)
+        y_ref[pl.ds(r * TILE, TILE), :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("n_block", "group", "ws",
                                              "interpret"))
 def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
                        group: int, ws: int, interpret: bool) -> Array:
-    nbr, Rt = blocks.shape[0], blocks.shape[1]
+    nbr_pad, Rt = blocks.shape[0], blocks.shape[1]
     nsuper = wstart.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nbr,),
+        grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, Rt, TILE, TILE),
-                         lambda b, w, o: (b, 0, 0, 0)),
+            pl.BlockSpec((1, group, Rt, TILE, TILE),
+                         lambda g, w, o: (g, 0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),          # X in HBM
         ],
-        out_specs=pl.BlockSpec((TILE, n_block), lambda b, w, o: (b, 0)),
+        out_specs=pl.BlockSpec((group * TILE, n_block),
+                               lambda g, w, o: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, ws * TILE, n_block), blocks.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -193,10 +206,11 @@ def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
         functools.partial(_window_kernel, Rt=Rt, group=group, ws=ws,
                           nsuper=nsuper),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr * TILE, n_block),
+        out_shape=jax.ShapeDtypeStruct((nbr_pad * TILE, n_block),
                                        jnp.float32),
         interpret=interpret,
-    )(wstart, offs, blocks, Xp)
+    )(wstart, offs,
+      blocks.reshape(nsuper, group, Rt, TILE, TILE), Xp)
 
 
 # --- autodiff: forward = window kernel; backward delegates to the
