@@ -72,7 +72,8 @@ def run_scale(m, K=50, N=128, spread=128, group=32):
     t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
     tl = to_tiled(A)
-    prep = prepare_tiled_window(tl, group=group)   # bf16 blocks
+    prep = prepare_tiled_window(tl, group=group,
+                            host_limit_bytes=24 << 30)
     t_prep = time.perf_counter() - t0
     n_tiles = int(tl.n_tiles)
     blocks_gb = prep.blocks.size * 2 / 1e9

@@ -311,14 +311,23 @@ class PreparedTiledDense:
 
 
 def prepare_tiled_dense(tl: SparseTiledCOO,
-                        dtype=jnp.float32) -> PreparedTiledDense:
+                        dtype=jnp.float32, *,
+                        host_limit_bytes: int = 8 << 30
+                        ) -> PreparedTiledDense:
     """Densify a :class:`SparseTiledCOO` into per-block-row dense tiles
     (host-side, eager).
 
     ``dtype=jnp.bfloat16`` halves the A-block and X-tile HBM traffic and
     runs the MXU at full rate (f32 blocks use 6-pass HIGHEST); products
     still accumulate in f32 (``preferred_element_type``) — the mixed
-    bf16/f32 mode BASELINE config 3 specifies."""
+    bf16/f32 mode BASELINE config 3 specifies.
+
+    ``host_limit_bytes`` bounds the host-side f32 staging of the dense
+    blocks (the guard against feeding a genuinely-sparse matrix into the
+    dense layout); callers that KNOW the fill is dense and the device
+    copy fits HBM — the BASELINE 5M-row config 3 stages ~10.7 GiB f32
+    for a 5.4 GiB bf16 device layout on a 125 GiB host — pass a higher
+    limit."""
     nt = int(tl.n_tiles)
     tr = np.asarray(tl.tile_row)[:nt]
     tc = np.asarray(tl.tile_col)[:nt]
@@ -330,7 +339,7 @@ def prepare_tiled_dense(tl: SparseTiledCOO,
     counts = np.bincount(tr, minlength=nbr)
     Rt = max(int(counts.max(initial=1)), 1)
     est = nbr * Rt * TILE * TILE * 4
-    if est > 8 << 30:
+    if est > host_limit_bytes:
         raise SpSparseError(
             f"prepare_tiled_dense would materialize {est >> 30} GiB of "
             "dense blocks (nbr x Rt = {nbr} x {Rt}); this matrix belongs "

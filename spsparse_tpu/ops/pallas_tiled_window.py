@@ -77,8 +77,9 @@ class PreparedTiledWindow:
 
 
 def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
-                         dtype=jnp.bfloat16,
-                         n_cols_rhs: int = TILE) -> PreparedTiledWindow:
+                         dtype=jnp.bfloat16, n_cols_rhs: int = TILE,
+                         host_limit_bytes: int = 8 << 30
+                         ) -> PreparedTiledWindow:
     """Host-side layout build. Raises :class:`SpSparseError` when any
     super-row's column span exceeds the VMEM window budget — the caller
     should fall back to :func:`..pallas_tiled.spmm_tiled_dense_pallas`.
@@ -91,7 +92,8 @@ def prepare_tiled_window(tl: SparseTiledCOO, *, group: int = 16,
     per-tile dense kernel instead of failing Mosaic compilation."""
     from .pallas_tiled import prepare_tiled_dense
 
-    base = prepare_tiled_dense(tl, dtype=dtype)
+    base = prepare_tiled_dense(tl, dtype=dtype,
+                               host_limit_bytes=host_limit_bytes)
     nbr, Rt = base.tcols.shape
     nbc = base.nbc
     tcols = np.asarray(base.tcols)                    # (nbr, Rt), pad nbc
