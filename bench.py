@@ -330,7 +330,12 @@ def config3_spmm(on_cpu: bool) -> dict:
     from spsparse_tpu.utils.roofline import device_hbm_bandwidth
 
     rng = np.random.default_rng(0)
-    m = 1 << 12 if on_cpu else 1 << 15
+    # 2^18 rows (round 5): at 2^15 the whole working set fits this
+    # chip's large VMEM and XLA keeps it resident across the bench
+    # chain — the fat-step kernel measured 17 us = 357% of the HBM
+    # model there (physically impossible as an HBM number). 2^18 rows
+    # (~0.53 GB working set) forces honest streaming.
+    m = 1 << 12 if on_cpu else 1 << 18
     K, N = 50, 128
     A = _regrid_matrix(m, K, rng)
     tl = to_tiled(A)

@@ -204,6 +204,11 @@ def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # fat steps double-buffer (group, Rt) operand blocks + a
+    # (group*TILE, Np) out block on top of the X window — past the
+    # default 16 MB scoped-VMEM limit at group=32/Rt=4 (measured 16.12M
+    # reject at 1M rows); request the raised per-kernel limit like the
+    # CG megakernel does (v5e physical VMEM is far larger).
     return pl.pallas_call(
         functools.partial(_window_kernel, Rt=Rt, group=group, ws=ws,
                           nsuper=nsuper),
@@ -211,6 +216,8 @@ def _spmm_tiled_window(wstart, offs, blocks, Xp, *, n_block: int,
         out_shape=jax.ShapeDtypeStruct((nbr_pad * TILE, n_block),
                                        jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=60 << 20),
     )(wstart, offs,
       blocks.reshape(nsuper, group, Rt, TILE, TILE), Xp)
 
