@@ -385,11 +385,17 @@ def config3_spmm(on_cpu: bool) -> dict:
     kind, bw = device_hbm_bandwidth()
     # X charge: once per OCCUPIED column block — the information-
     # theoretic minimum a tiled kernel must fetch, and what the window
-    # kernel actually moves. (The round-3 model charged X once per
-    # stored tile; the window kernel measured 128% of that model,
-    # proving the looser charge. Both models' Y term is one f32 pass.)
+    # kernel actually moves. A charge (round 5): the kernel's ACTUAL
+    # traffic — DENSE 128x128 blocks regardless of fill (the inherited
+    # one-hot payload formula undercharged the dense layout 2x, which
+    # deflates pct_of_roofline; an honest model states what the kernel
+    # moves). Y written once, f32.
     occ_cb = int(np.unique(np.asarray(tl.tile_col)[: n_tiles]).size)
-    bytes_moved = (n_tiles * tl.tile_cap * (2 + esize)  # payloads (padded)
+    if on_cpu:
+        a_bytes = n_tiles * tl.tile_cap * (2 + esize)
+    else:
+        a_bytes = int(np.prod(prep.blocks.shape)) * esize
+    bytes_moved = (a_bytes
                    + occ_cb * TILE * N * esize          # X once/occupied cb
                    + -(-m // TILE) * TILE * N * 4)      # Y (f32)
     sol_nnz = bw / (bytes_moved / nnz)
@@ -398,9 +404,10 @@ def config3_spmm(on_cpu: bool) -> dict:
             "rows": m, "nnz": nnz, "n_tiles": n_tiles,
             "tile_fill": fill, "tile_cap": tl.tile_cap, "time_s": t,
             "nnz_per_s": achieved,
-            "bytes_model": f"{2 + esize}B/slot payloads + X once per "
-                           f"occupied column block ({esize}B) + Y once "
-                           "(f32)",
+            "bytes_model": ("dense A blocks once + X once per occupied "
+                            f"column block ({esize}B) + Y once (f32)"
+                            if not on_cpu else
+                            f"{2 + esize}B/slot payloads + X/cb + Y"),
             "pct_of_roofline": 100.0 * achieved / sol_nnz,
             "matrix": "column-local regridding-style (spread 128)"}
 
@@ -596,7 +603,8 @@ def config3c_large(on_cpu: bool) -> dict | None:
                    u_lo=1, u_hi=5, reps=5)
     nnz = m * K
     occ_cb = int(np.unique(np.asarray(tl.tile_col)[: n_tiles]).size)
-    bytes_moved = (n_tiles * tl.tile_cap * (2 + 2)
+    # A charged at the kernel's actual dense-block traffic (see config 3)
+    bytes_moved = (int(np.prod(prep.blocks.shape)) * 2
                    + occ_cb * TILE * N * 2
                    + -(-m // TILE) * TILE * N * 4)
     kind, bw = device_hbm_bandwidth()
@@ -607,8 +615,8 @@ def config3c_large(on_cpu: bool) -> dict | None:
             "impl": "pallas_tiled_window_bf16 (bf16 RHS)",
             "prepare_s": t_prep, "transfer_s": t_xfer,
             "time_s": t, "nnz_per_s": achieved,
-            "bytes_model": "4B/slot payloads + X once per occupied "
-                           "column block (bf16) + Y once (f32)",
+            "bytes_model": "dense A blocks once (bf16) + X once per "
+                           "occupied column block (bf16) + Y once (f32)",
             "pct_of_roofline": 100.0 * achieved / sol_nnz,
             "matrix": "column-local regridding-style (spread 128), "
                       "BASELINE-stated 5M-row scale"}
