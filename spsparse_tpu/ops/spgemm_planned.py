@@ -75,12 +75,37 @@ class EscPlan:
         return self.ea.shape[0]
 
 
+def _consolidate_host_coo(M: SparseCOO) -> SparseCOO:
+    """Row-major host consolidate (native C++ / numpy — no device
+    compiles); returns an exact-size device :class:`SparseCOO` with the
+    same pattern/value contract as ``M.consolidate((0, 1))``."""
+    from .. import native
+
+    n = int(M.nnz)
+    idx = np.asarray(M.indices)[:n]
+    vals = np.asarray(M.vals)[:n]
+    out_idx, out_vals = native.consolidate_host(idx, vals, M.shape, (0, 1))
+    m = out_idx.shape[0]
+    return SparseCOO(indices=jnp.asarray(out_idx, M.index_dtype),
+                     vals=jnp.asarray(out_vals, M.dtype),
+                     nnz=jnp.asarray(m, jnp.int32),
+                     shape=M.shape, sort_order=(0, 1))
+
+
 def plan_esc(A: SparseCOO, B: SparseCOO, *, transpose_a: bool = False,
-             transpose_b: bool = False):
+             transpose_b: bool = False, host: bool = False):
     """Host-side (eager) plan build. Returns ``(plan, acon, bcon)`` where
     ``acon``/``bcon`` are the consolidated operands whose ``.vals`` slots
     the plan's gather maps index. One plan serves any number of value
-    updates with the same pattern."""
+    updates with the same pattern.
+
+    ``host=True`` consolidates the operands with the native C++ / numpy
+    host path instead of the device path — no device compiles at plan
+    time (the device consolidates' first-call compiles cost ~35 s wall at
+    377K nnz on the tunnel rig; host=True plans the same matrix in <1 s).
+    The resulting pattern is identical; the one divergence is that
+    ``acon``/``bcon`` come back exact-size (cap == nnz) rather than
+    padded to the operand's cap."""
     if A.rank != 2 or B.rank != 2:
         spsparse_error(-1, "plan_esc requires rank-2 operands")
     Aw = A.transposed((1, 0)) if transpose_a else A
@@ -89,12 +114,15 @@ def plan_esc(A: SparseCOO, B: SparseCOO, *, transpose_a: bool = False,
         spsparse_error(
             -1, "Inner dimensions for A (%d) and B (%d) must match!",
             Aw.shape[1], Bw.shape[0])
-    # prepare-time cost note: these consolidates run on the default
-    # device (first call pays their compiles — ~35 s wall at 377K nnz on
-    # the tunnel rig, amortized over every value update that reuses the
-    # plan); the expansion/sort below is vectorized numpy.
-    acon = Aw.consolidate((0, 1))
-    bcon = Bw.consolidate((0, 1))
+    if host:
+        acon = _consolidate_host_coo(Aw)
+        bcon = _consolidate_host_coo(Bw)
+    else:
+        # these consolidates run on the default device (first call pays
+        # their compiles — amortized over every value update that reuses
+        # the plan); the expansion/sort below is vectorized numpy.
+        acon = Aw.consolidate((0, 1))
+        bcon = Bw.consolidate((0, 1))
     na, nb = int(acon.nnz), int(bcon.nnz)
     ai = np.asarray(acon.indices[:na, 0], np.int64)
     ak = np.asarray(acon.indices[:na, 1], np.int64)

@@ -97,3 +97,44 @@ class TestPlannedEsc:
         np.testing.assert_allclose(np.asarray(C_pl.to_dense()),
                                    np.asarray(C_es.to_dense()),
                                    rtol=1e-13, atol=1e-14)
+
+
+class TestHostPlan:
+    """plan_esc(host=True): native/numpy consolidate at plan time —
+    identical plan structure to the device-consolidate path."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_host_plan_matches_device_plan(self, seed):
+        rng = np.random.default_rng(200 + seed)
+        A = _rand(rng, (17, 23), 90)   # dense enough for duplicates
+        B = _rand(rng, (23, 19), 80)
+        ph, ah, bh = plan_esc(A, B, host=True)
+        pdev, ad, bd = plan_esc(A, B)
+        for f in ("ea", "eb", "seg", "out_indices"):
+            np.testing.assert_array_equal(np.asarray(getattr(ph, f)),
+                                          np.asarray(getattr(pdev, f)), f)
+        assert ph.n_out == pdev.n_out
+        # consolidated patterns agree; values up to fp summation order
+        na = int(ah.nnz)
+        assert na == int(ad.nnz)
+        np.testing.assert_array_equal(np.asarray(ah.indices[:na]),
+                                      np.asarray(ad.indices[:na]))
+        np.testing.assert_allclose(np.asarray(ah.vals[:na]),
+                                   np.asarray(ad.vals[:na]), rtol=1e-13)
+
+    def test_host_plan_matches_dense(self, rng):
+        A = _rand(rng, (21, 13), 70)
+        B = _rand(rng, (13, 18), 60)
+        plan, acon, bcon = plan_esc(A, B, host=True)
+        C = spgemm_planned(plan, acon.vals, bcon.vals)
+        want = np.asarray(A.to_dense()) @ np.asarray(B.to_dense())
+        np.testing.assert_allclose(np.asarray(C.to_dense()), want,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_host_plan_transposes(self, rng):
+        A = _rand(rng, (12, 16), 50)
+        plan, acon, bcon = plan_esc(A, A, transpose_b=True, host=True)
+        C = spgemm_planned(plan, acon.vals, bcon.vals)
+        Ad = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(C.to_dense()), Ad @ Ad.T,
+                                   rtol=1e-12, atol=1e-12)
