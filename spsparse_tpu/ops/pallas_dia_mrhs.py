@@ -148,6 +148,56 @@ def _spmm_mrhs_ad_bwd(offsets, n, block, interpret, res, g):
 _spmm_mrhs_ad.defvjp(_spmm_mrhs_ad_fwd, _spmm_mrhs_ad_bwd)
 
 
+# --- zero-copy fast path ---------------------------------------------------
+# The padded-Xp entry materializes a full (8, npad+2*pad+block) copy of X
+# plus the halo strips EVERY call (~70 MB round trip at n=1M — charged to
+# the kernel, not the model; measured as the 2b gap: 68.6-68.8% of the
+# 84 MB bytes model on two days, round 5). When X is already the kernel's
+# native operand layout — (8, nblocks*block) f32, i.e. the lane extent is
+# an exact block multiple — X itself IS the xmain the BlockSpec tiles, and
+# the only derived operand is the (nblocks, 8, 2*pad) halo strip array
+# (~1 MB at n=1M): gathered from the block edges, zero at the boundary
+# blocks (x outside [0, m) is zero — matrix edge).
+
+
+def _halos_from_x(X, nblocks: int, block: int, pad: int):
+    xb = X.reshape(RHS_BLOCK, nblocks, block)
+    z = jnp.zeros((RHS_BLOCK, 1, pad), X.dtype)
+    lefts = jnp.concatenate([z, xb[:, :-1, block - pad:]], axis=1)
+    rights = jnp.concatenate([xb[:, 1:, :pad], z], axis=1)
+    return jnp.concatenate([lefts, rights], axis=2).transpose(1, 0, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _spmm_mrhs_fast(data3, X, offsets: tuple, n: int, block: int,
+                    pad: int, interpret: bool):
+    nblocks = data3.shape[0]
+    halos = _halos_from_x(X, nblocks, block, pad)
+    return _spmm_mrhs(data3, X, halos, offsets=offsets, n=n, block=block,
+                      pad=pad, interpret=interpret)
+
+
+def _spmm_mrhs_fast_fwd(data3, X, offsets, n, block, pad, interpret):
+    y = _spmm_mrhs_fast(data3, X, offsets, n, block, pad, interpret)
+    return y, (data3, X)
+
+
+def _spmm_mrhs_fast_bwd(offsets, n, block, pad, interpret, res, g):
+    # Same streaming-shift math as _spmm_mrhs_ad_bwd, restated in padded-x
+    # coordinates then stripped back to raw X (the backward is not the hot
+    # path; the forward's zero-copy property is what the fast path buys).
+    data3, X = res
+    npad = data3.shape[0] * block
+    Xp = jnp.zeros((RHS_BLOCK, npad + 2 * pad + block), jnp.float32)
+    Xp = Xp.at[:, pad:pad + X.shape[1]].set(X.astype(jnp.float32))
+    d_data3, d_Xp = _spmm_mrhs_ad_bwd(offsets, n, block, interpret,
+                                      (data3, Xp), g)
+    return d_data3, d_Xp[:, pad:pad + X.shape[1]].astype(X.dtype)
+
+
+_spmm_mrhs_fast.defvjp(_spmm_mrhs_fast_fwd, _spmm_mrhs_fast_bwd)
+
+
 def spmm_dia_mrhs_pallas(dia, X: Array, *, block: int = 4096,
                          interpret: bool = False) -> Array:
     """``Y = A @ X`` for diagonal storage with ``X (R, n)`` (R right-hand
@@ -169,6 +219,11 @@ def spmm_dia_mrhs_pallas(dia, X: Array, *, block: int = 4096,
     R = X.shape[0]
     if R > RHS_BLOCK:
         raise ValueError(f"at most {RHS_BLOCK} right-hand sides per call")
+    if (R == RHS_BLOCK and m == npad and pad <= block
+            and X.dtype == jnp.float32):
+        # zero-copy: X is already the (8, nblocks*block) f32 xmain layout
+        return _spmm_mrhs_fast(dia.data3, X, offsets, n, block, pad,
+                               interpret)
     # Xp layout: [pad zeros | x (m) | zeros]; window b = Xp[b*block :
     # b*block + block + 2*pad]. One extra trailing block so the strided
     # halo reshape below stays in bounds.

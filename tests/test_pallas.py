@@ -600,3 +600,68 @@ class TestKernelAutodiff:
         Dd = np.asarray(dia.to_dense())
         refx = 2.0 * Dd.T @ (Dd @ np.asarray(x))
         np.testing.assert_allclose(gx, refx, rtol=1e-4, atol=1e-5)
+
+
+class TestMrhsDiaFastPath:
+    """Zero-copy mrhs entry: X (8, nblocks*block) f32 skips the padded-Xp
+    materialization — results and grads must be identical to the Xp path."""
+
+    def _dia(self, rng, n):
+        from spsparse_tpu.core.dia import to_dia
+        b = CooBuilder((n, n), dtype=np.float32)
+        for off in (-2, -1, 0, 1, 2):
+            r = np.arange(max(0, -off), min(n, n - off))
+            b.add_many(np.stack([r, r + off], 1),
+                       rng.uniform(-1, 1, r.size).astype(np.float32))
+        return to_dia(b.build())
+
+    def test_fast_path_matches_dense(self, rng):
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        n = 1024                      # exact multiple of block=512
+        dia = self._dia(rng, n)
+        X = rng.uniform(-1, 1, (8, n)).astype(np.float32)
+        Y = spmm_dia_mrhs_pallas(dia, X, block=512, interpret=True)
+        ref = (np.asarray(dia.to_dense()) @ X.T).T
+        np.testing.assert_allclose(np.asarray(Y), ref, rtol=2e-5, atol=2e-5)
+
+    def test_fast_path_matches_padded_path(self, rng):
+        """Same operator, n one short of the multiple (Xp path) vs exact
+        (fast path) on the shared leading entries — boundary handling in
+        the halo gather must agree with the zero-padded Xp."""
+        from spsparse_tpu.ops.pallas_dia_mrhs import (spmm_dia_mrhs_pallas,
+                                                      RHS_BLOCK)
+        n = 1536
+        dia = self._dia(rng, n)
+        X8 = rng.uniform(-1, 1, (8, n)).astype(np.float32)
+        Yf = spmm_dia_mrhs_pallas(dia, X8, block=512, interpret=True)
+        # force the padded path: 7 RHS (R < RHS_BLOCK)
+        Yp = spmm_dia_mrhs_pallas(dia, X8[:7], block=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(Yf)[:7], np.asarray(Yp),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_fast_path_grads(self, rng):
+        import jax
+        from spsparse_tpu.core.dia import SparseDIA, to_dia
+        from spsparse_tpu.ops.pallas_dia_mrhs import spmm_dia_mrhs_pallas
+        n = 512
+        dia = self._dia(rng, n)
+        X = jnp.asarray(rng.uniform(-1, 1, (8, n)).astype(np.float32))
+        W = jnp.asarray(rng.uniform(-1, 1, (8, n)).astype(np.float32))
+
+        def loss_kernel(data, Xc):
+            d = SparseDIA(data=data, offsets=dia.offsets, shape=dia.shape)
+            return jnp.sum(W * spmm_dia_mrhs_pallas(d, Xc, block=512,
+                                                    interpret=True))
+
+        def loss_ref(data, Xc):
+            dense = jnp.zeros((n, n), jnp.float32)
+            for k, off in enumerate(dia.offsets):
+                lo, hi = max(0, -off), min(n, n - off)
+                idx = jnp.arange(lo, hi)
+                dense = dense.at[idx, idx + off].set(data[k, lo:hi])
+            return jnp.sum(W * (Xc @ dense.T))
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1))(dia.data, X)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(dia.data, X)
+        np.testing.assert_allclose(gk[0], gr[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gk[1], gr[1], rtol=1e-4, atol=1e-5)
